@@ -1,0 +1,194 @@
+"""Relational operators (SURVEY.md §2.2-§2.6).
+
+The reference implements these as hand-wired MapReduce stages — reduce-side
+joins with source tags (`ppt/Ch7….pdf p.41-53`), replicated map-side joins
+from the distributed cache (`ppt/Ch7….pdf p.54-57`), combiner partial
+aggregation (`final project/src/final_kNN_src/phase1/TF_IDF_Compute.java:110-138`),
+TotalOrderPartitioner sorts (`ppt/Ch5….pdf p.32-38`). Every one of those
+manual mechanisms is a built-in here: Catalyst picks broadcast vs
+sort-merge joins, hash aggregates always run partial+final, and `orderBy`
+range-partitions by sampling. The functions below exist to name the
+capability surface and keep the 100 TB posture in one place (broadcast
+hints for dimension tables, no driver-side collection).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Projections / filters (P1-P2)
+# ---------------------------------------------------------------------------
+
+
+def project(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """P1 — column projection; prunes the parquet scan to ReadSchema."""
+    return df.select(*cols)
+
+
+def filter_rows(df: DataFrame, predicate: Column | str) -> DataFrame:
+    """P2 — predicate filter; pushed into the scan by Catalyst."""
+    return df.filter(predicate)
+
+
+def filter_not_in(df: DataFrame, col: str, deny: DataFrame, deny_col: str) -> DataFrame:
+    """P2 stopword-style exclusion as a (broadcast) anti-join.
+
+    The reference loads the deny list into every task's memory from the
+    distributed cache (`…/final_NB_src/phase1/Count/CountMapper.java:28-45`);
+    an anti-join against a broadcast side is the same data movement with
+    planner-managed memory.
+    """
+    cond = F.col(col) == F.col(f"__deny.{deny_col}")
+    return df.join(F.broadcast(deny.alias("__deny")), cond, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J6)
+# ---------------------------------------------------------------------------
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """J1/J4/J5 — shuffle equi-join; Catalyst chooses SMJ/SHJ/BHJ + reorders
+    multi-way chains (the reference needed one MR job per 2-way join,
+    `ppt/Ch7….pdf p.59`)."""
+    return left.join(right, on, how)
+
+
+def broadcast_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """J2 — map-side replicated join (`ppt/Ch7….pdf p.54-57`): explicit
+    broadcast hint so no shuffle of the big side ever happens, regardless of
+    stats. Use for dimension tables at any scale."""
+    return big.join(F.broadcast(small), on, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """J3 — existence filter (`ppt/Ch7….pdf p.58` semi-join section)."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """Complement of J3; the reference expresses it as tag-count==1 in the
+    reduce-side join combine step (`ppt/Ch7….pdf p.51`)."""
+    return left.join(right, on, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A11)
+# ---------------------------------------------------------------------------
+
+
+def group_count(df: DataFrame, *keys: str, out: str = "cnt") -> DataFrame:
+    """A1 — WordCount shape (`ppt/Ch2….pdf p.17-20`). Partial aggregation
+    (the reference's hand-written combiner) is automatic."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(out))
+
+
+def group_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    """A3 — grouped aggregation over a composite key; the reference encodes
+    the key as `cls + "#" + wordNo`
+    (`…/final_NB_src/phase2/TrainModel/TrainModelMapper.java:26`)."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def ratio_of_totals(df: DataFrame, hit: Column, out: str = "ratio") -> DataFrame:
+    """A4 — accuracy-style T/(T+F) aggregate
+    (`…/final_kNN_src/phase2/AccuracyReducer.java:12-29`)."""
+    return df.agg(F.avg(F.when(hit, 1.0).otherwise(0.0)).alias(out))
+
+
+def group_fraction(df: DataFrame, keys: Sequence[str], val: str, out: str = "frac") -> DataFrame:
+    """A5/A14 — per-group normalized frequency (value / group total).
+
+    The reference smuggles the group total through the sorted KV stream as a
+    `!` sentinel record (`…/TF_IDF_Compute.java:103-131`); a window total
+    needs no in-band trick.
+    """
+    w = Window.partitionBy(*keys)
+    return df.withColumn(out, F.col(val) / F.sum(val).over(w))
+
+
+def histogram(df: DataFrame, key: str, out_key: str = "bucket", out: str = "freq") -> DataFrame:
+    """A8 — two-level aggregation (patent citation histogram,
+    `ppt/Ch5….pdf p.76-83`): one declarative query instead of two chained
+    jobs."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias(out_key))
+        .groupBy(out_key)
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+
+
+def inverted_list(
+    df: DataFrame, key: str, value: str, out: str = "postings", as_string: bool = True
+) -> DataFrame:
+    """A9 — group-concat postings list (`ppt/Ch5….pdf p.73-75`), sorted for
+    determinism (collect_list order is not)."""
+    lst = F.sort_array(F.collect_set(value))
+    if as_string:
+        lst = F.array_join(lst.cast("array<string>"), ",")
+    return df.groupBy(key).agg(lst.alias(out))
+
+
+def count_distinct_per_group(
+    df: DataFrame, key: str, value: str, out: str = "n_distinct", approx: bool = False
+) -> DataFrame:
+    """A11 — countries-per-year shape (`ppt/Ch5….pdf p.88-89`). ``approx``
+    switches to HLL (`approx_count_distinct`) for the 100 TB path where the
+    exact dedup shuffle is the bottleneck."""
+    agg = (
+        F.approx_count_distinct(value) if approx else F.countDistinct(value)
+    ).alias(out)
+    return df.groupBy(key).agg(agg)
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k (O1-O5)
+# ---------------------------------------------------------------------------
+
+
+def total_sort(df: DataFrame, *order: Column | str) -> DataFrame:
+    """O1 — total-order sort. The reference needs TotalOrderPartitioner with
+    an input sampler + trie (`ppt/Ch5….pdf p.32-38`); Spark's range
+    partitioner samples automatically under `orderBy`."""
+    return df.orderBy(*order)
+
+
+def top_k(df: DataFrame, k: int, *order: Column | str) -> DataFrame:
+    """O4 — global top-k; physical plan is TakeOrderedAndProject (per-
+    partition heaps + driver merge), no full sort at any scale."""
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, keys: Sequence[str], order: Sequence[Column], k: int, out: str = "rn"
+) -> DataFrame:
+    """O5 — per-group bounded top-k; the reference maintains a manual K-best
+    buffer per record (`…/final_kNN_src/phase2/KNNMapper.java:113-160`)."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn(out, F.row_number().over(w)).filter(F.col(out) <= k)
+
+
+def secondary_sorted_list(
+    df: DataFrame, keys: Sequence[str], order_col: str, value_cols: Sequence[str], out: str = "items"
+) -> DataFrame:
+    """O2/A10 — values sorted within key. The reference moves the value into
+    a composite key + custom partitioner (`…/TF_IDF_Compute.java:141-151`,
+    `ppt/Ch7….pdf p.3-7`); sort_array over collected structs gives the same
+    result without touching the shuffle."""
+    struct = F.struct(order_col, *value_cols)
+    return df.groupBy(*keys).agg(F.sort_array(F.collect_list(struct)).alias(out))

@@ -1,0 +1,202 @@
+"""Text operators (SURVEY.md §2 P3, A1, A5-A7, A9-A14).
+
+The reference's text stack: tokenization with punctuation stripping and
+stopword removal (`…/TF_IDF_Compute.java:79-99`,
+`…/final_NB_src/phase1/Count/CountMapper.java:57-76`), word count
+(`ppt/Ch2….pdf p.17-20`), co-occurrence pairs/stripes (`ppt/Ch5….pdf
+p.43-48`, `ppt/Ch7….pdf p.8-10`), inverted index with payloads
+(`ppt/Ch5….pdf p.52-65`), and the 5-job TF-IDF vectorization pipeline
+(`…/TF_IDF_Compute.java`). Everything here is explode/groupBy/window
+built-ins — the whole TF-IDF pipeline is one lazy plan instead of five
+HDFS-materialized jobs.
+
+At 100 TB: token explosion multiplies rows ~100×, but stays pipelined in
+codegen (no shuffle until the groupBy); the per-doc TF window and the
+doc-frequency aggregate are each a single shuffle on bounded keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: tokens: lowercase, split on anything non-alphanumeric (the reference
+#: replaces a punctuation list then splits on whitespace,
+#: `…/TF_IDF_Compute.java:79-99`)
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "word",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """P3 — lowercase → split → explode; empty tokens dropped (the
+    reference's `word.isEmpty()` guard, `…/Count/CountMapper.java:71`)."""
+    keep = keep_cols if keep_cols is not None else [c for c in df.columns if c != text_col]
+    words = F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)
+    return (
+        df.select(*keep, F.explode(words).alias(out))
+        .filter(F.col(out) != "")
+    )
+
+
+def remove_stopwords(tokens: DataFrame, stopwords: DataFrame, word_col: str = "word") -> DataFrame:
+    """P2 — stopword removal as a broadcast anti-join (the reference loads
+    the list from the distributed cache into each mapper,
+    `…/Count/CountMapper.java:28-45`)."""
+    sw = stopwords.toDF("__sw")
+    return tokens.join(F.broadcast(sw), tokens[word_col] == sw["__sw"], "left_anti")
+
+
+def word_count(tokens: DataFrame, word_col: str = "word", out: str = "cnt") -> DataFrame:
+    """A1 — the canonical WordCount (`ppt/Ch2….pdf p.17-20`)."""
+    return tokens.groupBy(word_col).agg(F.count(F.lit(1)).alias(out))
+
+
+def doc_frequency(
+    tokens: DataFrame, doc_col: str = "doc_id", word_col: str = "word", out: str = "df"
+) -> DataFrame:
+    """A6 — number of documents containing each term
+    (`…/final_NB_src/phase1/ListWords/*`, `…/TF_IDF_Compute.java:198-236`)."""
+    return tokens.groupBy(word_col).agg(F.countDistinct(doc_col).alias(out))
+
+
+def term_frequency(
+    tokens: DataFrame,
+    doc_col: str = "doc_id",
+    word_col: str = "word",
+    out: str = "tf",
+    normalized: bool = True,
+) -> DataFrame:
+    """A5 — per-(doc,term) count, normalized by doc length. The reference
+    delivers the doc length via a `!` sentinel record that sorts first
+    (`…/TF_IDF_Compute.java:103-131`); a window total replaces it."""
+    counts = tokens.groupBy(doc_col, word_col).agg(F.count(F.lit(1)).alias("cnt"))
+    if not normalized:
+        return counts.withColumnRenamed("cnt", out)
+    w = Window.partitionBy(doc_col)
+    return counts.withColumn(out, F.col("cnt") / F.sum("cnt").over(w)).drop("cnt")
+
+
+def tf_idf(
+    tokens: DataFrame,
+    doc_col: str = "doc_id",
+    word_col: str = "word",
+    reference_semantics: bool = False,
+) -> DataFrame:
+    """A5-A7 — TF-IDF weights per (doc, term).
+
+    ``reference_semantics=True`` reproduces the reference's quirk of using
+    plain N/df with **no logarithm** (`…/TF_IDF_Compute.java:232`); default
+    is the standard log(N/df).
+    Output: (doc, word, tf, idf, tfidf).
+    """
+    tf = term_frequency(tokens, doc_col, word_col, out="tf")
+    dfreq = doc_frequency(tokens, doc_col, word_col, out="df")
+    n_docs = tokens.select(doc_col).distinct().count()
+    idf = F.lit(float(n_docs)) / F.col("df")
+    if not reference_semantics:
+        idf = F.log(idf)
+    weights = dfreq.withColumn("idf", idf).drop("df")
+    return (
+        tf.join(weights, word_col)
+        .withColumn("tfidf", F.col("tf") * F.col("idf"))
+        .select(doc_col, word_col, "tf", "idf", "tfidf")
+    )
+
+
+def sparse_vectors(
+    tfidf: DataFrame, doc_col: str = "doc_id", word_col: str = "word", weight_col: str = "tfidf"
+) -> DataFrame:
+    """A7 — assemble per-doc sparse vectors. The reference encodes
+    `label\\tidx:val idx:val…` strings (`…/TF_IDF_Compute.java:346-400`);
+    here the vector is a typed array<struct<idx,val>> with the vocabulary
+    index assigned by row_number over the sorted vocab."""
+    vocab = (
+        tfidf.select(word_col)
+        .distinct()
+        .withColumn("idx", F.row_number().over(Window.orderBy(word_col)) - 1)
+    )
+    return (
+        tfidf.join(vocab, word_col)
+        .groupBy(doc_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("idx"), F.col(weight_col).alias("val")))
+            ).alias("vector")
+        )
+    )
+
+
+def cooccurrence_pairs(
+    unit_words: DataFrame,
+    unit_col: str = "doc_id",
+    word_col: str = "word",
+    out: str = "cnt",
+    symmetric: bool = True,
+) -> DataFrame:
+    """A12 — co-occurrence counts within a unit (paragraph/doc), the
+    project-2 person-pair shape (`…课程设计2….pdf p.3`, `ppt/Ch5….pdf
+    p.43-48`). Counts each unordered pair once per unit (presence-based,
+    as in the worked example); ``symmetric=False`` keeps w1 < w2 only.
+
+    Implementation: distinct (unit, word) self-join on unit. The reference's
+    "pairs vs stripes" distinction (`ppt/Ch7….pdf p.8-10`) is moot — partial
+    hash aggregation gives stripes' map-side compaction automatically.
+    """
+    a = unit_words.select(F.col(unit_col).alias("u"), F.col(word_col).alias("w1")).distinct()
+    b = unit_words.select(F.col(unit_col).alias("u"), F.col(word_col).alias("w2")).distinct()
+    cond = F.col("w1") < F.col("w2") if not symmetric else F.col("w1") != F.col("w2")
+    return (
+        a.join(b, "u")
+        .filter(cond)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+
+
+def cooccurrence_window_pairs(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    out: str = "cnt",
+) -> DataFrame:
+    """A12 window-k variant — neighbors within ``window`` positions
+    (`ppt/Ch5….pdf p.44-48` uses window 2 over the token sequence).
+    Ordered pairs (wi, wj) for j in (i, i+window]."""
+    words = F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)
+    toks = docs.select(
+        F.col(doc_col).alias("u"), F.posexplode(words).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    a = toks.select("u", F.col("pos").alias("p1"), F.col("w").alias("w1"))
+    b = toks.select("u", F.col("pos").alias("p2"), F.col("w").alias("w2"))
+    return (
+        a.join(b, "u")
+        .filter((F.col("p2") > F.col("p1")) & (F.col("p2") <= F.col("p1") + window))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+
+
+def inverted_index(
+    tokens: DataFrame,
+    doc_col: str = "doc_id",
+    word_col: str = "word",
+    with_tf: bool = True,
+) -> DataFrame:
+    """A9/A10 — term → postings sorted by doc, with tf payloads. The
+    reference shifts posting-sort into the shuffle via composite keys +
+    custom partitioner (`ppt/Ch5….pdf p.56-65`, `ppt/Ch7….pdf p.4-7`);
+    sort_array(collect_list) is equivalent and shuffle-neutral."""
+    if with_tf:
+        per_doc = tokens.groupBy(word_col, doc_col).agg(F.count(F.lit(1)).alias("tf"))
+        postings = F.sort_array(F.collect_list(F.struct(doc_col, "tf")))
+        return per_doc.groupBy(word_col).agg(
+            postings.alias("postings"),
+            (F.sum("tf") / F.countDistinct(doc_col)).alias("avg_tf_per_doc"),
+        )
+    postings = F.sort_array(F.collect_set(doc_col))
+    return tokens.groupBy(word_col).agg(postings.alias("postings"))

@@ -1,0 +1,145 @@
+"""Time-window log analytics (SURVEY.md §2.4 A15-A17, §2.9 M7).
+
+Covers the reference's log-analysis project
+(`final project/MapReduce课程设计1-日志分析.pdf p.2-3`): per-hour and
+per-second grouped counts (tasks 1-3), windowed averages (task 4), and the
+RMSE-scored next-day traffic forecast (task 5). The reference buckets
+timestamps by string manipulation in mappers; here `F.window`/`date_trunc`
+keeps it in codegen, and the same queries run under Structured Streaming
+(see streaming/windows.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_count(
+    df: DataFrame,
+    ts: str,
+    duration: str,
+    *keys: str,
+    out: str = "cnt",
+) -> DataFrame:
+    """A15 — tumbling-window grouped count (task 1-3 shape). Returns
+    window_start/window_end columns instead of the struct so results are
+    flat-comparable."""
+    w = F.window(ts, duration)
+    return (
+        df.groupBy(w.alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias(out))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            out,
+        )
+    )
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts: str,
+    duration: str,
+    keys: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """A16 — tumbling-window grouped aggregation (avg response time shape)."""
+    w = F.window(ts, duration)
+    return (
+        df.groupBy(w.alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def sliding_window_count(
+    df: DataFrame, ts: str, duration: str, slide: str, *keys: str, out: str = "cnt"
+) -> DataFrame:
+    """A15 sliding variant — overlapping windows; each row lands in
+    duration/slide buckets."""
+    w = F.window(ts, duration, slide)
+    return (
+        df.groupBy(w.alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias(out))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            out,
+        )
+    )
+
+
+def rmse(joined: DataFrame, pred: str, actual: str, out: str = "rmse") -> DataFrame:
+    """A17 — sqrt(mean((pred-actual)^2)); the spec says "implement RMSE
+    yourself" (`…课程设计1….pdf p.3`)."""
+    d = F.col(pred) - F.col(actual)
+    return joined.agg(F.sqrt(F.avg(d * d)).alias(out))
+
+
+def forecast_hourly_mean(
+    df: DataFrame,
+    ts: str,
+    keys: list[str],
+    holdout_day: str,
+    out: str = "pred",
+) -> DataFrame:
+    """M7 — traffic forecasting (task 5): predict per-(key, hour-of-day)
+    counts for ``holdout_day`` as the mean of the same hour over all prior
+    days. One shuffle on (keys, hour); the 14-day history aggregate is tiny
+    relative to the scan.
+    """
+    hist = (
+        df.filter(F.col(ts) < F.lit(holdout_day).cast("timestamp"))
+        .groupBy(
+            *keys,
+            F.to_date(ts).alias("day"),
+            F.hour(ts).alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        hist.groupBy(*keys, "hour")
+        .agg(F.avg("cnt").alias(out))
+    )
+
+
+def forecast_vs_actual_rmse(
+    df: DataFrame, ts: str, keys: list[str], holdout_day: str
+) -> DataFrame:
+    """M7+A17 — end-to-end: forecast the holdout day from prior history and
+    score by RMSE against the held-out actuals (missing (key,hour) cells on
+    either side count as 0, matching the spec's per-hour grid)."""
+    pred = forecast_hourly_mean(df, ts, keys, holdout_day, out="pred")
+    day_end = F.date_add(F.lit(holdout_day).cast("date"), 1).cast("timestamp")
+    actual = (
+        df.filter(
+            (F.col(ts) >= F.lit(holdout_day).cast("timestamp"))
+            & (F.col(ts) < day_end)
+        )
+        .groupBy(*keys, F.hour(ts).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("actual"))
+    )
+    joined = pred.join(actual, [*keys, "hour"], "full_outer").select(
+        F.coalesce("pred", F.lit(0.0)).alias("pred"),
+        F.coalesce("actual", F.lit(0)).cast("double").alias("actual"),
+    )
+    return rmse(joined, "pred", "actual")
+
+
+def sessionize(
+    df: DataFrame, ts: str, user: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap to the
+    previous event of the same user exceeds the threshold. (Extension —
+    the streaming twin is `F.session_window`.)"""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user).orderBy(ts)
+    gap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return df.withColumn("session_id", F.sum(new_sess).over(w))

@@ -1,0 +1,640 @@
+"""Query registry: the driver-facing surface of the engine.
+
+Each entry wires operators from ``mapreduce_big_data_processing_spark.operators``
+to the fixture tables (TESTDATA.md) and pairs the Spark plan with an ANSI-SQL
+oracle equivalent for DuckDB differential testing (SURVEY.md §5.4).
+
+Conventions for oracle parity:
+  - every computed column is aliased identically on both sides;
+  - floating-point aggregates are rounded (sum order differs across engines);
+  - explicit CASTs where DuckDB's type widening differs from Spark's
+    (e.g. DuckDB sum(INTEGER) -> HUGEINT vs Spark -> bigint);
+  - session timezone pinned to UTC before running (timestamps in parquet are
+    instants; both engines must bucket them identically).
+
+Entries without an oracle (iterative graph/ML, streaming) are registered in
+``QUERIES`` only; the driver records a rows-only check for those.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_big_data_processing_spark import catalog
+from mapreduce_big_data_processing_spark.operators import relational as R
+from mapreduce_big_data_processing_spark.operators import text as TX
+from mapreduce_big_data_processing_spark.operators import windows as WIN
+from mapreduce_big_data_processing_spark.session import tune
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    """Register a (spark, sf_dir) -> DataFrame callable, with optional
+    DuckDB oracle SQL."""
+
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)  # UTC tz + AQE even on driver-owned sessions
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLE[name] = sql
+        return wrapped
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load(spark, name, sf_dir)
+
+
+# ===========================================================================
+# Relational core (SURVEY §2.2-2.6) on the star schema
+# ===========================================================================
+
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6)                                    AS avg_qty,
+           round(avg(l_extendedprice), 6)                               AS avg_price,
+           round(avg(l_discount), 6)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan→filter→group→8 aggs (A1/A2/A3; combiner-free
+    partial agg). Filter pushes to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return R.group_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        ],
+    )
+
+
+@query(
+    "revenue_by_nation",
+    """
+    SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def revenue_by_nation(spark, sf_dir):
+    """J4 multi-way join chain (one MR job per join in the reference,
+    `ppt/Ch7….pdf p.59`) — single declarative plan; nation/region broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        R.equi_join(o, c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    )
+    return R.group_agg(
+        joined,
+        ["r_name", "n_name"],
+        [
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        ],
+    )
+
+
+@query(
+    "brand_volume",
+    """
+    SELECT p_brand,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def brand_volume(spark, sf_dir):
+    """J2 map-side replicated join (`ppt/Ch7….pdf p.54-57`): part is the
+    dimension side, broadcast so lineitem never shuffles for the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = R.broadcast_join(li, p, li.l_partkey == p.p_partkey)
+    return R.group_agg(
+        joined,
+        ["p_brand"],
+        [
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        ],
+    )
+
+
+@query(
+    "customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_with_orders(spark, sf_dir):
+    """J3 semi-join (`ppt/Ch7….pdf p.58`)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return R.semi_join(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    """Anti-join — the reference's tag-count==1 case in the reduce-side join
+    (`ppt/Ch7….pdf p.51`)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return R.anti_join(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+@query(
+    "top_customers",
+    """
+    SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def top_customers(spark, sf_dir):
+    """O4 top-k (TakeOrderedAndProject: per-partition heaps, no full sort)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rev = R.group_agg(
+        R.equi_join(c, o, c.c_custkey == o.o_custkey),
+        ["c_custkey", "c_name"],
+        [F.round(F.sum("o_totalprice"), 2).alias("revenue")],
+    )
+    return R.top_k(rev, 10, F.desc("revenue"), F.asc("c_custkey"))
+
+
+@query(
+    "order_count_histogram",
+    """
+    SELECT n_orders, count(*) AS n_customers
+    FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+    GROUP BY n_orders
+    """,
+)
+def order_count_histogram(spark, sf_dir):
+    """A8 two-level aggregation — the patent-citation histogram shape
+    (`ppt/Ch5….pdf p.76-83`), two chained MR jobs as one query."""
+    o = _t(spark, sf_dir, "orders")
+    return R.histogram(o, "o_custkey", out_key="n_orders", out="n_customers")
+
+
+@query(
+    "distinct_users_per_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users FROM events
+    GROUP BY event_type
+    """,
+)
+def distinct_users_per_type(spark, sf_dir):
+    """A11 count-distinct per group (countries-per-year shape,
+    `ppt/Ch5….pdf p.88-89`). Exact here; `approx=True` flips to HLL at scale."""
+    ev = _t(spark, sf_dir, "events")
+    return R.count_distinct_per_group(ev, "event_type", "user_id", out="n_users")
+
+
+@query(
+    "nation_market_share",
+    """
+    WITH rev AS (
+      SELECT r_name, n_name, sum(o_totalprice) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name)
+    SELECT r_name, n_name,
+           round(rev / sum(rev) OVER (PARTITION BY r_name), 6) AS share
+    FROM rev
+    """,
+)
+def nation_market_share(spark, sf_dir):
+    """A14 group-fraction (edge-weight-normalization shape,
+    `…课程设计2….pdf p.4`) via a window total — replaces the reference's
+    in-band `!` sentinel totals."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = R.group_agg(
+        R.equi_join(o, c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey),
+        ["r_name", "n_name"],
+        [F.sum("o_totalprice").alias("rev")],
+    )
+    return R.group_fraction(rev, ["r_name"], "rev", out="share").select(
+        "r_name", "n_name", F.round("share", 6).alias("share")
+    )
+
+
+@query(
+    "segment_set_ops",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+    """,
+)
+def segment_set_ops(spark, sf_dir):
+    """U3 relational-algebra set ops (`ppt/Ch5….pdf p.4`)."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "segment_except",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+    """,
+)
+def segment_except(spark, sf_dir):
+    """U3 set difference."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
+    return a.exceptAll(b).distinct()
+
+
+@query(
+    "status_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS total, count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def status_rollup(spark, sf_dir):
+    """Grouping-sets rollup (Hive-taught aggregation surface,
+    `ppt/Ch6….pdf p.54-57` extended)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "finished_order_ratio",
+    "SELECT round(avg(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END), 6) AS ratio FROM orders",
+)
+def finished_order_ratio(spark, sf_dir):
+    """A4 ratio-of-totals aggregate (accuracy-job shape,
+    `…/final_kNN_src/phase2/AccuracyReducer.java:26-29`)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.round(
+            F.avg(F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)), 6
+        ).alias("ratio")
+    )
+
+
+@query(
+    "orders_per_year_priority",
+    """
+    SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_year, o_orderpriority
+    """,
+)
+def orders_per_year_priority(spark, sf_dir):
+    """A3 composite-key grouped aggregation + date part extraction (the
+    patent per-year/per-country shape, `ppt/Ch5….pdf p.87`)."""
+    o = _t(spark, sf_dir, "orders")
+    return R.group_agg(
+        o.withColumn("o_year", F.year("o_orderdate")),
+        ["o_year", "o_orderpriority"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        ],
+    )
+
+
+@query(
+    "supplier_rank_in_nation",
+    """
+    SELECT n_name, s_name, s_acctbal, rnk FROM (
+      SELECT n_name, s_name, s_acctbal,
+             row_number() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) AS rnk
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+    WHERE rnk <= 3
+    """,
+)
+def supplier_rank_in_nation(spark, sf_dir):
+    """O5 per-group top-k via window (manual K-best buffer in the reference,
+    `…/final_kNN_src/phase2/KNNMapper.java:113-160`)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    joined = R.broadcast_join(s, n, s.s_nationkey == n.n_nationkey)
+    ranked = R.top_k_per_group(
+        joined, ["n_name"], [F.desc("s_acctbal"), F.asc("s_suppkey")], 3, out="rnk"
+    )
+    return ranked.select("n_name", "s_name", "s_acctbal", "rnk")
+
+
+# ===========================================================================
+# Windowed log analytics on events (SURVEY §2.4 A15-A17, M7)
+# ===========================================================================
+
+
+@query(
+    "hourly_event_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt
+    FROM events GROUP BY window_start, event_type
+    """,
+)
+def hourly_event_counts(spark, sf_dir):
+    """A15 — log-analysis task 1 (status-code counts per hour window,
+    `…课程设计1….pdf p.2`); event_type stands in for the status code."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        WIN.windowed_count(ev, "ts", "1 hour", "event_type")
+        .drop("window_end")
+        .select("window_start", "event_type", "cnt")
+    )
+
+
+@query(
+    "hourly_avg_value",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY window_start, event_type
+    """,
+)
+def hourly_avg_value(spark, sf_dir):
+    """A16 — avg response time per URL per hour (task 4)."""
+    ev = _t(spark, sf_dir, "events")
+    out = WIN.windowed_agg(
+        ev, "ts", "1 hour", ["event_type"], [F.round(F.avg("value"), 6).alias("avg_value")]
+    )
+    return out.select("window_start", "event_type", "avg_value")
+
+
+@query(
+    "per_user_daily_counts",
+    """
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           count(*) AS cnt
+    FROM events GROUP BY user_id, window_start
+    """,
+)
+def per_user_daily_counts(spark, sf_dir):
+    """A15 — per-IP stats (task 2); the reference routes each key to its own
+    output file (MultipleOutputs), which becomes `partitionBy(user_id)` at
+    the sink."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        WIN.windowed_count(ev, "ts", "1 day", "user_id")
+        .select("user_id", "window_start", "cnt")
+    )
+
+
+@query(
+    "event_props_histogram",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS cnt
+    FROM events GROUP BY k
+    """,
+)
+def event_props_histogram(spark, sf_dir):
+    """§2.7 JSON extraction over the semi-structured props column (engine
+    extension; the reference has no JSON surface)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "forecast_rmse",
+    """
+    WITH hist AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(extract(hour FROM ts) AS INT) AS hour, count(*) AS cnt
+      FROM events WHERE ts < TIMESTAMP '2024-01-30 00:00:00'
+      GROUP BY event_type, day, hour),
+    pred AS (
+      SELECT event_type, hour, avg(cnt) AS pred FROM hist GROUP BY event_type, hour),
+    actual AS (
+      SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hour, count(*) AS actual
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-30 00:00:00' AND ts < TIMESTAMP '2024-01-31 00:00:00'
+      GROUP BY event_type, hour)
+    SELECT round(sqrt(avg(pow(coalesce(pred, 0) - coalesce(CAST(actual AS DOUBLE), 0), 2))), 6) AS rmse
+    FROM pred FULL OUTER JOIN actual USING (event_type, hour)
+    """,
+)
+def forecast_rmse(spark, sf_dir):
+    """M7+A17 — log-analysis task 5: forecast the held-out day's hourly
+    per-type counts as the same-hour mean over prior days; score by RMSE
+    (`…课程设计1….pdf p.3`)."""
+    ev = _t(spark, sf_dir, "events")
+    out = WIN.forecast_vs_actual_rmse(ev, "ts", ["event_type"], "2024-01-30")
+    return out.select(F.round("rmse", 6).alias("rmse"))
+
+
+@query(
+    "user_session_counts",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events)
+    SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id
+    """,
+)
+def user_session_counts(spark, sf_dir):
+    """Sessionization extension (batch twin of `F.session_window`)."""
+    ev = _t(spark, sf_dir, "events")
+    sess = WIN.sessionize(ev, "ts", "user_id", gap_minutes=30)
+    return sess.groupBy("user_id").agg(F.max("session_id").alias("n_sessions"))
+
+
+# ===========================================================================
+# Text operators on documents (SURVEY §2 P3, A1, A5-A7, A9-A12)
+# ===========================================================================
+
+_TOKS_SQL = """
+      SELECT doc_id, w AS word FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        FROM documents)
+      WHERE w <> ''
+"""
+
+
+@query(
+    "word_count",
+    f"WITH toks AS ({_TOKS_SQL}) SELECT word, count(*) AS cnt FROM toks GROUP BY word",
+)
+def word_count(spark, sf_dir):
+    """A1 WordCount (`ppt/Ch2….pdf p.17-20`) over the documents corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.word_count(TX.tokenize(docs, keep_cols=["doc_id"]))
+
+
+@query(
+    "top_words",
+    f"""
+    WITH toks AS ({_TOKS_SQL})
+    SELECT word, count(*) AS cnt FROM toks GROUP BY word
+    ORDER BY cnt DESC, word LIMIT 100
+    """,
+)
+def top_words(spark, sf_dir):
+    """O4 — top-100 most frequent words (`ppt/Ch6….pdf p.57`)."""
+    docs = _t(spark, sf_dir, "documents")
+    wc = TX.word_count(TX.tokenize(docs, keep_cols=["doc_id"]))
+    return R.top_k(wc, 100, F.desc("cnt"), F.asc("word"))
+
+
+@query(
+    "doc_frequency",
+    f"""
+    WITH toks AS ({_TOKS_SQL})
+    SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word
+    """,
+)
+def doc_frequency(spark, sf_dir):
+    """A6 document frequency (`…/final_NB_src/phase1/ListWords/*`)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.doc_frequency(TX.tokenize(docs, keep_cols=["doc_id"]))
+
+
+@query(
+    "tfidf",
+    f"""
+    WITH toks AS ({_TOKS_SQL}),
+    tf AS (
+      SELECT doc_id, word,
+             CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY doc_id) AS tf
+      FROM toks GROUP BY doc_id, word),
+    dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM toks)
+    SELECT tf.doc_id, tf.word, round(tf.tf * ln(n.n / dfreq.df), 8) AS tfidf
+    FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n
+    """,
+)
+def tfidf(spark, sf_dir):
+    """A5-A7 TF-IDF (the reference's 5-job pipeline, `…/TF_IDF_Compute.java`,
+    as one plan). Standard log(N/df) semantics; the reference's no-log quirk
+    is behind `reference_semantics=True` (tested separately)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokenize(docs, keep_cols=["doc_id"])
+    out = TX.tf_idf(toks)
+    return out.select("doc_id", "word", F.round("tfidf", 8).alias("tfidf"))
+
+
+@query(
+    "cooccurrence_pairs",
+    f"""
+    WITH toks AS (SELECT DISTINCT doc_id, word FROM ({_TOKS_SQL}))
+    SELECT a.word AS w1, b.word AS w2, count(*) AS cnt
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.word < b.word
+    GROUP BY w1, w2
+    """,
+)
+def cooccurrence_pairs(spark, sf_dir):
+    """A12 co-occurrence pairs within a document (`…课程设计2….pdf p.3`,
+    `ppt/Ch5….pdf p.43-48`); presence-based unordered pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokenize(docs, keep_cols=["doc_id"])
+    return TX.cooccurrence_pairs(toks, symmetric=False)
+
+
+@query(
+    "inverted_index",
+    f"""
+    WITH per_doc AS (
+      SELECT word, doc_id, count(*) AS tf FROM ({_TOKS_SQL}) GROUP BY word, doc_id)
+    SELECT word,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings,
+           round(CAST(sum(tf) AS DOUBLE) / count(DISTINCT doc_id), 6) AS avg_tf_per_doc
+    FROM per_doc GROUP BY word
+    """,
+)
+def inverted_index(spark, sf_dir):
+    """A9/A10 inverted index with tf payloads + avg-mentions metric
+    (`ppt/Ch5….pdf p.52-65, p.91`). Postings emitted as a sorted CSV string
+    for cross-engine comparability."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokenize(docs, keep_cols=["doc_id"])
+    per_doc = toks.groupBy("word", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return per_doc.groupBy("word").agg(
+        F.array_join(F.sort_array(F.collect_list("doc_id")).cast("array<string>"), ",").alias(
+            "postings"
+        ),
+        F.round(F.sum("tf") / F.countDistinct("doc_id"), 6).alias("avg_tf_per_doc"),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLE)
