@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec, ...}, "sf": <scale factor>}.
+
+Each query is executed to completion (collect) after a warm-up of the
+session; time covers plan + execution, not JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+#: headline set: one per operator family, heaviest shapes first
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "brand_volume",
+    "top_customers",
+    "order_count_histogram",
+    "nation_market_share",
+    "supplier_rank_in_nation",
+    "hourly_event_counts",
+    "hourly_avg_value",
+    "forecast_rmse",
+    "user_session_counts",
+    "word_count",
+    "cooccurrence_pairs",
+    "tfidf",
+    "inverted_index",
+]
+
+
+def main() -> None:
+    from mapreduce_big_data_processing_spark.session import get_session
+    from mapreduce_big_data_processing_spark import queries as Q
+
+    spark = get_session("bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warm-up on a trivial plan, not counted
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    names = [n for n in HEADLINE if n in Q.QUERIES]
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = Q.QUERIES[name](spark, SF_DIR)
+        # noop sink: full execution of every column, zero driver collection
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

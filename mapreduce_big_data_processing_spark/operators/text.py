@@ -95,11 +95,12 @@ def tf_idf(
     """
     tf = term_frequency(tokens, doc_col, word_col, out="tf")
     dfreq = doc_frequency(tokens, doc_col, word_col, out="df")
-    n_docs = tokens.select(doc_col).distinct().count()
-    idf = F.lit(float(n_docs)) / F.col("df")
+    # N as a lazy broadcast scalar (single plan, no driver-side action)
+    n_docs = tokens.agg(F.countDistinct(doc_col).cast("double").alias("__n"))
+    idf = F.col("__n") / F.col("df")
     if not reference_semantics:
         idf = F.log(idf)
-    weights = dfreq.withColumn("idf", idf).drop("df")
+    weights = dfreq.crossJoin(F.broadcast(n_docs)).withColumn("idf", idf).drop("df", "__n")
     return (
         tf.join(weights, word_col)
         .withColumn("tfidf", F.col("tf") * F.col("idf"))

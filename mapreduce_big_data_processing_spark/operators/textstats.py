@@ -1,0 +1,129 @@
+"""Text analysis operators for LLM data pipelines (driver extension).
+
+Language-ID, quality scoring, token counting, and document fingerprinting
+over a `documents(text)` table. Everything is built-in column expressions
+(codegen'd, scan-pipelined, no shuffle at all for the per-doc stats) —
+these run as a single projection pass over 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language marker lexicons (stopword-hit heuristic). Real
+#: deployments swap in char-n-gram profiles via the pandas_udf variant.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "is", "and", "of", "to", "a", "in", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "une"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), "[^a-z0-9\\u4e00-\\u9fff]+"), lambda w: w != "")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens, regex word tokens (BPE-ish
+    `\\w+|[^\\w\\s]` pieces), characters. Pure projection — no shuffle."""
+    ws_tokens = F.size(F.filter(F.split(F.col(text_col), "\\s+"), lambda w: w != ""))
+    bpe_ish = F.size(
+        F.filter(
+            F.split(F.col(text_col), "(?<=\\W)|(?=\\W)"),
+            lambda t: F.trim(t) != "",
+        )
+    )
+    return docs.withColumn("n_ws_tokens", ws_tokens).withColumn(
+        "n_pieces", bpe_ish
+    ).withColumn("n_chars_computed", F.length(text_col))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, mean word length, punctuation ratio,
+    stopword ratio, all-caps ratio → [0,1] score (heuristics in the spirit
+    of C4/Gopher rules). Single projection pass.
+    """
+    text = F.col(text_col)
+    words = _words(text)
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(*LANG_MARKERS["en"]))
+    )
+    mean_wlen = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / n_words,
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(0.0)
+    length_ok = (n_words >= 10) & (n_words <= 100000)
+    wlen_ok = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+    score = (
+        length_ok.cast("double") * 0.4
+        + wlen_ok.cast("double") * 0.2
+        + (punct_ratio <= 0.2).cast("double") * 0.2
+        + (stop_ratio >= 0.01).cast("double") * 0.2
+    )
+    return docs.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": F.round(mean_wlen, 6),
+            "punct_ratio": F.round(punct_ratio, 6),
+            "stopword_ratio": F.round(stop_ratio, 6),
+            "quality": F.round(score, 2),
+        }
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Language-ID via marker-word hits: argmax language by count of marker
+    tokens, ties broken by language code; 'und' when nothing hits.
+
+    Deterministic and SQL-expressible (oracle-testable). The char-n-gram
+    upgrade is a drop-in replacement producing the same column.
+    """
+    words = _words(F.col(text_col))
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(words, lambda w: w.isin(*marks))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, marks in sorted(LANG_MARKERS.items())
+        ]
+    )
+    # tie-break: max hits, then alphabetically first language
+    hits_max = F.array_max(F.transform(scores, lambda s: s["hits"]))
+    pred = F.array_min(
+        F.filter(
+            F.transform(scores, lambda s: F.when(s["hits"] == hits_max, s["lang"])),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return docs.withColumn(
+        out, F.when(hits_max > 0, pred).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprinting: full-content md5 over normalized text plus a
+    64-bit rolling-style prefix/suffix/length composite for cheap equality
+    blocking. Projection-only."""
+    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    block = F.md5(
+        F.concat_ws(
+            "|",
+            F.expr(f"left(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')), 64)"),
+            F.expr(f"right(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')), 64)"),
+            F.length(canon).cast("string"),
+        )
+    )
+    return docs.select(
+        id_col,
+        F.md5(canon).alias("content_md5"),
+        F.conv(F.substring(block, 1, 15), 16, 10).cast("bigint").alias("block_key"),
+    )

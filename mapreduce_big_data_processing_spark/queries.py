@@ -632,6 +632,318 @@ def inverted_index(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# LLM-pipeline: dedup / similarity / text analysis (driver extensions)
+# ===========================================================================
+
+_SHINGLES_SQL = """
+      SELECT doc_id, shingle FROM (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(ws) - 2, 1)),
+                 i -> array_to_string(ws[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
+               )) AS shingle
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 w -> w <> '') AS ws
+              FROM documents))
+      WHERE shingle <> ''
+"""
+
+
+@query(
+    "exact_dedup",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents),
+    canon AS (SELECT fingerprint, min(doc_id) AS canonical_id FROM fp GROUP BY fingerprint)
+    SELECT fp.doc_id, fp.fingerprint, canon.canonical_id,
+           CAST(CASE WHEN fp.doc_id <> canon.canonical_id THEN 1 ELSE 0 END AS INT)
+             AS is_duplicate
+    FROM fp JOIN canon USING (fingerprint)
+    """,
+)
+def exact_dedup(spark, sf_dir):
+    """Exact dedup: one hash-groupBy on a normalized-content fingerprint."""
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "minhash_lsh_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    mh AS (
+      SELECT doc_id, h,
+             min(CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || ':' || shingle), 1, 15))
+                 AS BIGINT)) AS minhash
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS h) hs
+      GROUP BY doc_id, h),
+    banded AS (
+      SELECT doc_id, CAST(h // 4 AS INT) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h)) AS sig
+      FROM mh GROUP BY doc_id, band),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+                                  AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+)
+def minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dedup: shingle → 16 minhashes → 4 bands → banded
+    candidate pairs → exact-Jaccard verification ≥ 0.5. Portable (md5)
+    hashing so the oracle reproduces it bit-for-bit; production uses
+    xxhash64 (`portable=False`)."""
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingles(docs, k=3)
+    sig = D.minhash_signatures(sh, n_hashes=16, portable=True)
+    cand = D.lsh_candidate_pairs(sig, n_hashes=16, bands=4)
+    out = D.jaccard_pairs(sh, min_jaccard=0.5, candidates=cand)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (inverted-index self-join; the
+    non-LSH verification path)."""
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingles(docs, k=3)
+    out = D.jaccard_pairs(sh, min_jaccard=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "simhash_fingerprints",
+    """
+    WITH toks AS (
+      SELECT doc_id, w, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        FROM documents) t
+      WHERE w <> '' GROUP BY doc_id, w),
+    hashed AS (
+      SELECT doc_id, tf,
+             CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS hv
+      FROM toks),
+    votes AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (hv >> CAST(bit AS INT)) & 1 = 1 THEN tf ELSE -tf END) AS v
+      FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) bs
+      GROUP BY doc_id, bit)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def simhash_fingerprints(spark, sf_dir):
+    """SimHash (32-bit) per document — tf-weighted bit-majority vote."""
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+
+    return D.simhash(_t(spark, sf_dir, "documents"), bits=32, portable=True)
+
+
+@query(
+    "similarity_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, vec_id,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+      FROM q JOIN c ON vec_id <> query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for query vectors (vec_id < 10) against the
+    whole corpus — the exact ANN baseline; broadcast queries, zero corpus
+    shuffle before the per-query top-k window."""
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.brute_force_topk(emb, q, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+@query(
+    "token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))
+                AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS n_pieces,
+           CAST(length(text) AS INT) AS n_chars_computed
+    FROM documents
+    """,
+)
+def token_stats(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish piece regex) — projection only."""
+    docs = _t(spark, sf_dir, "documents")
+    ws_tokens = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != ""))
+    pieces = F.expr(r"size(regexp_extract_all(text, '\\w+|[^\\w\\s]', 0))")
+    return docs.select(
+        "doc_id",
+        ws_tokens.alias("n_ws_tokens"),
+        pieces.alias("n_pieces"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+@query(
+    "quality_scores",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS words
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(words) AS INT) AS n_words,
+             CASE WHEN len(words) > 0
+                  THEN CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+                       / len(words)
+                  ELSE 0.0 END AS mean_wlen,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(text) -
+                            length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                       / length(text)
+                  ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(words) > 0
+                  THEN CAST(len(list_filter(words, w -> list_contains(
+                         ['the','is','and','of','to','a','in','that'], w))) AS DOUBLE)
+                       / len(words)
+                  ELSE 0.0 END AS stop_ratio
+      FROM base)
+    SELECT doc_id, n_words,
+           round(mean_wlen, 6) AS mean_word_len,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(CAST(CASE WHEN n_words BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+               + CASE WHEN mean_wlen BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0.0 END
+               + CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END
+               + CASE WHEN stop_ratio >= 0.01 THEN 0.2 ELSE 0.0 END AS DOUBLE), 2)
+             AS quality
+    FROM m
+    """,
+)
+def quality_scores(spark, sf_dir):
+    """Quality scoring (length / word-length / punctuation / stopword-ratio
+    heuristics) — single projection pass."""
+    from mapreduce_big_data_processing_spark.operators import textstats as TS
+
+    docs = _t(spark, sf_dir, "documents")
+    return TS.quality_score(docs).select(
+        "doc_id", "n_words", "mean_word_len", "punct_ratio", "stopword_ratio", "quality"
+    )
+
+
+@query(
+    "language_id",
+    """
+    WITH base AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS words
+      FROM documents),
+    hits AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(words, w -> list_contains(['der','die','und','das','ist','nicht','ein','zu'], w))) AS INT) AS h_de,
+        CAST(len(list_filter(words, w -> list_contains(['the','is','and','of','to','a','in','that'], w))) AS INT) AS h_en,
+        CAST(len(list_filter(words, w -> list_contains(['el','la','de','que','y','en','un','es'], w))) AS INT) AS h_es,
+        CAST(len(list_filter(words, w -> list_contains(['le','la','de','et','les','des','est','une'], w))) AS INT) AS h_fr,
+        0 AS h_zh
+      FROM base),
+    m AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS mx FROM hits)
+    SELECT doc_id, lang,
+           CASE WHEN mx = 0 THEN 'und'
+                WHEN h_de = mx THEN 'de'
+                WHEN h_en = mx THEN 'en'
+                WHEN h_es = mx THEN 'es'
+                WHEN h_fr = mx THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM m
+    """,
+)
+def language_id(spark, sf_dir):
+    """Language-ID (marker-word argmax heuristic; deterministic tie-break).
+    The fixture text is synthetic ASCII so 'zh' markers never hit — the
+    operator surface is what's under test."""
+    from mapreduce_big_data_processing_spark.operators import textstats as TS
+
+    docs = _t(spark, sf_dir, "documents")
+    return TS.language_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+@query(
+    "doc_fingerprints",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS canon
+      FROM documents)
+    SELECT doc_id, md5(canon) AS content_md5,
+           CAST(('0x' || substr(md5(left(canon, 64) || '|' || right(canon, 64)
+                 || '|' || CAST(length(canon) AS VARCHAR)), 1, 15)) AS BIGINT)
+             AS block_key
+    FROM c
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting: content md5 + 60-bit block key."""
+    from mapreduce_big_data_processing_spark.operators import textstats as TS
+
+    return TS.fingerprint(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
