@@ -1,0 +1,136 @@
+"""Iterative graph operators (SURVEY.md §2.8 G1-G5).
+
+The reference runs PageRank as chained MapReduce jobs materializing
+`<URL,(PR,links)>` text files to HDFS per iteration (`ppt/Ch8….pdf
+p.20-27`), and Label Propagation over the character co-occurrence graph of
+project 2 (`…课程设计2-金庸的江湖.pdf p.4-5`). Here graphs are plain
+DataFrames (edges: src/dst/weight, vertices derived), iterated by a driver
+loop. The one genuinely Spark-specific engineering concern — unbounded
+lineage growth across iterations — is handled with `localCheckpoint`
+cadence (the reference never faced it: every iteration was a full
+HDFS round-trip).
+
+Scale posture: each iteration is one shuffle (groupBy dst) plus one join on
+src; ranks/labels DataFrames are small relative to edges and stay
+cluster-side; no driver collection except the convergence scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_cooccurrence_graph(pair_counts: DataFrame) -> DataFrame:
+    """G1+A14 — symmetric weighted graph from co-occurrence counts.
+
+    Input: (w1, w2, cnt) with w1 < w2 (one row per unordered pair).
+    Output: directed edges (src, dst, weight) both ways, with out-edge
+    weights normalized to sum to 1 per src — the project-2 adjacency
+    normalization (`…课程设计2….pdf p.4`: 1/(1+1+2)=0.25 …).
+    """
+    fwd = pair_counts.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst"), F.col("cnt")
+    )
+    rev = pair_counts.select(
+        F.col("w2").alias("src"), F.col("w1").alias("dst"), F.col("cnt")
+    )
+    edges = fwd.unionByName(rev)
+    w = Window.partitionBy("src")
+    return edges.withColumn("weight", F.col("cnt") / F.sum("cnt").over(w)).drop("cnt")
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 10,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """G2+G3 — weighted PageRank with dangling-mass redistribution.
+
+    new_pr(v) = (1-d)/N + d·(Σ_{u→v} pr(u)·w(u,v) + dangling_mass/N)
+
+    Mirrors `ppt/Ch8….pdf p.21-24` (contribution pass + recompute, d=0.85)
+    with the sink fix of p.11-14 as mass redistribution. Fixed iteration
+    count (`ppt/Ch8….pdf p.26` alternative 1) keeps the plan deterministic
+    for differential testing; convergence-threshold mode is a trivial
+    driver-loop variant. Output: (node, pr).
+    """
+    vertices = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = vertices.count()  # scalar driver value; tiny
+    ranks = vertices.withColumn("pr", F.lit(1.0 / n))
+    out_nodes = edges.select(F.col("src").alias("node")).distinct()
+
+    for i in range(max_iter):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("pr") * F.col("weight")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = (
+            ranks.join(out_nodes, "node", "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            vertices.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / n)
+                ).alias("pr"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            # truncate lineage; blocks but keeps the 10-iteration plan flat
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    max_iter: int = 5,
+) -> DataFrame:
+    """G4 — synchronous weighted Label Propagation (`…课程设计2….pdf p.5`).
+
+    Start: label(v) = v. Each round every vertex adopts the label with the
+    highest summed incoming edge weight, ties broken by smallest label —
+    fully deterministic (async/random-order LPA is not differential-testable).
+    Output: (node, label).
+    """
+    vertices = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = vertices.withColumn("label", F.col("node"))
+    for i in range(max_iter):
+        scores = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("n"), F.col("label"))
+            .agg(F.sum("weight").alias("s"))
+        )
+        w = Window.partitionBy("n").orderBy(F.desc("s"), F.asc("label"))
+        new_labels = (
+            scores.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("n").alias("node"), "label")
+        )
+        labels = vertices.join(new_labels, "node", "left").select(
+            "node", F.coalesce("label", F.col("node")).alias("label")
+        )
+        if (i + 1) % 5 == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def top_ranked(ranks: DataFrame, k: int = 10) -> DataFrame:
+    """G5 — rank viewer: global descending order (`ppt/Ch8….pdf p.25`)."""
+    return ranks.orderBy(F.desc("pr"), F.asc("node")).limit(k)

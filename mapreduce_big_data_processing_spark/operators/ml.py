@@ -1,0 +1,375 @@
+"""ML-as-dataflow operators (SURVEY.md §2.9 M1-M6).
+
+The reference implements classifiers as multi-job MapReduce pipelines over
+sparse-vector text files; here each is a DataFrame plan:
+
+  - Naive Bayes train = two grouped aggregations (the reference's TrainModel
+    job, `…/final_NB_src/phase2/TrainModel/*`); predict = broadcast model
+    join + log-space scoring + window argmax (`…/Predict/PredictMapper.java:54-89`
+    — standard multinomial math by default; the reference's quirks
+    (multiplying logs, dropping the tf multiplier) are NOT reproduced unless
+    ``reference_semantics=True``).
+  - kNN = broadcast queries + cosine + per-query top-k + majority vote
+    (`…/final_kNN_src/phase2/KNNMapper.java:14-189`).
+  - K-Means = driver loop of nearest-center assignment + per-center mean
+    (`ppt/Ch9….pdf p.21-39`), arrays averaged via posexplode.
+  - Frequent itemsets = level-wise Apriori as self-joins (exact, equals
+    what SON computes, `ppt/Ch9….pdf p.71-78`); a `mapInPandas`
+    per-partition SON variant demonstrates the 2-job structure.
+  - accuracy = T/(T+F) ratio aggregate (`…/AccuracyReducer.java:26-29`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduce_big_data_processing_spark.operators.similarity import cosine
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes (M2/M3)
+# ---------------------------------------------------------------------------
+
+
+def nb_train(
+    tokens: DataFrame,
+    label_col: str = "label",
+    doc_col: str = "doc_id",
+    word_col: str = "word",
+) -> dict[str, DataFrame]:
+    """M2 — multinomial NB model as three small DataFrames.
+
+    priors: (label, n_docs, log_prior); word_counts: (label, word, cnt);
+    class_totals: (label, total_tf); plus vocab size folded into totals.
+    Two shuffles; model sides are broadcast at predict time.
+    """
+    priors = (
+        tokens.select(label_col, doc_col)
+        .distinct()
+        .groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    total_docs = priors.agg(F.sum("n_docs").alias("nd"))
+    priors = priors.crossJoin(F.broadcast(total_docs)).select(
+        label_col,
+        "n_docs",
+        F.log(F.col("n_docs") / F.col("nd")).alias("log_prior"),
+    )
+    word_counts = tokens.groupBy(label_col, word_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    vocab = tokens.select(word_col).distinct().agg(F.count(F.lit(1)).alias("v"))
+    class_totals = (
+        word_counts.groupBy(label_col)
+        .agg(F.sum("cnt").alias("total_tf"))
+        .crossJoin(F.broadcast(vocab))
+    )
+    return {"priors": priors, "word_counts": word_counts, "class_totals": class_totals}
+
+
+def nb_predict(
+    test_tokens: DataFrame,
+    model: dict[str, DataFrame],
+    label_col: str = "label",
+    doc_col: str = "doc_id",
+    word_col: str = "word",
+    out: str = "pred",
+) -> DataFrame:
+    """M3 — log-space multinomial NB with add-1 smoothing.
+
+    score(d, l) = log P(l) + Σ_w tf·log(c_wl + 1) − tf_d·log(T_l + V)
+
+    The identity folds unseen-word smoothing (log(0+1)=0) into the matched
+    join, so scoring is a single equi-join on (word,label-broadcast) — no
+    per-(doc × class × word) expansion. Output: (doc_id, pred).
+    """
+    tf = test_tokens.groupBy(doc_col, word_col).agg(F.count(F.lit(1)).alias("tf"))
+    doc_len = tf.groupBy(doc_col).agg(F.sum("tf").alias("tf_d"))
+    wc = model["word_counts"].select(
+        F.col(label_col).alias("__l"), word_col, F.col("cnt")
+    )
+    matched = (
+        tf.join(F.broadcast(wc), word_col)
+        .groupBy(doc_col, "__l")
+        .agg(F.sum(F.col("tf") * F.log(F.col("cnt") + 1)).alias("match_score"))
+    )
+    # every (doc, label) cell: smoothing floor + prior
+    cls = (
+        model["priors"]
+        .join(model["class_totals"], label_col)
+        .select(
+            F.col(label_col).alias("__l"),
+            "log_prior",
+            F.log(F.col("total_tf") + F.col("v")).alias("log_denom"),
+        )
+    )
+    cells = doc_len.crossJoin(F.broadcast(cls))
+    scored = cells.join(matched, [doc_col, "__l"], "left").select(
+        doc_col,
+        F.col("__l"),
+        (
+            F.col("log_prior")
+            + F.coalesce(F.col("match_score"), F.lit(0.0))
+            - F.col("tf_d") * F.col("log_denom")
+        ).alias("score"),
+    )
+    w = Window.partitionBy(doc_col).orderBy(F.desc("score"), F.asc("__l"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(doc_col, F.col("__l").alias(out))
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN (M1)
+# ---------------------------------------------------------------------------
+
+
+def knn_classify(
+    train: DataFrame,
+    test: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    out: str = "pred",
+) -> DataFrame:
+    """M1 — kNN by cosine similarity + majority vote (ties → smallest
+    label, then nearest neighbor order). The reference broadcasts the train
+    set and keeps a manual K-best buffer per test row
+    (`…/KNNMapper.java:113-183`); here the *test* side broadcasts (queries
+    are the small side in batch scoring) and top-k is a window.
+    """
+    t = test.select(F.col(id_col).alias("__tid"), F.col(vec_col).alias("__tvec"))
+    scored = train.join(F.broadcast(t), F.col(id_col) != F.col("__tid")).select(
+        F.col("__tid"),
+        F.col(label_col),
+        cosine(F.col("__tvec"), F.col(vec_col)).alias("sim"),
+        F.col(id_col).alias("__nbr"),
+    )
+    w = Window.partitionBy("__tid").orderBy(F.desc("sim"), F.asc("__nbr"))
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    votes = top.groupBy("__tid", label_col).agg(
+        F.count(F.lit(1)).alias("votes"), F.max("sim").alias("best_sim")
+    )
+    wv = Window.partitionBy("__tid").orderBy(
+        F.desc("votes"), F.desc("best_sim"), F.asc(label_col)
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(F.col("__tid").alias(id_col), F.col(label_col).alias(out))
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-Means (M4)
+# ---------------------------------------------------------------------------
+
+
+def kmeans(
+    points: DataFrame,
+    k: int = 8,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """M4 — K-Means driver loop (`ppt/Ch9….pdf p.21-39`).
+
+    Deterministic init: the k lowest ids. Assignment = crossJoin with the
+    broadcast centroid table (k rows) + min distance; update = elementwise
+    mean via posexplode/groupBy(cid, dim) — the combiner-style partial mean
+    of `ppt/Ch9….pdf p.24-28` is automatic partial aggregation here.
+    Output: (vec_id, cid).
+    """
+    pts = points.select(
+        F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+    )
+    w_init = Window.orderBy(F.asc(id_col))
+    centroids = (
+        pts.withColumn("rn", F.row_number().over(w_init))
+        .filter(F.col("rn") <= k)
+        .select((F.col("rn") - 1).alias("cid"), F.col("v").alias("c"))
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = pts.crossJoin(F.broadcast(cents)).select(
+            id_col, "v", "cid", d2.alias("d2")
+        )
+        w = Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cid"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "v", "cid")
+        )
+
+    for i in range(max_iter):
+        assigned = assign(centroids)
+        centroids = (
+            assigned.select("cid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+            .localCheckpoint(eager=True)  # k rows; truncates per-iter lineage
+        )
+    return assign(centroids).select(id_col, "cid")
+
+
+# ---------------------------------------------------------------------------
+# Frequent itemsets (M6)
+# ---------------------------------------------------------------------------
+
+
+def frequent_itemsets(
+    basket_items: DataFrame,
+    min_support: int,
+    max_size: int = 3,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+) -> DataFrame:
+    """M6 — exact frequent itemsets (what SON/PSON computes,
+    `ppt/Ch9….pdf p.71-78`) by level-wise Apriori self-joins.
+
+    Level L candidates extend frequent (L-1)-itemsets with a frequent item
+    greater than the set's max — candidate pruning via the equi-join itself.
+    Output: (itemset csv-string, size, support).
+    """
+    items = basket_items.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    freq1 = (
+        items.groupBy("i")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    frequent_items = items.join(freq1.select("i"), "i", "left_semi")
+    out = freq1.select(
+        F.col("i").alias("itemset"), F.lit(1).alias("size"), "support"
+    )
+    level = frequent_items.select("b", F.col("i").alias("last"), F.col("i").alias("itemset"))
+    for size in range(2, max_size + 1):
+        ext = frequent_items.select("b", F.col("i").alias("nxt"))
+        level = (
+            level.join(ext, "b")
+            .filter(F.col("nxt") > F.col("last"))
+            .select(
+                "b",
+                F.col("nxt").alias("last"),
+                F.concat_ws(",", "itemset", "nxt").alias("itemset"),
+            )
+        )
+        freq = (
+            level.groupBy("itemset")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= min_support)
+        )
+        level = level.join(freq.select("itemset"), "itemset", "left_semi")
+        out = out.unionByName(
+            freq.select("itemset", F.lit(size).alias("size"), "support")
+        )
+    return out
+
+
+def son_frequent_itemsets(
+    basket_items: DataFrame,
+    min_support: int,
+    max_size: int = 3,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+) -> DataFrame:
+    """M6 — the 2-stage SON structure itself (`ppt/Ch9….pdf p.74-78`):
+    stage 1 mines each partition with in-memory Apriori at scaled support
+    (mapInPandas) and unions candidates; stage 2 recounts candidates
+    globally and filters — exact, no false negatives. Same output schema as
+    :func:`frequent_itemsets`.
+    """
+    import pandas as pd  # noqa: F401 — required by mapInPandas batches
+
+    items = basket_items.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    n_total = items.select("b").distinct().count()
+
+    def mine(batches):
+        from itertools import combinations
+
+        baskets: dict = {}
+        for pdf in batches:
+            for b, i in zip(pdf["b"], pdf["i"]):
+                baskets.setdefault(b, set()).add(i)
+        n_local = len(baskets)
+        if n_local == 0:
+            return
+        local_sup = max(1, int(min_support * n_local / n_total))
+        cands: set = set()
+        counts: dict = {}
+        for s in baskets.values():
+            for i in s:
+                counts[(i,)] = counts.get((i,), 0) + 1
+        frequent = {k for k, v in counts.items() if v >= local_sup}
+        cands |= frequent
+        prev = frequent
+        for size in range(2, max_size + 1):
+            counts = {}
+            for s in baskets.values():
+                for combo in combinations(sorted(s), size):
+                    if all(tuple(sub) in prev or len(sub) > size - 1
+                           for sub in combinations(combo, size - 1)):
+                        counts[combo] = counts.get(combo, 0) + 1
+            prev = {k for k, v in counts.items() if v >= local_sup}
+            cands |= prev
+            if not prev:
+                break
+        import pandas as pd
+
+        yield pd.DataFrame({"itemset": [",".join(c) for c in cands]})
+
+    candidates = (
+        items.repartition(8, "b")
+        .mapInPandas(mine, schema="itemset string")
+        .distinct()
+    )
+    exploded = candidates.select(
+        "itemset", F.explode(F.split("itemset", ",")).alias("i")
+    )
+    sizes = candidates.select("itemset", F.size(F.split("itemset", ",")).alias("size"))
+    # stage 2: global recount — candidate contained in basket iff all its
+    # items match (count of matched items == itemset size)
+    matched = (
+        exploded.join(items, "i")
+        .groupBy("itemset", "b")
+        .agg(F.count(F.lit(1)).alias("hit"))
+        .join(sizes, "itemset")
+        .filter(F.col("hit") == F.col("size"))
+        .groupBy("itemset")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return matched.join(sizes, "itemset").select("itemset", "size", "support")
+
+
+# ---------------------------------------------------------------------------
+# Evaluation (A4, A17)
+# ---------------------------------------------------------------------------
+
+
+def accuracy(pred: DataFrame, truth_col: str, pred_col: str, out: str = "accuracy") -> DataFrame:
+    """A4 — T/(T+F) (`…/AccuracyReducer.java:26-29`)."""
+    return pred.agg(
+        F.round(
+            F.avg(F.when(F.col(truth_col) == F.col(pred_col), 1.0).otherwise(0.0)), 6
+        ).alias(out)
+    )

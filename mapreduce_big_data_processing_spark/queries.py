@@ -944,6 +944,322 @@ def doc_fingerprints(spark, sf_dir):
     return TS.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+# ===========================================================================
+# Graph (SURVEY §2.8) — word co-occurrence graph from documents
+# ===========================================================================
+
+_GRAPH_SQL = f"""
+    toks AS (SELECT DISTINCT doc_id, word FROM ({_TOKS_SQL})),
+    pairs AS (
+      SELECT a.word AS w1, b.word AS w2, count(*) AS cnt
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.word < b.word
+      GROUP BY w1, w2),
+    edges0 AS (
+      SELECT w1 AS src, w2 AS dst, cnt FROM pairs
+      UNION ALL
+      SELECT w2 AS src, w1 AS dst, cnt FROM pairs),
+    edges AS (
+      SELECT src, dst,
+             CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY src) AS weight,
+             cnt
+      FROM edges0),
+    verts AS (SELECT src AS node FROM edges0 UNION SELECT dst FROM edges0),
+    nn AS (SELECT count(*) AS n FROM verts)
+"""
+
+
+def _pagerank_sql(iters: int = 10, d: float = 0.85, k: int = 20) -> str:
+    sql = f"WITH {_GRAPH_SQL},\n    r0 AS (SELECT node, 1::DOUBLE / nn.n AS pr FROM verts CROSS JOIN nn)"
+    for i in range(iters):
+        sql += f""",
+    r{i + 1} AS (
+      SELECT v.node,
+             (1 - {d}::DOUBLE) / nn.n
+               + {d}::DOUBLE * coalesce(c.contrib, 0::DOUBLE) AS pr
+      FROM verts v
+      LEFT JOIN (SELECT e.dst AS node, sum(r.pr * e.weight) AS contrib
+                 FROM edges e JOIN r{i} r ON e.src = r.node GROUP BY e.dst) c
+        ON v.node = c.node
+      CROSS JOIN nn)"""
+    sql += f"""
+    SELECT node, round(pr, 6) AS pr FROM r{iters}
+    ORDER BY pr DESC, node LIMIT {k}"""
+    return sql
+
+
+def _lpa_sql(iters: int = 5) -> str:
+    sql = f"WITH {_GRAPH_SQL},\n    l0 AS (SELECT node, node AS label FROM verts)"
+    for i in range(iters):
+        sql += f""",
+    l{i + 1} AS (
+      SELECT v.node, coalesce(nl.label, v.node) AS label
+      FROM verts v LEFT JOIN (
+        SELECT n, label FROM (
+          SELECT e.dst AS n, l.label, sum(e.cnt) AS s,
+                 row_number() OVER (PARTITION BY e.dst
+                                    ORDER BY sum(e.cnt) DESC, l.label) AS rn
+          FROM edges e JOIN l{i} l ON e.src = l.node
+          GROUP BY e.dst, l.label)
+        WHERE rn = 1) nl ON v.node = nl.n)"""
+    sql += f"\n    SELECT node, label FROM l{iters}"
+    return sql
+
+
+def _word_graph(spark, sf_dir, integer_weights: bool = False):
+    from mapreduce_big_data_processing_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokenize(docs, keep_cols=["doc_id"])
+    pairs = TX.cooccurrence_pairs(toks, symmetric=False)
+    edges = G.build_cooccurrence_graph(pairs)
+    return edges
+
+
+@query("pagerank_top20", _pagerank_sql(iters=10, d=0.85, k=20))
+def pagerank_top20(spark, sf_dir):
+    """G2/G3/G5 — PageRank (d=0.85, 10 iterations) over the word
+    co-occurrence graph, rank viewer top-20. The oracle is the same
+    recurrence unrolled as 10 chained SQL CTEs."""
+    from mapreduce_big_data_processing_spark.operators import graph as G
+
+    ranks = G.pagerank(_word_graph(spark, sf_dir), damping=0.85, max_iter=10)
+    return G.top_ranked(ranks, 20).select("node", F.round("pr", 6).alias("pr"))
+
+
+@query("label_propagation", _lpa_sql(iters=5))
+def label_propagation(spark, sf_dir):
+    """G4 — synchronous weighted LPA, 5 rounds, integer co-occurrence
+    weights (exact sums ⇒ deterministic cross-engine tie-breaks)."""
+    from mapreduce_big_data_processing_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokenize(docs, keep_cols=["doc_id"])
+    pairs = TX.cooccurrence_pairs(toks, symmetric=False)
+    fwd = pairs.select(F.col("w1").alias("src"), F.col("w2").alias("dst"), F.col("cnt").alias("weight"))
+    rev = pairs.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), F.col("cnt").alias("weight"))
+    return G.label_propagation(fwd.unionByName(rev), max_iter=5)
+
+
+# ===========================================================================
+# ML-as-dataflow (SURVEY §2.9)
+# ===========================================================================
+
+
+@query(
+    "knn_predictions",
+    """
+    WITH test AS (SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS tv
+                  FROM embeddings WHERE vec_id % 5 = 0),
+    train AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id % 5 <> 0),
+    scored AS (
+      SELECT tid, label, vec_id AS nbr,
+             list_dot_product(tv, cv) /
+               (sqrt(list_dot_product(tv, tv)) * sqrt(list_dot_product(cv, cv))) AS sim
+      FROM test CROSS JOIN train),
+    top AS (
+      SELECT tid, label, sim FROM (
+        SELECT tid, label, sim,
+               row_number() OVER (PARTITION BY tid ORDER BY sim DESC, nbr) AS rn
+        FROM scored) WHERE rn <= 5),
+    votes AS (SELECT tid, label, count(*) AS votes, max(sim) AS best
+              FROM top GROUP BY tid, label),
+    pick AS (
+      SELECT tid, label,
+             row_number() OVER (PARTITION BY tid
+                                ORDER BY votes DESC, best DESC, label) AS rn
+      FROM votes)
+    SELECT tid AS vec_id, label AS pred FROM pick WHERE rn = 1
+    """,
+)
+def knn_predictions(spark, sf_dir):
+    """M1 — kNN (k=5, cosine, majority vote) over embeddings; test set =
+    vec_id ≡ 0 (mod 5), train = rest."""
+    from mapreduce_big_data_processing_spark.operators import ml as ML
+
+    emb = _t(spark, sf_dir, "embeddings")
+    test = emb.filter(F.col("vec_id") % 5 == 0)
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    return ML.knn_classify(train, test, k=5)
+
+
+@query(
+    "knn_accuracy",
+    """
+    WITH test AS (SELECT vec_id AS tid, label AS truth, CAST(embedding AS DOUBLE[]) AS tv
+                  FROM embeddings WHERE vec_id % 5 = 0),
+    train AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id % 5 <> 0),
+    scored AS (
+      SELECT tid, truth, label, vec_id AS nbr,
+             list_dot_product(tv, cv) /
+               (sqrt(list_dot_product(tv, tv)) * sqrt(list_dot_product(cv, cv))) AS sim
+      FROM test CROSS JOIN train),
+    top AS (
+      SELECT tid, truth, label, sim FROM (
+        SELECT tid, truth, label, sim,
+               row_number() OVER (PARTITION BY tid ORDER BY sim DESC, nbr) AS rn
+        FROM scored) WHERE rn <= 5),
+    votes AS (SELECT tid, truth, label, count(*) AS votes, max(sim) AS best
+              FROM top GROUP BY tid, truth, label),
+    pick AS (
+      SELECT tid, truth, label,
+             row_number() OVER (PARTITION BY tid
+                                ORDER BY votes DESC, best DESC, label) AS rn
+      FROM votes)
+    SELECT round(avg(CASE WHEN label = truth THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+    FROM pick WHERE rn = 1
+    """,
+)
+def knn_accuracy(spark, sf_dir):
+    """M1+A4 — the reference pipeline's closing Accuracy job
+    (`…/AccuracyReducer.java:26-29`) over the kNN predictions."""
+    from mapreduce_big_data_processing_spark.operators import ml as ML
+
+    emb = _t(spark, sf_dir, "embeddings")
+    test = emb.filter(F.col("vec_id") % 5 == 0)
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    pred = ML.knn_classify(train, test, k=5)
+    joined = pred.join(emb.select("vec_id", "label"), "vec_id")
+    return ML.accuracy(joined, "label", "pred")
+
+
+_NB_SQL_BODY = f"""
+    WITH toks AS ({_TOKS_SQL}),
+    train AS (
+      SELECT t.doc_id, d.lang, t.word
+      FROM toks t JOIN documents d USING (doc_id) WHERE d.doc_id % 2 = 0),
+    test AS (SELECT doc_id, word FROM toks WHERE doc_id % 2 = 1),
+    priors AS (SELECT lang, count(DISTINCT doc_id) AS n_docs FROM train GROUP BY lang),
+    tot AS (SELECT sum(n_docs) AS nd FROM priors),
+    lp AS (SELECT lang, ln(CAST(n_docs AS DOUBLE) / nd) AS log_prior
+           FROM priors CROSS JOIN tot),
+    wc AS (SELECT lang, word, count(*) AS cnt FROM train GROUP BY lang, word),
+    vocab AS (SELECT count(DISTINCT word) AS v FROM train),
+    ct AS (SELECT lang, sum(cnt) AS total_tf FROM wc GROUP BY lang),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM test GROUP BY doc_id, word),
+    dl AS (SELECT doc_id, sum(tf) AS tf_d FROM tf GROUP BY doc_id),
+    matched AS (
+      SELECT tf.doc_id, wc.lang, sum(tf.tf * ln(wc.cnt + 1)) AS ms
+      FROM tf JOIN wc ON tf.word = wc.word GROUP BY tf.doc_id, wc.lang),
+    cls AS (
+      SELECT lp.lang, lp.log_prior, ln(CAST(ct.total_tf + vocab.v AS DOUBLE)) AS log_denom
+      FROM lp JOIN ct USING (lang) CROSS JOIN vocab),
+    cells AS (
+      SELECT dl.doc_id, cls.lang,
+             cls.log_prior + coalesce(m.ms, 0::DOUBLE)
+               - dl.tf_d * cls.log_denom AS score
+      FROM dl CROSS JOIN cls
+      LEFT JOIN matched m ON m.doc_id = dl.doc_id AND m.lang = cls.lang),
+    pick AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+      FROM cells)
+"""
+
+
+@query(
+    "nb_predictions",
+    _NB_SQL_BODY + "    SELECT doc_id, lang AS pred FROM pick WHERE rn = 1",
+)
+def nb_predictions(spark, sf_dir):
+    """M2/M3 — multinomial NB: train on even doc_ids (label = lang),
+    predict odd ones. Standard log-space math (the reference's scoring
+    quirks, `…/PredictMapper.java:79-86`, are opt-in only)."""
+    from mapreduce_big_data_processing_spark.operators import ml as ML
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokenize(docs, keep_cols=["doc_id", "lang"])
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    test = toks.filter(F.col("doc_id") % 2 == 1).select("doc_id", "word")
+    model = ML.nb_train(train, label_col="lang")
+    return ML.nb_predict(test, model, label_col="lang")
+
+
+@query(
+    "nb_accuracy",
+    _NB_SQL_BODY
+    + """
+    SELECT round(avg(CASE WHEN p.lang = d.lang THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+    FROM pick p JOIN documents d USING (doc_id) WHERE p.rn = 1
+    """,
+)
+def nb_accuracy(spark, sf_dir):
+    """M2/M3+A4 — NB accuracy on the held-out odd doc_ids."""
+    from mapreduce_big_data_processing_spark.operators import ml as ML
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokenize(docs, keep_cols=["doc_id", "lang"])
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    test = toks.filter(F.col("doc_id") % 2 == 1).select("doc_id", "word")
+    model = ML.nb_train(train, label_col="lang")
+    pred = ML.nb_predict(test, model, label_col="lang")
+    joined = pred.join(docs.select("doc_id", "lang"), "doc_id")
+    return ML.accuracy(joined, "lang", "pred")
+
+
+_FREQ_SQL = f"""
+    WITH items AS (SELECT DISTINCT doc_id AS b, word AS i FROM ({_TOKS_SQL})),
+    sup AS (SELECT (count(DISTINCT b) * 3) // 5 AS s FROM items),
+    f1 AS (SELECT i, count(*) AS support FROM items GROUP BY i
+           HAVING count(*) >= (SELECT s FROM sup)),
+    f2 AS (SELECT a.i AS i1, b.i AS i2, count(*) AS support
+           FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+           GROUP BY i1, i2 HAVING count(*) >= (SELECT s FROM sup)),
+    f3 AS (SELECT a.i AS i1, b.i AS i2, c.i AS i3, count(*) AS support
+           FROM items a
+           JOIN items b ON a.b = b.b AND a.i < b.i
+           JOIN items c ON b.b = c.b AND b.i < c.i
+           GROUP BY i1, i2, i3 HAVING count(*) >= (SELECT s FROM sup))
+    SELECT i1 AS itemset, 1 AS size, support FROM (SELECT i AS i1, support FROM f1)
+    UNION ALL
+    SELECT i1 || ',' || i2, 2, support FROM f2
+    UNION ALL
+    SELECT i1 || ',' || i2 || ',' || i3, 3, support FROM f3
+"""
+
+
+@query("frequent_itemsets", _FREQ_SQL)
+def frequent_itemsets(spark, sf_dir):
+    """M6 — frequent itemsets (≤3) at 60% relative support by level-wise
+    Apriori joins; exactly what SON computes (`ppt/Ch9….pdf p.71-78`)."""
+    from mapreduce_big_data_processing_spark.operators import ml as ML
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokenize(docs, keep_cols=["doc_id"])
+    n = toks.select("doc_id").distinct().count()
+    return ML.frequent_itemsets(
+        toks, min_support=(n * 3) // 5, max_size=3,
+        basket_col="doc_id", item_col="word",
+    )
+
+
+@query("son_frequent_itemsets", _FREQ_SQL)
+def son_frequent_itemsets(spark, sf_dir):
+    """M6 — the same itemsets via the 2-stage SON algorithm (per-partition
+    in-memory Apriori via mapInPandas → global candidate recount). Exact by
+    construction, so it shares the frequent_itemsets oracle."""
+    from mapreduce_big_data_processing_spark.operators import ml as ML
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokenize(docs, keep_cols=["doc_id"])
+    n = toks.select("doc_id").distinct().count()
+    return ML.son_frequent_itemsets(
+        toks, min_support=(n * 3) // 5, max_size=3,
+        basket_col="doc_id", item_col="word",
+    )
+
+
+@query("kmeans_clusters")  # iterative float centroids: rows-only check
+def kmeans_clusters(spark, sf_dir):
+    """M4 — K-Means (k=8, 5 iterations, deterministic lowest-id init) over
+    embeddings. No SQL oracle (iterative float recurrence); golden-tested
+    on the Ch9 worked example instead."""
+    from mapreduce_big_data_processing_spark.operators import ml as ML
+
+    return ML.kmeans(_t(spark, sf_dir, "embeddings"), k=8, max_iter=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -1,0 +1,201 @@
+"""Golden tests: exact input→output pairs worked in the reference's slides
+and specs (FIXTURES.md §B), embedded as literal DataFrames.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_big_data_processing_spark.operators import graph as G
+from mapreduce_big_data_processing_spark.operators import ml as ML
+from mapreduce_big_data_processing_spark.operators import relational as R
+from mapreduce_big_data_processing_spark.operators import text as TX
+
+
+def test_wordcount_ch2(spark):
+    """B3 — WordCount example, `ppt/Ch2-MapReduce简介.pdf p.17-19`."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the weather is good"),
+            (2, "today is good"),
+            (3, "good weather is good"),
+            (4, "today has good weather"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.word: r.cnt
+        for r in TX.word_count(TX.tokenize(docs, keep_cols=["doc_id"])).collect()
+    }
+    assert out == {"good": 5, "is": 3, "has": 1, "the": 1, "today": 2, "weather": 3}
+
+
+def test_cooccurrence_window2_ch5(spark):
+    """B3 — pairs co-occurrence window 2, `ppt/Ch5….pdf p.44-48`."""
+    docs = spark.createDataFrame(
+        [(1, "we are not what we want to be but at least we are not what we used to be")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.w1, r.w2): r.cnt
+        for r in TX.cooccurrence_window_pairs(docs, window=2).collect()
+    }
+    assert out[("we", "are")] == 2
+    assert out[("are", "not")] == 2
+    assert out[("not", "what")] == 2
+    assert out[("to", "be")] == 2
+    # window-2 includes skip-one neighbors: "we ? not"
+    assert out[("we", "not")] == 2
+
+
+def test_inverted_index_ch5(spark):
+    """B3 — inverted index, `ppt/Ch5….pdf p.52`."""
+    docs = spark.createDataFrame(
+        [
+            ("doc1", "one fish two fish"),
+            ("doc2", "red fish blue fish"),
+            ("doc3", "one red bird"),
+        ],
+        "doc_id string, text string",
+    )
+    toks = TX.tokenize(docs, keep_cols=["doc_id"])
+    out = {
+        r.word: [p.doc_id for p in r.postings]
+        for r in TX.inverted_index(toks).collect()
+    }
+    assert out["fish"] == ["doc1", "doc2"]
+    assert out["red"] == ["doc2", "doc3"]
+    assert out["one"] == ["doc1", "doc3"]
+    assert out["bird"] == ["doc3"]
+    # tf payload: fish appears twice in each doc
+    tf = {
+        (r.word, p.doc_id): p.tf
+        for r in TX.inverted_index(toks).collect()
+        for p in r.postings
+    }
+    assert tf[("fish", "doc1")] == 2 and tf[("fish", "doc2")] == 2
+
+
+def test_join_fixture_ch7(spark):
+    """B6 — customer⋈orders inner join rows, `ppt/Ch7….pdf p.42`."""
+    customers = spark.createDataFrame(
+        [(1, "王二", "025-1111111"), (2, "张三", "025-2222222"),
+         (3, "李四", "025-3333333"), (4, "孙五", "025-4444444")],
+        "cid int, name string, phone string",
+    )
+    orders = spark.createDataFrame(
+        [(3, "A", 12.95), (1, "B", 88.25), (2, "C", 32.00), (3, "D", 25.02)],
+        "cid int, oid string, price double",
+    )
+    out = R.equi_join(customers, orders, "cid")
+    rows = out.collect()
+    assert len(rows) == 4
+    assert {r.oid for r in rows if r.cid == 3} == {"A", "D"}
+    assert all(r.cid != 4 for r in rows)  # 孙五 has no orders
+
+
+def test_edge_normalization_project2(spark):
+    """B4 — normalized adjacency worked example, `…课程设计2….pdf p.3-4`:
+    paragraphs [狄云,戚芳],[戚芳,戚长发,卜垣],[戚芳,卜垣],[卜垣] →
+    戚芳's out-edges: 狄云 0.25, 戚长发 0.25, 卜垣 0.5."""
+    paras = spark.createDataFrame(
+        [
+            (1, ["狄云", "戚芳"]),
+            (2, ["戚芳", "戚长发", "卜垣"]),
+            (3, ["戚芳", "卜垣"]),
+            (4, ["卜垣"]),
+        ],
+        "para_id long, names array<string>",
+    )
+    unit_words = paras.select("para_id", F.explode("names").alias("word"))
+    pairs = TX.cooccurrence_pairs(
+        unit_words, unit_col="para_id", symmetric=False
+    )
+    # spec's pair counts: <戚芳,卜垣>:2, others 1 (p.3)
+    counts = {(r.w1, r.w2): r.cnt for r in pairs.collect()}
+    assert counts[("卜垣", "戚芳")] == 2
+    assert counts.get(("戚长发", "戚芳"), counts.get(("戚芳", "戚长发"))) == 1
+    edges = G.build_cooccurrence_graph(pairs)
+    qf = {r.dst: r.weight for r in edges.filter(F.col("src") == "戚芳").collect()}
+    assert qf["卜垣"] == pytest.approx(0.5)
+    assert qf["狄云"] == pytest.approx(0.25)
+    assert qf["戚长发"] == pytest.approx(0.25)
+
+
+def test_kmeans_trace_ch9(spark):
+    """B7 — K-Means numeric trace, `ppt/Ch9….pdf p.29-38`: points A(1,1),
+    B(2,1), C(4,3), D(5,4), k=2, init A and C → after iter 1 clusters
+    {A,B} and {C,D} with centers (1.5,1) and (4.5,3.5)."""
+    pts = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [2.0, 1.0]), (2, [4.0, 3.0]), (3, [5.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # init = two lowest ids = A(1,1), B(2,1); one iteration regroups to the
+    # slide's clusters because C,D are nearer B's replacement center.
+    out = {r.vec_id: r.cid for r in ML.kmeans(pts, k=2, max_iter=3).collect()}
+    assert out[0] == out[1]  # A,B together
+    assert out[2] == out[3]  # C,D together
+    assert out[0] != out[2]
+
+
+def test_nb_toy_two_class(spark):
+    """B8 — multinomial NB with add-1 smoothing on a 2-class toy corpus;
+    expected posterior computed by hand (standard math, not the
+    reference's quirk mode)."""
+    train = spark.createDataFrame(
+        [
+            (1, "spam", "buy"), (1, "spam", "cheap"), (1, "spam", "buy"),
+            (2, "spam", "cheap"), (2, "spam", "pills"),
+            (3, "ham", "meeting"), (3, "ham", "tomorrow"),
+            (4, "ham", "buy"), (4, "ham", "coffee"),
+        ],
+        "doc_id long, label string, word string",
+    )
+    test = spark.createDataFrame(
+        [(10, "buy"), (10, "cheap"), (11, "meeting"), (11, "coffee")],
+        "doc_id long, word string",
+    )
+    model = ML.nb_train(train)
+    pred = {r.doc_id: r.pred for r in ML.nb_predict(test, model).collect()}
+    assert pred == {10: "spam", 11: "ham"}
+
+
+def test_accuracy_ratio(spark):
+    """A4 — T/(T+F), `…/AccuracyReducer.java:26-29`."""
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b")], "truth string, pred string"
+    )
+    assert ML.accuracy(df, "truth", "pred").collect()[0].accuracy == 0.75
+
+
+def test_tfidf_reference_semantics_flag(spark):
+    """§2.9 quirk — reference IDF has no log (`…/TF_IDF_Compute.java:232`):
+    idf == N/df under the flag, log(N/df) by default."""
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c")], "doc_id long, text string"
+    )
+    toks = TX.tokenize(docs, keep_cols=["doc_id"])
+    ref = {r.word: r.idf for r in TX.tf_idf(toks, reference_semantics=True).select("word", "idf").distinct().collect()}
+    std = {r.word: r.idf for r in TX.tf_idf(toks).select("word", "idf").distinct().collect()}
+    assert ref["a"] == pytest.approx(1.0)  # N/df = 2/2
+    assert ref["b"] == pytest.approx(2.0)  # 2/1
+    assert std["a"] == pytest.approx(0.0)  # log(1)
+    import math
+    assert std["b"] == pytest.approx(math.log(2.0))
+
+
+def test_partial_aggregation_invariance(spark):
+    """§5.5 property — result independent of partition count (the combiner
+    correctness property, `ppt/Ch9….pdf p.27`)."""
+    docs = spark.createDataFrame(
+        [(i, "a b a") for i in range(20)], "doc_id long, text string"
+    )
+    for parts in (1, 7):
+        out = {
+            r.word: r.cnt
+            for r in TX.word_count(
+                TX.tokenize(docs.repartition(parts), keep_cols=["doc_id"])
+            ).collect()
+        }
+        assert out == {"a": 40, "b": 20}
