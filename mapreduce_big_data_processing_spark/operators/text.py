@@ -93,10 +93,17 @@ def tf_idf(
     is the standard log(N/df).
     Output: (doc, word, tf, idf, tfidf).
     """
-    tf = term_frequency(tokens, doc_col, word_col, out="tf")
-    dfreq = doc_frequency(tokens, doc_col, word_col, out="df")
+    # One (doc,word) aggregation feeds tf, df and N — identical subplans, so
+    # the exchange is computed once and reused (ReusedExchange), not three
+    # re-tokenization passes.
+    counts = tokens.groupBy(doc_col, word_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(doc_col)
+    tf = counts.withColumn("tf", F.col("cnt") / F.sum("cnt").over(w)).drop("cnt")
+    dfreq = counts.groupBy(word_col).agg(F.count(F.lit(1)).alias("df"))
     # N as a lazy broadcast scalar (single plan, no driver-side action)
-    n_docs = tokens.agg(F.countDistinct(doc_col).cast("double").alias("__n"))
+    n_docs = counts.select(doc_col).distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
     idf = F.col("__n") / F.col("df")
     if not reference_semantics:
         idf = F.log(idf)

@@ -23,22 +23,21 @@ def _local_cpus() -> int:
 
 
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable engine conf to an existing session.
+    """Apply correctness-critical runtime conf to an existing session.
 
-    Used both by :func:`get_session` and by the driver-owned sessions handed
-    to ``__spark_entry__`` (where we cannot control builder-time conf).
+    Called inside every registered query so driver-owned sessions (whose
+    builder conf we don't control) produce engine-correct results. Only
+    semantics-affecting keys belong here — performance knobs (AQE, shuffle
+    partitions) are set at builder time in :func:`get_session` and must not
+    be stomped at runtime (AQE is on by default in Spark ≥3.2 anyway).
     """
     conf = {
+        # timestamps must bucket identically across engines
         "spark.sql.session.timeZone": "UTC",
-        "spark.sql.adaptive.enabled": "true",
-        "spark.sql.adaptive.coalescePartitions.enabled": "true",
-        "spark.sql.adaptive.skewJoin.enabled": "true",
-        "spark.sql.execution.arrow.pyspark.enabled": "true",
         # events.parquet stores TIMESTAMP(NANOS); Spark refuses it unless
         # read as long (catalog.load converts back to a timestamp column)
         "spark.sql.legacy.parquet.nanosAsLong": "true",
-        # local[N] has no network shuffle; cap in-flight partitions near cores
-        "spark.sql.shuffle.partitions": str(max(_local_cpus(), 8)),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
     }
     for k, v in conf.items():
         try:
@@ -58,9 +57,15 @@ def get_session(app_name: str = "mapreduce-bdp-spark", cpus: int | None = None) 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{n}]")
-        .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        # local mode: shuffles are in-process; fewer, fatter partitions beat
+        # the 200 default at test scale, AQE re-splits if data is big
+        .config("spark.sql.shuffle.partitions", str(max(n // 4, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
     return tune(builder.getOrCreate())

@@ -1,0 +1,138 @@
+"""Input connectors (SURVEY.md §2.1 S1-S5, S10-S11).
+
+The reference reads line-oriented HDFS text through InputFormat taxonomy
+(`ppt/Ch7-高级MapReduce编程技术.pdf p.14-22`): TextInputFormat (S1),
+KeyValueTextInputFormat (S2), per-class-folder corpus enumeration
+(`…/TF_IDF_Compute.java:76-78`, `FilePath.java:12-16`) (S3), custom
+filename#offset RecordReaders (S4), and DBInputFormat (S5). Every consumer
+re-parses strings; here every reader lands a typed DataFrame and Catalyst
+prunes/pushes down into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_text_lines(spark: SparkSession, path: str, with_file: bool = False) -> DataFrame:
+    """S1 — text-line scan; record = line (the (offset, line) key of
+    TextInputFormat carries no information Spark needs). ``with_file`` adds
+    the S4 provenance column (filename; offsets are an HDFS-ism)."""
+    df = spark.read.text(path)
+    if with_file:
+        df = df.withColumn("file", F.input_file_name())
+    return df
+
+
+def read_kv_text(
+    spark: SparkSession, path: str, sep: str = "\t",
+    key_name: str = "key", value_name: str = "value",
+) -> DataFrame:
+    """S2 — KeyValueTextInputFormat: split each line at the first separator."""
+    lines = spark.read.text(path)
+    idx = F.instr(F.col("value"), sep)
+    return lines.select(
+        F.when(idx > 0, F.expr(f"substring(value, 1, instr(value, '{sep}') - 1)"))
+        .otherwise(F.col("value"))
+        .alias(key_name),
+        F.when(idx > 0, F.expr(f"substring(value, instr(value, '{sep}') + 1)"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias(value_name),
+    )
+
+
+def read_labeled_corpus(
+    spark: SparkSession, root: str,
+    label_depth: int = -2,
+) -> DataFrame:
+    """S3 — whole-directory ingestion where the folder layout is data: each
+    document's label is its parent-folder name and its id the file name
+    (the 20-newsgroups layout, `…/TF_IDF_Compute.java:76-78`).
+
+    One distributed text scan with recursive lookup — the reference runs
+    one MapReduce job per class folder (`…/TF_IDF_Compute.java:464-485`);
+    here the label is parsed from `input_file_name`, so all classes scan in
+    a single stage. ``label_depth=-2`` takes the immediate parent folder.
+    Output: (label, doc_id, line).
+    """
+    parts = F.split(F.input_file_name(), "/")
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .text(root)
+        .select(
+            F.element_at(parts, label_depth).alias("label"),
+            F.element_at(parts, -1).alias("doc_id"),
+            F.col("value").alias("line"),
+        )
+    )
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None,
+    sep: str = ",", header: bool = False,
+) -> DataFrame:
+    """S2/S11 — delimited text with declared schema (never inferSchema in
+    production: schema inference is a full extra pass)."""
+    reader = spark.read.option("sep", sep).option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | str | None = None) -> DataFrame:
+    """Semi-structured ingestion (extension surface; `events.props` shape)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """The columnar default: predicate pushdown + column pruning + page
+    skipping — the 100 TB substrate the reference's text files can't give."""
+    return spark.read.parquet(path)
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None, upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """S5 — DBInputFormat (`ppt/Ch7….pdf p.77`). Parallel reads require the
+    partition-column bounds — one JDBC cursor per partition, matching the
+    reference's DBRecordReader split behavior."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def keyed_table_scan(
+    df: DataFrame, key_col: str,
+    point: object | None = None,
+    lower: object | None = None, upper: object | None = None,
+) -> DataFrame:
+    """S10 — the HBase access paths (`ppt/Ch6….pdf p.60`): point get, range
+    scan, full scan — expressed as predicates so parquet/partition pruning
+    does what the LSM row-key index did."""
+    if point is not None:
+        return df.filter(F.col(key_col) == point)
+    if lower is not None or upper is not None:
+        cond = F.lit(True)
+        if lower is not None:
+            cond = cond & (F.col(key_col) >= lower)
+        if upper is not None:
+            cond = cond & (F.col(key_col) <= upper)
+        return df.filter(cond)
+    return df

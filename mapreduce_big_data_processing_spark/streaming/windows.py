@@ -1,0 +1,113 @@
+"""Streaming mode for the windowed log-analytics operators (SURVEY.md §2.10).
+
+The reference is batch-only — its "windows" are group-bys over a timestamp
+column of static logs (`…课程设计1-日志分析.pdf p.2-3`). This module runs
+the *same* aggregations under Structured Streaming: identical F.window
+expressions, plus what batch can't express — watermarks for late data,
+session windows, and incremental state. The batch/streaming pair shares
+semantics by construction (one definition of the aggregation, two modes).
+
+Local testing drives a parquet-directory stream to completion with
+`processAllAvailable()` (no Kafka in this environment; swap `readStream`
+format for kafka in production).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, schema: T.StructType = EVENTS_SCHEMA,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over a directory of event files."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_count_stream(
+    events: DataFrame, duration: str = "1 hour", watermark: str = "2 hours",
+    *keys: str,
+) -> DataFrame:
+    """A15 streaming twin — tumbling-window counts with a watermark bounding
+    state for late data (semantics batch mode cannot express)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "cnt",
+        )
+    )
+
+
+def windowed_avg_stream(
+    events: DataFrame, value_col: str = "value",
+    duration: str = "1 hour", watermark: str = "2 hours", *keys: str,
+) -> DataFrame:
+    """A16 streaming twin — windowed average."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), *keys)
+        .agg(F.avg(value_col).alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "avg_value",
+        )
+    )
+
+
+def session_window_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming sessionization via `session_window` — the stateful twin of
+    operators.windows.sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), user_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            user_col,
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> None:
+    """Drive a bounded file-source stream to completion into an in-memory
+    table (local test harness; production sinks are kafka/parquet/foreachBatch)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,0 +1,149 @@
+"""Tests for readers/writers (SURVEY §2.1), streaming twins (§2.10), and
+multimodal plumbing (driver extension)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_big_data_processing_spark.operators import multimodal as MM
+from mapreduce_big_data_processing_spark.sources import readers as RD
+from mapreduce_big_data_processing_spark.sources import writers as WR
+from mapreduce_big_data_processing_spark.streaming import windows as SW
+
+
+@pytest.fixture()
+def tmp(tmp_path):
+    return str(tmp_path)
+
+
+def test_text_and_kv_readers(spark, tmp):
+    p = os.path.join(tmp, "in")
+    os.makedirs(p)
+    with open(os.path.join(p, "a.txt"), "w") as f:
+        f.write("k1\tv1\nk2\tv2\nnokey\n")
+    lines = RD.read_text_lines(spark, p, with_file=True)
+    assert lines.count() == 3 and "file" in lines.columns
+    kv = {r.key: r.value for r in RD.read_kv_text(spark, p).collect()}
+    assert kv == {"k1": "v1", "k2": "v2", "nokey": None}
+
+
+def test_labeled_corpus_reader(spark, tmp):
+    """S3 — folder-as-label layout (20-newsgroups shape)."""
+    for label, doc, text in [
+        ("sci", "d1.txt", "atoms\nquarks"),
+        ("sci", "d2.txt", "stars"),
+        ("rec", "d3.txt", "bikes"),
+    ]:
+        d = os.path.join(tmp, "corpus", label)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, doc), "w") as f:
+            f.write(text)
+    df = RD.read_labeled_corpus(spark, os.path.join(tmp, "corpus"))
+    assert df.count() == 4
+    got = {
+        (r.label, r.doc_id)
+        for r in df.select("label", "doc_id").distinct().collect()
+    }
+    assert got == {("sci", "d1.txt"), ("sci", "d2.txt"), ("rec", "d3.txt")}
+
+
+def test_partitioned_sink_and_pruning(spark, tmp, sf_dir):
+    """S7 — dynamic partition write; reading one partition must prune."""
+    from mapreduce_big_data_processing_spark import catalog
+
+    ev = catalog.load(spark, "events", sf_dir).withColumn(
+        "day", F.to_date("ts")
+    )
+    out = os.path.join(tmp, "by_type")
+    WR.write_partitioned(ev, out, ["event_type"])
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    one = spark.read.parquet(out).filter(F.col("event_type") == "error")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan or "event_type" in plan
+    assert one.count() == ev.filter(F.col("event_type") == "error").count()
+
+
+def test_tsv_roundtrip(spark, tmp):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    out = os.path.join(tmp, "tsv")
+    WR.write_tsv(df, out)
+    back = RD.read_csv(spark, out, schema="k string, v int", sep="\t")
+    assert {(r.k, r.v) for r in back.collect()} == {("a", 1), ("b", 2)}
+
+
+def test_keyed_scan_paths(spark, sf_dir):
+    """S10 — point get / range scan semantics."""
+    from mapreduce_big_data_processing_spark import catalog
+
+    c = catalog.load(spark, "customer", sf_dir)
+    assert RD.keyed_table_scan(c, "c_custkey", point=1).count() == 1
+    rng = RD.keyed_table_scan(c, "c_custkey", lower=10, upper=19)
+    assert rng.count() == 10
+
+
+def test_streaming_windowed_count_matches_batch(spark, sf_dir, tmp):
+    """§2.10 — the streaming twin must produce the batch answer on a
+    bounded input (same F.window expression, two modes)."""
+    from mapreduce_big_data_processing_spark import catalog
+    from mapreduce_big_data_processing_spark.operators import windows as WB
+
+    # file stream sources need a directory of µs-timestamp files
+    src = os.path.join(tmp, "events_stream")
+    catalog.load(spark, "events", sf_dir).repartition(4).write.parquet(src)
+    stream = SW.read_event_stream(spark, src)
+    agg = SW.windowed_count_stream(stream, "1 hour", "10 hours", "event_type")
+    SW.run_to_memory(agg, "stream_counts", output_mode="complete")
+    got = {
+        (r.window_start, r.event_type): r.cnt
+        for r in spark.sql("SELECT * FROM stream_counts").collect()
+    }
+    ev = catalog.load(spark, "events", sf_dir)
+    want = {
+        (r.window_start, r.event_type): r.cnt
+        for r in WB.windowed_count(ev, "ts", "1 hour", "event_type").collect()
+    }
+    assert got == want
+
+
+def test_streaming_session_window(spark, sf_dir, tmp):
+    from mapreduce_big_data_processing_spark import catalog
+
+    src = os.path.join(tmp, "events_stream2")
+    catalog.load(spark, "events", sf_dir).write.parquet(src)
+    stream = SW.read_event_stream(spark, src)
+    sess = SW.session_window_stream(stream, gap="30 minutes")
+    SW.run_to_memory(sess, "stream_sessions", output_mode="complete")
+    rows = spark.sql("SELECT * FROM stream_sessions").collect()
+    assert len(rows) > 0
+    assert all(r.session_end > r.session_start for r in rows)
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = MM.synthetic_media(spark, 64)
+    feats = MM.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 64
+    assert all(len(r.features) == MM.FEATURE_DIM for r in rows)
+    # deterministic: same id → same features
+    again = {r.media_id: r.features for r in MM.extract_features(media).collect()}
+    first = {r.media_id: r.features for r in rows}
+    assert again == first
+
+
+def test_multimodal_error_stub(spark):
+    media = MM.synthetic_media(spark, 4)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        MM.extract_features(media, decode_stub="error").collect()
+
+
+def test_multimodal_resize_and_frames(spark):
+    media = MM.synthetic_media(spark, 30)
+    resized = MM.resize_images(media, 224, 224)
+    assert resized.filter(F.col("meta.width") != 224).count() == 0
+    frames = MM.sample_frames(media, every_n=10)
+    assert frames.count() > 0
+    assert frames.filter(F.col("frame_idx") % 10 != 0).count() == 0
