@@ -75,6 +75,7 @@ def nb_predict(
     doc_col: str = "doc_id",
     word_col: str = "word",
     out: str = "pred",
+    reference_semantics: bool = False,
 ) -> DataFrame:
     """M3 — log-space multinomial NB with add-1 smoothing.
 
@@ -83,7 +84,20 @@ def nb_predict(
     The identity folds unseen-word smoothing (log(0+1)=0) into the matched
     join, so scoring is a single equi-join on (word,label-broadcast) — no
     per-(doc × class × word) expansion. Output: (doc_id, pred).
+
+    ``reference_semantics=True`` reproduces the reference's scoring quirks
+    (`…/final_NB_src/phase2/Predict/PredictMapper.java:54-89`): it
+    MULTIPLIES the per-word log-probabilities instead of summing (`:79`),
+    ignores the term-frequency multiplier (`:68-69` parsed, unused), and
+    picks the class minimizing |Π log(p_w|l) · log P(l)| (`:82-86`).
+    Computed stably as argmin of Σ_w ln(−log p_w|l) + ln(−log P(l)) over
+    the doc's *distinct* words (every log factor is negative, so |Π| is
+    monotone in that sum).
     """
+    if reference_semantics:
+        return _nb_predict_reference(
+            test_tokens, model, label_col, doc_col, word_col, out
+        )
     tf = test_tokens.groupBy(doc_col, word_col).agg(F.count(F.lit(1)).alias("tf"))
     doc_len = tf.groupBy(doc_col).agg(F.sum("tf").alias("tf_d"))
     wc = model["word_counts"].select(
@@ -115,6 +129,62 @@ def nb_predict(
         ).alias("score"),
     )
     w = Window.partitionBy(doc_col).orderBy(F.desc("score"), F.asc("__l"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(doc_col, F.col("__l").alias(out))
+    )
+
+
+def _nb_predict_reference(
+    test_tokens: DataFrame,
+    model: dict[str, DataFrame],
+    label_col: str,
+    doc_col: str,
+    word_col: str,
+    out: str,
+) -> DataFrame:
+    """Quirk-faithful NB scoring (see nb_predict docstring). Distinct words
+    only (no tf), product-of-logs via Σ ln(−log p), argmin of the product's
+    magnitude times |log prior|."""
+    words = test_tokens.select(doc_col, word_col).distinct()
+    n_words = words.groupBy(doc_col).agg(F.count(F.lit(1)).alias("nw"))
+    wc = model["word_counts"].select(
+        F.col(label_col).alias("__l"), word_col, F.col("cnt")
+    )
+    cls = (
+        model["priors"]
+        .join(model["class_totals"], label_col)
+        .select(
+            F.col(label_col).alias("__l"),
+            F.log(-F.col("log_prior")).alias("ln_abs_logprior"),
+            F.log(F.col("total_tf") + F.col("v")).alias("log_denom"),
+        )
+    )
+    # matched words: ln(−log((c+1)/(T+V))) − ln(−log(1/(T+V))); the second
+    # term is the unmatched floor ln(log(T+V)), added back for all words
+    matched = (
+        words.join(F.broadcast(wc), word_col)
+        .join(F.broadcast(cls), "__l")
+        .groupBy(doc_col, "__l")
+        .agg(
+            F.sum(
+                F.log(F.col("log_denom") - F.log(F.col("cnt") + 1))
+                - F.log(F.col("log_denom"))
+            ).alias("adj")
+        )
+    )
+    cells = n_words.crossJoin(F.broadcast(cls))
+    scored = cells.join(matched, [doc_col, "__l"], "left").select(
+        doc_col,
+        F.col("__l"),
+        (
+            F.coalesce(F.col("adj"), F.lit(0.0))
+            + F.col("nw") * F.log(F.col("log_denom"))
+            + F.col("ln_abs_logprior")
+        ).alias("v"),
+    )
+    w = Window.partitionBy(doc_col).orderBy(F.asc("v"), F.asc("__l"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -42,8 +42,8 @@ def filter_not_in(df: DataFrame, col: str, deny: DataFrame, deny_col: str) -> Da
     an anti-join against a broadcast side is the same data movement with
     planner-managed memory.
     """
-    cond = F.col(col) == F.col(f"__deny.{deny_col}")
-    return df.join(F.broadcast(deny.alias("__deny")), cond, "left_anti")
+    d = deny.select(F.col(deny_col).alias("__deny_key")).distinct()
+    return df.join(F.broadcast(d), df[col] == F.col("__deny_key"), "left_anti")
 
 
 # ---------------------------------------------------------------------------

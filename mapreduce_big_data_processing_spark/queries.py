@@ -1260,6 +1260,270 @@ def kmeans_clusters(spark, sf_dir):
     return ML.kmeans(_t(spark, sf_dir, "embeddings"), k=8, max_iter=5)
 
 
+# ===========================================================================
+# Coverage widening: remaining SURVEY §2 shapes
+# ===========================================================================
+
+
+@query(
+    "cooccurrence_window2",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, pos, w FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  w -> w <> '')) AS w,
+               unnest(generate_series(1, len(list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')))) AS pos
+        FROM documents)),
+    pairs AS (
+      SELECT a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2)
+    SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY w1, w2
+    """,
+)
+def cooccurrence_window2(spark, sf_dir):
+    """A12 window-2 variant — ordered neighbor pairs within 2 positions
+    (`ppt/Ch5….pdf p.44-48`)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.cooccurrence_window_pairs(docs, window=2)
+
+
+@query(
+    "sparse_tfidf_vectors",
+    f"""
+    WITH toks AS ({_TOKS_SQL}),
+    tf AS (
+      SELECT doc_id, word,
+             CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY doc_id) AS tf
+      FROM toks GROUP BY doc_id, word),
+    dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+    vocab AS (
+      SELECT word, CAST(row_number() OVER (ORDER BY word) - 1 AS INT) AS idx
+      FROM (SELECT DISTINCT word FROM toks)),
+    weights AS (
+      SELECT tf.doc_id, vocab.idx, round(tf.tf * ln(n.n / dfreq.df), 6) AS w
+      FROM tf JOIN dfreq ON tf.word = dfreq.word
+      JOIN vocab ON tf.word = vocab.word CROSS JOIN n)
+    SELECT doc_id,
+           string_agg(CAST(idx AS VARCHAR) || ':' || CAST(w AS VARCHAR),
+                      ' ' ORDER BY idx) AS vector
+    FROM weights GROUP BY doc_id
+    """,
+)
+def sparse_tfidf_vectors(spark, sf_dir):
+    """A7 — per-doc sparse TF-IDF vectors in the reference's `idx:val …`
+    line format (`…/TF_IDF_Compute.java:346-400`, `…课程设计3….pdf p.3`);
+    vocabulary index = row_number over the sorted vocab."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokenize(docs, keep_cols=["doc_id"])
+    w = TX.tf_idf(toks).withColumn("tfidf", F.round("tfidf", 6))
+    vecs = TX.sparse_vectors(w, weight_col="tfidf")
+    return vecs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                "vector",
+                lambda s: F.concat_ws(
+                    ":", s["idx"].cast("string"), s["val"].cast("string")
+                ),
+            ),
+            " ",
+        ).alias("vector"),
+    )
+
+
+@query(
+    "user_event_timeline",
+    """
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY ts, event_id) AS timeline,
+           count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_timeline(spark, sf_dir):
+    """O2/A10 — secondary sort: values ordered within key (composite-key +
+    custom-partitioner pattern, `ppt/Ch7….pdf p.3-7`) via sorted collect."""
+    ev = _t(spark, sf_dir, "events")
+    sorted_types = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda s: s["event_type"],
+    )
+    return ev.groupBy("user_id").agg(
+        F.array_join(sorted_types, ",").alias("timeline"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "per_minute_error_counts",
+    """
+    SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start, count(*) AS cnt
+    FROM events WHERE event_type = 'error'
+    GROUP BY window_start
+    """,
+)
+def per_minute_error_counts(spark, sf_dir):
+    """A15 — fine-grained windows (the spec's per-second task 3 shape,
+    `…课程设计1….pdf p.2`; minutes here because the fixture is sparse at
+    second granularity). Predicate pushed into the scan."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return (
+        WIN.windowed_count(ev, "ts", "1 minute")
+        .select("window_start", "cnt")
+    )
+
+
+@query(
+    "sliding_window_counts",
+    """
+    WITH slid AS (
+      SELECT event_type,
+             unnest([CAST(date_trunc('hour', ts) AS TIMESTAMP),
+                     CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP)])
+               AS window_start
+      FROM events)
+    SELECT window_start, event_type, count(*) AS cnt
+    FROM slid GROUP BY window_start, event_type
+    """,
+)
+def sliding_window_counts(spark, sf_dir):
+    """A15 sliding variant — 2h windows sliding 1h: every event lands in
+    two windows."""
+    ev = _t(spark, sf_dir, "events")
+    return WIN.sliding_window_count(ev, "ts", "2 hours", "1 hour", "event_type").select(
+        "window_start", "event_type", "cnt"
+    )
+
+
+@query(
+    "wordcount_sans_stopwords",
+    f"""
+    WITH toks AS ({_TOKS_SQL}),
+    stop AS (
+      SELECT word FROM toks GROUP BY word ORDER BY count(*) DESC, word LIMIT 5)
+    SELECT word, count(*) AS cnt FROM toks
+    WHERE word NOT IN (SELECT word FROM stop)
+    GROUP BY word
+    """,
+)
+def wordcount_sans_stopwords(spark, sf_dir):
+    """P2 — stopword removal as a broadcast anti-join (distributed-cache
+    deny list in the reference, `…/Count/CountMapper.java:28-45`); the
+    'stopword list' is the corpus's own top-5 words."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokenize(docs, keep_cols=["doc_id"])
+    stop = R.top_k(TX.word_count(toks), 5, F.desc("cnt"), F.asc("word")).select("word")
+    kept = R.filter_not_in(toks, "word", stop, "word")
+    return TX.word_count(kept)
+
+
+@query(
+    "status_priority_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(avg(o_totalprice), 6) AS avg_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def status_priority_cube(spark, sf_dir):
+    """Grouping-sets CUBE — all aggregation lattices in one pass."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+    )
+
+
+@query(
+    "tagged_union_counts",
+    """
+    WITH u AS (
+      SELECT 'big' AS src, o_orderkey AS k FROM orders WHERE o_totalprice > 100000
+      UNION ALL
+      SELECT 'urgent' AS src, o_orderkey AS k FROM orders
+      WHERE o_orderpriority = '1-URGENT')
+    SELECT src, count(*) AS n FROM u GROUP BY src
+    """,
+)
+def tagged_union_counts(spark, sf_dir):
+    """U1/P5 — tagged multi-source union (DataJoinMapperBase source tags,
+    `ppt/Ch7….pdf p.43-47`): provenance as a plain column."""
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 100000).select(
+        F.lit("big").alias("src"), F.col("o_orderkey").alias("k")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("src"), F.col("o_orderkey").alias("k")
+    )
+    return big.unionByName(urgent).groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "class_centroids",
+    """
+    SELECT label, CAST(dim AS INT) AS dim, round(avg(x), 6) AS w
+    FROM (
+      SELECT label,
+             unnest(CAST(embedding AS DOUBLE[])) AS x,
+             generate_subscripts(embedding, 1) - 1 AS dim
+      FROM embeddings)
+    GROUP BY label, dim
+    """,
+)
+def class_centroids(spark, sf_dir):
+    """M5 surface — per-class model fit as grouped-map UDF: the reference
+    trains one SVM per class inside a reducer (`ppt/Ch9….pdf p.63-68`);
+    here `groupBy(label).applyInPandas` fits a per-class model (closed-form
+    centroid) in vectorized NumPy. Oracle = per-dimension SQL average."""
+    import pandas as pd  # noqa: F401
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def fit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+        mean = mat.mean(axis=0)
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "dim": range(len(mean)),
+                "w": np.round(mean, 6),
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(fit, schema="label int, dim int, w double")
+
+
+@query(
+    "embedding_near_dup",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+    """,
+)
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact all-pairs at test scale;
+    the LSH-bucketed variant in similarity.embedding_near_dup(planes=…) is
+    the 100 TB path)."""
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.embedding_near_dup(emb, threshold=0.45)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

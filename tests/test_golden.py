@@ -161,6 +161,59 @@ def test_nb_toy_two_class(spark):
     assert pred == {10: "spam", 11: "ham"}
 
 
+def test_nb_reference_quirk_mode(spark):
+    """M3 quirk mode (`…/PredictMapper.java:79-86`): class = argmin of
+    |Π_w log((c_wl+1)/(T_l+V)) · log P(l)| over distinct words, no tf.
+    Expected values computed by an independent pure-Python scorer here."""
+    import math
+
+    train_rows = [
+        (1, "spam", "buy"), (1, "spam", "cheap"), (1, "spam", "buy"),
+        (2, "spam", "cheap"), (2, "spam", "pills"),
+        (3, "ham", "meeting"), (3, "ham", "tomorrow"),
+        (4, "ham", "buy"), (4, "ham", "coffee"),
+    ]
+    test_rows = [(10, "buy"), (10, "cheap"), (11, "meeting"), (11, "coffee"),
+                 (12, "pills"), (12, "pills"), (12, "tomorrow")]
+    train = spark.createDataFrame(train_rows, "doc_id long, label string, word string")
+    test = spark.createDataFrame(test_rows, "doc_id long, word string")
+
+    # independent scorer
+    from collections import Counter
+
+    docs_by_label = {}
+    for d, l, w in train_rows:
+        docs_by_label.setdefault(l, set()).add(d)
+    n_docs = len({d for d, _, _ in train_rows})
+    wc = Counter((l, w) for _, l, w in train_rows)
+    totals = Counter()
+    for (l, _), c in wc.items():
+        totals[l] += c
+    vocab = len({w for _, _, w in train_rows})
+    expected = {}
+    test_docs = {}
+    for d, w in test_rows:
+        test_docs.setdefault(d, set()).add(w)
+    for d, ws in test_docs.items():
+        best = None
+        for l in docs_by_label:
+            prior = math.log(len(docs_by_label[l]) / n_docs)
+            prod = 1.0
+            for w in ws:
+                prod *= math.log((wc.get((l, w), 0) + 1) / (totals[l] + vocab))
+            v = abs(prod * prior)
+            if best is None or (v, l) < best:
+                best = (v, l)
+        expected[d] = best[1]
+
+    model = ML.nb_train(train)
+    pred = {
+        r.doc_id: r.pred
+        for r in ML.nb_predict(test, model, reference_semantics=True).collect()
+    }
+    assert pred == expected
+
+
 def test_accuracy_ratio(spark):
     """A4 — T/(T+F), `…/AccuracyReducer.java:26-29`."""
     df = spark.createDataFrame(
