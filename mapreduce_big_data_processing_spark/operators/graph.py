@@ -56,16 +56,17 @@ def pagerank(
     for differential testing; convergence-threshold mode is a trivial
     driver-loop variant. Output: (node, pr).
     """
+    from mapreduce_big_data_processing_spark.plans.iterate import iterate
+
     vertices = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
     n = vertices.count()  # scalar driver value; tiny
-    ranks = vertices.withColumn("pr", F.lit(1.0 / n))
     out_nodes = edges.select(F.col("src").alias("node")).distinct()
 
-    for i in range(max_iter):
+    def step(ranks: DataFrame, i: int) -> DataFrame:
         contrib = (
             edges.join(ranks, edges.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("pr") * F.col("weight")).alias("c"))
@@ -76,7 +77,7 @@ def pagerank(
             ranks.join(out_nodes, "node", "left_anti")
             .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
         )
-        ranks = (
+        return (
             vertices.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -88,10 +89,9 @@ def pagerank(
                 ).alias("pr"),
             )
         )
-        if (i + 1) % checkpoint_every == 0:
-            # truncate lineage; blocks but keeps the 10-iteration plan flat
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+
+    ranks = vertices.withColumn("pr", F.lit(1.0 / n))
+    return iterate(ranks, step, max_iter, checkpoint_every)
 
 
 def label_propagation(
@@ -105,13 +105,15 @@ def label_propagation(
     fully deterministic (async/random-order LPA is not differential-testable).
     Output: (node, label).
     """
+    from mapreduce_big_data_processing_spark.plans.iterate import iterate
+
     vertices = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    labels = vertices.withColumn("label", F.col("node"))
-    for i in range(max_iter):
+
+    def step(labels: DataFrame, i: int) -> DataFrame:
         scores = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("n"), F.col("label"))
@@ -123,12 +125,11 @@ def label_propagation(
             .filter(F.col("rn") == 1)
             .select(F.col("n").alias("node"), "label")
         )
-        labels = vertices.join(new_labels, "node", "left").select(
+        return vertices.join(new_labels, "node", "left").select(
             "node", F.coalesce("label", F.col("node")).alias("label")
         )
-        if (i + 1) % 5 == 0:
-            labels = labels.localCheckpoint(eager=True)
-    return labels
+
+    return iterate(vertices.withColumn("label", F.col("node")), step, max_iter)
 
 
 def top_ranked(ranks: DataFrame, k: int = 10) -> DataFrame:

@@ -280,9 +280,11 @@ def kmeans(
             .select(id_col, "v", "cid")
         )
 
-    for i in range(max_iter):
-        assigned = assign(centroids)
-        centroids = (
+    from mapreduce_big_data_processing_spark.plans.iterate import iterate
+
+    def step(cents: DataFrame, i: int) -> DataFrame:
+        assigned = assign(cents)
+        return (
             assigned.select("cid", F.posexplode("v").alias("dim", "x"))
             .groupBy("cid", "dim")
             .agg(F.avg("x").alias("m"))
@@ -293,8 +295,11 @@ def kmeans(
                     lambda s: s["m"],
                 ).alias("c")
             )
-            .localCheckpoint(eager=True)  # k rows; truncates per-iter lineage
         )
+
+    # centroid table is k rows — checkpoint every round to keep the
+    # assignment crossJoin plan flat
+    centroids = iterate(centroids, step, max_iter, checkpoint_every=1)
     return assign(centroids).select(id_col, "cid")
 
 

@@ -1524,6 +1524,68 @@ def embedding_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+@query(
+    "hive_style_sql_join",
+    """
+    SELECT n_name, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name, o_orderpriority
+    """,
+)
+def hive_style_sql_join(spark, sf_dir):
+    """J5/S11 — the HiveQL surface (`ppt/Ch6….pdf p.55`): tables registered
+    as views, query written in SQL verbatim; Catalyst produces the same plan
+    as the DataFrame form."""
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY n_name, o_orderpriority
+        """
+    )
+
+
+def _seeded_planes(n_planes: int = 3, dim: int = 64) -> list[list[float]]:
+    """Deterministic hyperplanes (seeded LCG, no numpy dependency at plan
+    build): reproducible across sessions and clusters."""
+    state = 42
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+@query("lsh_similarity_topk")  # recall < 1 by construction: rows-only check
+def lsh_similarity_topk(spark, sf_dir):
+    """Hyperplane-LSH ANN top-10 for query vectors (vec_id < 10): bucket
+    equi-join + exact re-rank inside buckets. The scale path for
+    similarity_topk — recall measured against brute force in
+    tests/test_similarity.py."""
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.lsh_topk(emb, q, _seeded_planes(), k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -1,0 +1,97 @@
+"""Property-based tests (SURVEY §5.5): invariants the operators must hold
+regardless of data — partition-count independence (the combiner property,
+`ppt/Ch9….pdf p.27`), re-run determinism, union associativity."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mapreduce_big_data_processing_spark.operators import dedup as D
+from mapreduce_big_data_processing_spark.operators import text as TX
+
+WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+    min_size=0,
+    max_size=12,
+)
+DOCS = st.lists(WORDS, min_size=1, max_size=8)
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _mkdocs(spark, docs):
+    return spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+
+
+@given(docs=DOCS)
+@_slow
+def test_wordcount_partition_invariance(spark, docs):
+    df = _mkdocs(spark, docs)
+    outs = []
+    for parts in (1, 5):
+        toks = TX.tokenize(df.repartition(parts), keep_cols=["doc_id"])
+        outs.append(
+            sorted((r.word, r.cnt) for r in TX.word_count(toks).collect())
+        )
+    assert outs[0] == outs[1]
+
+
+@given(docs=DOCS)
+@_slow
+def test_cooccurrence_union_associativity(spark, docs):
+    """counting over A∪B == count(A) + count(B) merged (distributivity of
+    the grouped count over disjoint unit-disjoint unions)."""
+    df = _mkdocs(spark, docs)
+    a = df.filter(F.col("doc_id") % 2 == 0)
+    b = df.filter(F.col("doc_id") % 2 == 1)
+    whole = {
+        (r.w1, r.w2): r.cnt
+        for r in TX.cooccurrence_pairs(
+            TX.tokenize(df, keep_cols=["doc_id"]), symmetric=False
+        ).collect()
+    }
+    merged: dict = {}
+    for part in (a, b):
+        toks = TX.tokenize(part, keep_cols=["doc_id"])
+        for r in TX.cooccurrence_pairs(toks, symmetric=False).collect():
+            merged[(r.w1, r.w2)] = merged.get((r.w1, r.w2), 0) + r.cnt
+    assert whole == merged
+
+
+@given(docs=DOCS)
+@_slow
+def test_minhash_partition_invariance(spark, docs):
+    df = _mkdocs(spark, docs)
+    sigs = []
+    for parts in (1, 4):
+        sh = D.shingles(df.repartition(parts), k=2)
+        sig = D.minhash_signatures(sh, n_hashes=4, portable=True)
+        sigs.append(sorted((r.doc_id, r.h, r.minhash) for r in sig.collect()))
+    assert sigs[0] == sigs[1]
+
+
+@given(texts=st.lists(st.text(alphabet=string.ascii_lowercase + " ", max_size=30), min_size=1, max_size=6))
+@_slow
+def test_exact_dedup_canonical_is_member(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = D.exact_dedup(df).collect()
+    ids = {r.doc_id for r in out}
+    assert ids == set(range(len(texts)))
+    for r in out:
+        assert r.canonical_id in ids
+        assert (r.is_duplicate == 0) == (r.doc_id == r.canonical_id) or (
+            r.doc_id != r.canonical_id
+        )
