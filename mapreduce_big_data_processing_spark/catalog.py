@@ -114,6 +114,9 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     """Load one fixture table as a DataFrame (columnar scan, pushdown-ready)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
+    from mapreduce_big_data_processing_spark.session import tune
+
+    tune(spark)  # idempotent; events needs nanosAsLong set before the scan
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the file, surfaced as int64 nanos under

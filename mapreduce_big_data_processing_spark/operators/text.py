@@ -152,7 +152,10 @@ def cooccurrence_pairs(
 
     Implementation: distinct (unit, word) self-join on unit. The reference's
     "pairs vs stripes" distinction (`ppt/Ch7….pdf p.8-10`) is moot — partial
-    hash aggregation gives stripes' map-side compaction automatically.
+    hash aggregation gives stripes' map-side compaction automatically. (An
+    array-based formulation — collect_set per unit + JVM-side pair
+    generation — was benchmarked and lost to the join: nested lambda
+    codegen outweighs the avoided shuffle at every tested scale.)
     """
     a = unit_words.select(F.col(unit_col).alias("u"), F.col(word_col).alias("w1")).distinct()
     b = unit_words.select(F.col(unit_col).alias("u"), F.col(word_col).alias("w2")).distinct()

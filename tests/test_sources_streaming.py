@@ -122,6 +122,47 @@ def test_streaming_session_window(spark, sf_dir, tmp):
     assert all(r.session_end > r.session_start for r in rows)
 
 
+def test_stateful_running_totals(spark, sf_dir, tmp):
+    """applyInPandasWithState: final per-user running totals over a bounded
+    stream must equal the batch groupBy aggregate."""
+    from mapreduce_big_data_processing_spark import catalog
+    from mapreduce_big_data_processing_spark.streaming import stateful as ST
+
+    src = os.path.join(tmp, "events_state")
+    catalog.load(spark, "events", sf_dir).write.parquet(src)
+    stream = SW.read_event_stream(spark, src)
+    out = ST.running_user_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # last emitted row per user = final totals
+    final = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+          FROM running_totals) WHERE rn = 1
+        """
+    )
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6)) for r in final.collect()
+    }
+    ev = catalog.load(spark, "events", sf_dir)
+    want = {
+        r.user_id: (r.n, round(r.t, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_multimodal_feature_plumbing(spark):
     media = MM.synthetic_media(spark, 64)
     feats = MM.extract_features(media)
