@@ -157,6 +157,60 @@ def count_distinct_per_group(
 
 
 # ---------------------------------------------------------------------------
+# Skew handling (SURVEY §4: "avoid overloaded reducers", ppt/Ch5….pdf p.34)
+# ---------------------------------------------------------------------------
+
+
+def salted_group_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: phase 1 aggregates on
+    (keys, salt) — splitting each hot key across ``salt_buckets`` reducers —
+    phase 2 merges per key. Results are identical to the direct groupBy for
+    decomposable aggregates. ``aggs`` maps output name → (fn, col) with fn
+    in {count, sum, min, max}.
+
+    At 100 TB this is the manual fallback when AQE skew handling can't
+    apply (e.g. single hot key in a groupBy, not a join). The reference's
+    only recourse was a custom Partitioner.
+    """
+    salted = df.withColumn("__salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    phase1_aggs = []
+    for out, (fn, col) in aggs.items():
+        phase1_aggs.append(
+            (F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col)).alias(out)
+        )
+    p1 = salted.groupBy(*keys, "__salt").agg(*phase1_aggs)
+    merge = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+    phase2 = [merge[fn](out).alias(out) for out, (fn, _) in aggs.items()]
+    return p1.groupBy(*keys).agg(*phase2)
+
+
+def skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Salted inner equi-join for a skewed big side: big rows get a random
+    salt, the small side is replicated ``salt_buckets`` times, and the join
+    key becomes (key, salt) — spreading each hot key over many tasks.
+    Equivalent rows to ``big.join(small, key)``.
+
+    Prefer AQE's skew-join splitting when stats expose the skew; this is
+    the explicit form for planned-ahead hot keys.
+    """
+    b = big.withColumn("__salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return b.join(s, [key, "__salt"]).drop("__salt")
+
+
+# ---------------------------------------------------------------------------
 # Sorts / top-k (O1-O5)
 # ---------------------------------------------------------------------------
 

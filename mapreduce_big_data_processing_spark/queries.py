@@ -1586,6 +1586,36 @@ def lsh_similarity_topk(spark, sf_dir):
     )
 
 
+@query(
+    "salted_user_value_totals",
+    """
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def salted_user_value_totals(spark, sf_dir):
+    """Skew-safe two-phase aggregation (§4: hot-key splitting). events has
+    few, hot user_ids — exactly the shape that overloads one reducer; the
+    salted plan spreads each over 16 tasks. Oracle = the plain aggregate
+    (results must be identical)."""
+    ev = _t(spark, sf_dir, "events")
+    out = R.salted_group_agg(
+        ev, ["user_id"], {"n": ("count", ""), "total": ("sum", "value")}, salt_buckets=16
+    )
+    return out.select("user_id", "n", F.round("total", 2).alias("total"))
+
+
+@query("approx_distinct_users")  # HLL sketch: engine-specific, rows-only
+def approx_distinct_users(spark, sf_dir):
+    """A11 at the 100 TB path — approx_count_distinct (HLL) replaces the
+    exact-dedup shuffle when the oracle semantics allow; rows-only check
+    (sketch estimates differ across engines by design)."""
+    ev = _t(spark, sf_dir, "events")
+    return R.count_distinct_per_group(
+        ev, "event_type", "user_id", out="n_users", approx=True
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -238,6 +238,39 @@ def test_tfidf_reference_semantics_flag(spark):
     assert std["b"] == pytest.approx(math.log(2.0))
 
 
+def test_skew_join_equivalence(spark):
+    """§4 — salted join must produce exactly the plain join's rows."""
+    import random
+
+    random.seed(3)
+    big = spark.createDataFrame(
+        [(random.choice([1, 1, 1, 1, 2, 3]), i) for i in range(500)], "k int, v int"
+    )
+    small = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k int, tag string")
+    plain = sorted(tuple(r) for r in big.join(small, "k").collect())
+    salted = sorted(tuple(r) for r in R.skew_join(big, small, "k").collect())
+    assert plain == salted
+
+
+def test_salted_group_agg_equivalence(spark):
+    df = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(1000)], "k int, v double"
+    )
+    direct = {
+        (r.k): (r.n, round(r.total, 6))
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    salted = {
+        (r.k): (r.n, round(r.total, 6))
+        for r in R.salted_group_agg(
+            df, ["k"], {"n": ("count", ""), "total": ("sum", "v")}
+        ).collect()
+    }
+    assert direct == salted
+
+
 def test_partial_aggregation_invariance(spark):
     """§5.5 property — result independent of partition count (the combiner
     correctness property, `ppt/Ch9….pdf p.27`)."""
