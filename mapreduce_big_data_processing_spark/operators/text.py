@@ -42,6 +42,77 @@ def tokenize(
     )
 
 
+def tokenize_cjk(
+    df: DataFrame,
+    dictionary: list[str],
+    text_col: str = "text",
+    out: str = "word",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """P3 CJK variant — dictionary-aware segmentation (project 2 requires
+    segmenting Jin Yong novels with a user dictionary of character names,
+    `…课程设计2-金庸的江湖.pdf p.6-7`, Ansj in the reference).
+
+    Greedy forward maximal matching against the broadcast dictionary in an
+    Arrow-batched pandas UDF (per-char lookahead is inherently procedural —
+    the documented escape hatch, SURVEY §4). Non-dictionary runs fall back
+    to the standard tokenizer's alphanumeric splitting; other CJK chars
+    outside the dictionary are dropped (the reference keeps only dictionary
+    names for the co-occurrence graph).
+    """
+    keep = keep_cols if keep_cols is not None else [c for c in df.columns if c != text_col]
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        {w: None for w in sorted(dictionary, key=len, reverse=True)}
+    )
+    max_len = max((len(w) for w in dictionary), default=1)
+
+    def segment(batches):
+        import pandas as pd
+        import re
+
+        words = bc.value
+        ascii_re = re.compile(r"[a-z0-9]+")
+
+        def seg_one(text: str) -> list[str]:
+            out_words = []
+            i, n = 0, len(text)
+            while i < n:
+                matched = None
+                for l in range(min(max_len, n - i), 0, -1):
+                    cand = text[i : i + l]
+                    if cand in words:
+                        matched = cand
+                        break
+                if matched:
+                    out_words.append(matched)
+                    i += len(matched)
+                elif text[i].isascii():
+                    m = ascii_re.match(text.lower(), i)
+                    if m:
+                        out_words.append(m.group(0))
+                        i = m.end()
+                    else:
+                        i += 1
+                else:
+                    i += 1
+            return out_words
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                for w in seg_one(row[text_col] or ""):
+                    rows.append({**{c: row[c] for c in keep}, out: w})
+            yield pd.DataFrame(rows, columns=[*keep, out]) if rows else pd.DataFrame(
+                {c: [] for c in [*keep, out]}
+            )
+
+    schema = ", ".join(
+        [f"{c} {dict(df.dtypes)[c]}" for c in keep] + [f"{out} string"]
+    )
+    return df.mapInPandas(segment, schema=schema)
+
+
 def remove_stopwords(tokens: DataFrame, stopwords: DataFrame, word_col: str = "word") -> DataFrame:
     """P2 — stopword removal as a broadcast anti-join (the reference loads
     the list from the distributed cache into each mapper,

@@ -123,6 +123,24 @@ def test_edge_normalization_project2(spark):
     assert qf["戚长发"] == pytest.approx(0.25)
 
 
+def test_label_propagation_two_communities(spark):
+    """G4 — two dense triangles joined by one weak edge must resolve into
+    two communities under weighted LPA."""
+    pairs = [
+        ("a", "b", 5.0), ("a", "c", 5.0), ("b", "c", 5.0),
+        ("x", "y", 5.0), ("x", "z", 5.0), ("y", "z", 5.0),
+        ("c", "x", 1.0),
+    ]
+    edges = spark.createDataFrame(
+        [(s, d, w) for s, d, w in pairs] + [(d, s, w) for s, d, w in pairs],
+        "src string, dst string, weight double",
+    )
+    labels = {r.node: r.label for r in G.label_propagation(edges, max_iter=8).collect()}
+    assert labels["a"] == labels["b"] == labels["c"]
+    assert labels["x"] == labels["y"] == labels["z"]
+    assert labels["a"] != labels["x"]
+
+
 def test_kmeans_trace_ch9(spark):
     """B7 — K-Means numeric trace, `ppt/Ch9….pdf p.29-38`: points A(1,1),
     B(2,1), C(4,3), D(5,4), k=2, init A and C → after iter 1 clusters
