@@ -37,6 +37,12 @@ HEADLINE = [
     "cooccurrence_pairs",
     "tfidf",
     "inverted_index",
+    "exact_dedup",
+    "token_stats",
+    "quality_scores",
+    "knn_predictions",
+    "embedding_near_dup",
+    "pagerank_top20",
 ]
 
 

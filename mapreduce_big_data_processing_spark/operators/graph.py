@@ -58,13 +58,24 @@ def pagerank(
     """
     from mapreduce_big_data_processing_spark.plans.iterate import iterate
 
+    # edges are consumed once per iteration: materialize them, or a lazy
+    # upstream (tokenize→pairs→normalize) re-executes 10× — the Spark twin
+    # of the reference's per-iteration HDFS re-read, and the first thing
+    # that kills iterative jobs at scale
+    edges = edges.cache()
     vertices = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .cache()
     )
-    n = vertices.count()  # scalar driver value; tiny
+    n = vertices.count()  # scalar driver value; tiny; also warms the caches
     out_nodes = edges.select(F.col("src").alias("node")).distinct()
+    # graph structure is fixed across iterations: detect dangling nodes ONCE;
+    # graphs without them (e.g. symmetric co-occurrence graphs) skip the
+    # per-iteration anti-join + aggregate entirely — one job less per round
+    dangling_nodes = vertices.join(out_nodes, "node", "left_anti").cache()
+    has_dangling = dangling_nodes.limit(1).count() > 0
 
     def step(ranks: DataFrame, i: int) -> DataFrame:
         contrib = (
@@ -73,14 +84,13 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        dangling = (
-            ranks.join(out_nodes, "node", "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
-        )
-        return (
-            vertices.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
+        new_ranks = vertices.join(contrib, "node", "left")
+        if has_dangling:
+            dangling = (
+                ranks.join(dangling_nodes, "node", "left_semi")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+            )
+            return new_ranks.crossJoin(F.broadcast(dangling)).select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
@@ -88,6 +98,12 @@ def pagerank(
                     * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / n)
                 ).alias("pr"),
             )
+        return new_ranks.select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("pr"),
         )
 
     ranks = vertices.withColumn("pr", F.lit(1.0 / n))
@@ -107,10 +123,12 @@ def label_propagation(
     """
     from mapreduce_big_data_processing_spark.plans.iterate import iterate
 
+    edges = edges.cache()  # see pagerank: lazy edges re-execute per round
     vertices = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .cache()
     )
 
     def step(labels: DataFrame, i: int) -> DataFrame:

@@ -212,15 +212,23 @@ def knn_classify(
     (`…/KNNMapper.java:113-183`); here the *test* side broadcasts (queries
     are the small side in batch scoring) and top-k is a window.
     """
-    t = test.select(F.col(id_col).alias("__tid"), F.col(vec_col).alias("__tvec"))
-    scored = train.join(F.broadcast(t), F.col(id_col) != F.col("__tid")).select(
-        F.col("__tid"),
-        F.col(label_col),
-        cosine(F.col("__tvec"), F.col(vec_col)).alias("sim"),
-        F.col(id_col).alias("__nbr"),
+    from mapreduce_big_data_processing_spark.operators.similarity import (
+        _batch_scored_candidates,
     )
-    w = Window.partitionBy("__tid").orderBy(F.desc("sim"), F.asc("__nbr"))
-    top = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+    q = test.select(F.col(id_col).alias("__tid"), F.col(vec_col))
+    cand = _batch_scored_candidates(
+        train, q, k, id_col, vec_col, "__tid"
+    ).withColumnRenamed(id_col, "__nbr")
+    w = Window.partitionBy("__tid").orderBy(F.desc("cosine"), F.asc("__nbr"))
+    top = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .join(
+            train.select(F.col(id_col).alias("__nbr"), label_col), "__nbr"
+        )
+        .withColumnRenamed("cosine", "sim")
+    )
     votes = top.groupBy("__tid", label_col).agg(
         F.count(F.lit(1)).alias("votes"), F.max("sim").alias("best_sim")
     )
@@ -256,7 +264,7 @@ def kmeans(
     """
     pts = points.select(
         F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
-    )
+    ).cache()  # re-scanned every assignment round otherwise
     w_init = Window.orderBy(F.asc(id_col))
     centroids = (
         pts.withColumn("rn", F.row_number().over(w_init))

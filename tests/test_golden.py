@@ -123,6 +123,19 @@ def test_edge_normalization_project2(spark):
     assert qf["戚长发"] == pytest.approx(0.25)
 
 
+def test_pagerank_dangling_mass(spark):
+    """G3 — dangling-node handling (`ppt/Ch8….pdf p.11-14`): a→b with b a
+    sink. One iteration by hand: pr(a)=0.075+0.85·(0+0.25)=0.2875,
+    pr(b)=0.075+0.85·(0.5+0.25)=0.7125; mass stays 1."""
+    edges = spark.createDataFrame([("a", "b", 1.0)], "src string, dst string, weight double")
+    pr1 = {r.node: r.pr for r in G.pagerank(edges, max_iter=1).collect()}
+    assert pr1["a"] == pytest.approx(0.2875)
+    assert pr1["b"] == pytest.approx(0.7125)
+    pr10 = G.pagerank(edges, max_iter=10)
+    total = pr10.agg(F.sum("pr")).collect()[0][0]
+    assert total == pytest.approx(1.0)
+
+
 def test_label_propagation_two_communities(spark):
     """G4 — two dense triangles joined by one weak edge must resolve into
     two communities under weighted LPA."""

@@ -55,8 +55,10 @@ def test_lsh_plan_has_no_cartesian(spark, sf_dir):
     plan = S.lsh_topk(emb, q, _seeded_planes(), k=10)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     brute_plan = S.brute_force_topk(emb, q, k=10)._jdf.queryExecution().executedPlan().toString()
-    # brute force intentionally is the nested-loop baseline
-    assert "BroadcastNestedLoopJoin" in brute_plan or "CartesianProduct" in brute_plan
+    # brute force streams the corpus through one Arrow-vectorized stage —
+    # no join of the corpus against itself at all
+    assert "MapInPandas" in brute_plan
+    assert "CartesianProduct" not in brute_plan
 
 
 def test_embedding_near_dup_lsh_path_is_subset(spark, sf_dir):
