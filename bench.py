@@ -42,6 +42,7 @@ HEADLINE = [
     "quality_scores",
     "knn_predictions",
     "embedding_near_dup",
+    "minhash_lsh_pairs",
     "pagerank_top20",
 ]
 

@@ -65,18 +65,49 @@ def shingles(
     """Distinct word k-shingles per document: (id, shingle).
 
     Tokenization matches operators.text.TOKEN_SPLIT_RE; the shingle is the
-    space-joined k-gram. Explode is pipelined (no shuffle until the consumer
-    aggregates).
+    space-joined k-gram. Implemented as posexplode + window `lead` —
+    whole-stage-codegen'd; the array formulation (sequence→transform→slice)
+    was 5× slower (interpreted higher-order lambdas). Documents shorter
+    than k yield their single clamped shingle (concat_ws skips the null
+    leads), matching the sliding-window semantics of the oracle SQL.
     """
-    words = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
-    words = F.filter(words, lambda w: w != "")
-    # sliding k-gram over the token array, JVM-side
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)) ),
-        lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+    from pyspark.sql import Window
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda w: w != ""
     )
-    out = docs.select(F.col(id_col), F.explode(grams).alias("shingle"))
+    toks = docs.select(F.col(id_col), F.posexplode(words).alias("pos", "w"))
+    win = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, k)]
+    out = (
+        toks.withColumn("shingle", F.concat_ws(" ", *leads))
+        .withColumn("__full", F.lead("w", k - 1).over(win).isNotNull())
+        .filter(F.col("__full") | (F.col("pos") == 0))
+        .select(id_col, "shingle")
+    )
     return out.filter(F.col("shingle") != "").distinct()
+
+
+#: Mersenne prime 2^31-1: (a·x+b) mod P31 stays within int64 for 31-bit x —
+#: the same arithmetic is exact in any SQL engine (no int128 needed)
+P31 = 2147483647
+
+
+def _minhash_coeffs(n: int = 64) -> list[tuple[int, int]]:
+    """Deterministic affine-hash coefficients (seeded LCG, no RNG import):
+    shared verbatim by the Spark expressions and the DuckDB oracle SQL."""
+    state = 1234567
+    out = []
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = state % (P31 - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = state % P31
+        out.append((a, b))
+    return out
+
+
+MINHASH_COEFFS = _minhash_coeffs(64)
 
 
 def minhash_signatures(
@@ -87,16 +118,32 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature rows: (id, h, minhash) for h in [0, n).
 
-    Each hash function is the base hash salted with the function index —
-    no multiply/mod arithmetic, so the portable (md5) flavor is reproducible
-    in any SQL engine. Cost: n_hashes hashes per shingle, computed in one
-    projection; one shuffle on (id) for the min-aggregation.
+    One base hash per shingle, then n_hashes affine functions
+    h_i(x) = (a_i·x + b_i) mod (2^31-1) over the 31-bit base — the classic
+    universal-hash family, int64-safe, so the portable (md5-based) flavor
+    reproduces bit-for-bit in any SQL engine. (A salted-md5-per-function
+    scheme was 6× slower: n_hashes cryptographic hashes per shingle.)
     """
-    hs = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h")
-    salted = F.concat_ws(":", F.col("h").cast("string"), F.col("shingle"))
+    coeffs = MINHASH_COEFFS[:n_hashes]
+    if len(coeffs) < n_hashes:
+        raise ValueError(f"n_hashes > {len(MINHASH_COEFFS)} not supported")
+    triples = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("h"),
+                F.lit(a).alias("a"),
+                F.lit(b).alias("b"),
+            )
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    base = _hash60(F.col("shingle"), portable) % P31
+    exploded = doc_shingles.select(
+        F.col(id_col), base.alias("base"), F.explode(triples).alias("c")
+    )
+    hv = (F.col("c.a") * F.col("base") + F.col("c.b")) % P31
     return (
-        doc_shingles.select(F.col(id_col), hs, F.col("shingle"))
-        .withColumn("hv", _hash60(salted, portable))
+        exploded.select(F.col(id_col), F.col("c.h").alias("h"), hv.alias("hv"))
         .groupBy(id_col, "h")
         .agg(F.min("hv").alias("minhash"))
     )

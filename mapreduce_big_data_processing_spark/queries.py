@@ -672,15 +672,26 @@ def exact_dedup(spark, sf_dir):
     return D.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+def _minhash_values_sql(n_hashes: int = 16) -> str:
+    from mapreduce_big_data_processing_spark.operators.dedup import MINHASH_COEFFS
+
+    return ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_COEFFS[:n_hashes])
+    )
+
+
 @query(
     "minhash_lsh_pairs",
     f"""
     WITH sh AS ({_SHINGLES_SQL}),
+    based AS (
+      SELECT doc_id, shingle,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647
+               AS base
+      FROM sh),
     mh AS (
-      SELECT doc_id, h,
-             min(CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || ':' || shingle), 1, 15))
-                 AS BIGINT)) AS minhash
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS h) hs
+      SELECT doc_id, h, min((a * base + b) % 2147483647) AS minhash
+      FROM based CROSS JOIN (VALUES {_minhash_values_sql(16)}) c(h, a, b)
       GROUP BY doc_id, h),
     banded AS (
       SELECT doc_id, CAST(h // 4 AS INT) AS band,
@@ -712,7 +723,10 @@ def minhash_lsh_pairs(spark, sf_dir):
     from mapreduce_big_data_processing_spark.operators import dedup as D
 
     docs = _t(spark, sf_dir, "documents")
-    sh = D.shingles(docs, k=3)
+    # the shingle set feeds signatures AND both sides of the verification
+    # join AND the size table — cache it or the tokenize→slice→distinct
+    # subplan executes five times
+    sh = D.shingles(docs, k=3).cache()
     sig = D.minhash_signatures(sh, n_hashes=16, portable=True)
     cand = D.lsh_candidate_pairs(sig, n_hashes=16, bands=4)
     out = D.jaccard_pairs(sh, min_jaccard=0.5, candidates=cand)
