@@ -182,6 +182,88 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "bucket",
+) -> DataFrame:
+    """IVF bucketing: assign each vector to its nearest centroid (NumPy
+    batch pass). ``centroids`` is a small driver-side list — from
+    operators.ml.kmeans output or a deterministic sample."""
+    import numpy as np
+
+    c = np.array(centroids, dtype="float64")
+    cn = np.linalg.norm(c, axis=1)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((c, cn))
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cm, cnn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            vn = np.linalg.norm(v, axis=1)
+            sims = (v @ cm.T) / np.outer(vn, cnn)
+            pdf = pdf.copy()
+            pdf[out] = np.argmax(sims, axis=1).astype("int32")
+            yield pdf
+
+    fields = ", ".join(f"{c_} {t}" for c_, t in corpus.dtypes)
+    return corpus.mapInPandas(assign, schema=f"{fields}, {out} int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN top-k: score each query only against the ``n_probe`` nearest
+    centroid buckets. Recall grows with n_probe (n_probe = n_centroids is
+    exact). The corpus-side win at scale: the bucket column is a partition/
+    cluster key, so probes prune partitions instead of scanning 100 TB.
+    Output schema matches brute_force_topk."""
+    import numpy as np
+
+    cb = ivf_assign(corpus, centroids, id_col, vec_col)
+    c = np.array(centroids, dtype="float64")
+    cn = np.linalg.norm(c, axis=1)
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(r[1], dtype="float64")
+        sims = (c @ qv) / (cn * np.linalg.norm(qv))
+        for b in np.argsort(-sims)[:n_probe]:
+            probe_rows.append((r[0], int(b)))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_rows, f"{query_id_col} long, bucket int")
+    # restrict the corpus to probed buckets, then exact-rescore per query
+    probed = cb.join(F.broadcast(probes.select("bucket").distinct()), "bucket")
+    cand = _batch_scored_candidates(
+        probed, queries, k, id_col, vec_col, query_id_col
+    )
+    # keep only (query, vector) pairs whose bucket was probed for THAT query
+    cand = cand.join(
+        cb.select(F.col(id_col), "bucket"), id_col
+    ).join(F.broadcast(probes), [query_id_col, "bucket"], "left_semi")
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     threshold: float = 0.95,

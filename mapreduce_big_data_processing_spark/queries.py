@@ -1630,6 +1630,24 @@ def approx_distinct_users(spark, sf_dir):
     )
 
 
+@query("ivf_similarity_topk")  # ANN (recall < 1 at n_probe<n): rows-only
+def ivf_similarity_topk(spark, sf_dir):
+    """IVF ANN top-10 (16 deterministic centroids, 4 probes) — the
+    partition-pruning scale path; exactness at full probe + recall
+    monotonicity tested in tests/test_similarity.py."""
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = [r.embedding for r in emb.orderBy("vec_id").limit(16).collect()]
+    out = S.ivf_topk(emb, q, cents, k=10, n_probe=4)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -61,6 +61,39 @@ def test_lsh_plan_has_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in brute_plan
 
 
+def _centroids(spark, sf_dir, n=16):
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    return [r.embedding for r in emb.orderBy("vec_id").limit(n).collect()]
+
+
+def test_ivf_recall_and_exactness(spark, sf_dir):
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = _centroids(spark, sf_dir, 16)
+    brute = _sets(S.brute_force_topk(emb, q, k=10))
+    ivf = _sets(S.ivf_topk(emb, q, cents, k=10, n_probe=4))
+    hits = sum(len(ivf.get(k_, set()) & v) for k_, v in brute.items())
+    recall4 = hits / sum(len(v) for v in brute.values())
+    assert recall4 >= 0.2, recall4
+    # probing every bucket must be exact (ANN → exact continuum)
+    full = _sets(S.ivf_topk(emb, q, cents, k=10, n_probe=16))
+    assert full == brute
+    # more probes ⇒ recall never decreases
+    ivf8 = _sets(S.ivf_topk(emb, q, cents, k=10, n_probe=8))
+    hits8 = sum(len(ivf8.get(k_, set()) & v) for k_, v in brute.items())
+    assert hits8 >= hits
+
+
+def test_ivf_assign_covers_corpus(spark, sf_dir):
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    cents = _centroids(spark, sf_dir, 8)
+    assigned = S.ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    assert assigned.filter((F.col("bucket") < 0) | (F.col("bucket") >= 8)).count() == 0
+
+
 def test_embedding_near_dup_lsh_path_is_subset(spark, sf_dir):
     emb = catalog.load(spark, "embeddings", sf_dir)
     exact = {

@@ -85,6 +85,33 @@ def test_keyed_scan_paths(spark, sf_dir):
     assert rng.count() == 10
 
 
+def test_bucketed_table_join_skips_shuffle(spark, sf_dir, tmp):
+    """S11 — bucketBy co-location: a join between two tables bucketed on
+    the key must plan without an Exchange on either side (the declarative
+    form of the reference's custom-Partitioner co-grouping)."""
+    from mapreduce_big_data_processing_spark import catalog
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    o = catalog.load(spark, "orders", sf_dir)
+    c = catalog.load(spark, "customer", sf_dir)
+    WR.save_as_table(o, "b_orders", bucket_cols=["o_custkey"], n_buckets=8)
+    WR.save_as_table(
+        c.withColumnRenamed("c_custkey", "o_custkey"), "b_customer",
+        bucket_cols=["o_custkey"], n_buckets=8,
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
 def test_streaming_windowed_count_matches_batch(spark, sf_dir, tmp):
     """§2.10 — the streaming twin must produce the batch answer on a
     bounded input (same F.window expression, two modes)."""
