@@ -1630,6 +1630,58 @@ def approx_distinct_users(spark, sf_dir):
     )
 
 
+@query(
+    "global_price_rank",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, rnk FROM (
+      SELECT o_orderkey, o_totalprice,
+             CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                  AS INT) AS rnk
+      FROM orders)
+    WHERE rnk <= 100
+    """,
+)
+def global_price_rank(spark, sf_dir):
+    """O1 — total-order sort made hash-checkable: the rank VALUE encodes the
+    global order (TeraSort semantics, `ppt/Ch5….pdf p.32-38`; Spark's range
+    partitioner samples where Hadoop needed TotalOrderPartitioner+trie)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 100)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rnk")
+    )
+
+
+@query(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+               AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark, sf_dir):
+    """S10 — HBase cell-versioning semantics (`ppt/Ch6….pdf p.60-62`: reads
+    return the newest version per key): latest event per user via a
+    timestamp-descending window."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
 @query("ivf_similarity_topk")  # ANN (recall < 1 at n_probe<n): rows-only
 def ivf_similarity_topk(spark, sf_dir):
     """IVF ANN top-10 (16 deterministic centroids, 4 probes) — the
