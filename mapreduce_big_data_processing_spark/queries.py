@@ -1790,6 +1790,82 @@ def forecast_revenue_change(spark, sf_dir):
     )
 
 
+@query(
+    "tfidf_reference_semantics",
+    f"""
+    WITH toks AS ({_TOKS_SQL}),
+    tf AS (
+      SELECT doc_id, word,
+             CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY doc_id) AS tf
+      FROM toks GROUP BY doc_id, word),
+    dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM toks)
+    SELECT tf.doc_id, tf.word, round(tf.tf * (n.n / dfreq.df), 8) AS tfidf
+    FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n
+    """,
+)
+def tfidf_reference_semantics(spark, sf_dir):
+    """A6 quirk mode — the reference's IDF has NO logarithm
+    (`…/TF_IDF_Compute.java:232`: idf = N/df). Same pipeline as `tfidf`
+    with `reference_semantics=True`; both modes oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokenize(docs, keep_cols=["doc_id"])
+    out = TX.tf_idf(toks, reference_semantics=True)
+    return out.select("doc_id", "word", F.round("tfidf", 8).alias("tfidf"))
+
+
+@query(
+    "nb_predictions_reference_mode",
+    f"""
+    WITH toks AS ({_TOKS_SQL}),
+    train AS (
+      SELECT t.doc_id, d.lang, t.word
+      FROM toks t JOIN documents d USING (doc_id) WHERE d.doc_id % 2 = 0),
+    test_w AS (SELECT DISTINCT doc_id, word FROM toks WHERE doc_id % 2 = 1),
+    nw AS (SELECT doc_id, count(*) AS nw FROM test_w GROUP BY doc_id),
+    priors AS (SELECT lang, count(DISTINCT doc_id) AS n_docs FROM train GROUP BY lang),
+    tot AS (SELECT sum(n_docs) AS nd FROM priors),
+    wc AS (SELECT lang, word, count(*) AS cnt FROM train GROUP BY lang, word),
+    vocab AS (SELECT count(DISTINCT word) AS v FROM train),
+    ct AS (SELECT lang, sum(cnt) AS total_tf FROM wc GROUP BY lang),
+    cls AS (
+      SELECT p.lang,
+             ln(-ln(CAST(p.n_docs AS DOUBLE) / tot.nd)) AS ln_abs_logprior,
+             ln(CAST(ct.total_tf + vocab.v AS DOUBLE)) AS log_denom
+      FROM priors p JOIN ct USING (lang) CROSS JOIN tot CROSS JOIN vocab),
+    matched AS (
+      SELECT w.doc_id, wc.lang,
+             sum(ln(cls.log_denom - ln(wc.cnt + 1)) - ln(cls.log_denom)) AS adj
+      FROM test_w w JOIN wc ON w.word = wc.word JOIN cls ON wc.lang = cls.lang
+      GROUP BY w.doc_id, wc.lang),
+    cells AS (
+      SELECT nw.doc_id, cls.lang,
+             coalesce(m.adj, 0::DOUBLE) + nw.nw * ln(cls.log_denom)
+               + cls.ln_abs_logprior AS v
+      FROM nw CROSS JOIN cls
+      LEFT JOIN matched m ON m.doc_id = nw.doc_id AND m.lang = cls.lang),
+    pick AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY doc_id ORDER BY v, lang) AS rn
+      FROM cells)
+    SELECT doc_id, lang AS pred FROM pick WHERE rn = 1
+    """,
+)
+def nb_predictions_reference_mode(spark, sf_dir):
+    """M3 quirk mode — the reference's scoring
+    (`…/PredictMapper.java:79-86`: product of per-word log-probs over
+    DISTINCT words, argmin of |Π·log prior|), oracle-checked via the
+    Σ ln(−log p) monotone transform. Standard mode is `nb_predictions`."""
+    from mapreduce_big_data_processing_spark.operators import ml as ML
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokenize(docs, keep_cols=["doc_id", "lang"])
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    test = toks.filter(F.col("doc_id") % 2 == 1).select("doc_id", "word")
+    model = ML.nb_train(train, label_col="lang")
+    return ML.nb_predict(test, model, label_col="lang", reference_semantics=True)
+
+
 @query("ivf_similarity_topk")  # ANN (recall < 1 at n_probe<n): rows-only
 def ivf_similarity_topk(spark, sf_dir):
     """IVF ANN top-10 (16 deterministic centroids, 4 probes) — the
