@@ -132,6 +132,16 @@ def brute_force_topk(
     )
 
 
+def _signature_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Hyperplane-signature expression: bit i = sign(<v, plane_i>)."""
+    sig = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = (_dot(F.transform(vec, lambda x: x.cast("double")), plane) > 0).cast("bigint")
+        sig = sig + F.shiftleft(bit, i)
+    return sig
+
+
 def hyperplane_signature(
     df: DataFrame, planes: list[list[float]], vec_col: str = "embedding", out: str = "bucket"
 ) -> DataFrame:
@@ -140,12 +150,43 @@ def hyperplane_signature(
     ``planes`` are driver-provided constants (seeded NumPy normals embedded
     as literals), so signatures are deterministic and cluster-reproducible.
     """
-    sig = F.lit(0).cast("bigint")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = (_dot(F.transform(F.col(vec_col), lambda x: x.cast("double")), plane) > 0).cast("bigint")
-        sig = sig + F.shiftleft(bit, i)
-    return df.withColumn(out, sig)
+    return df.withColumn(out, _signature_expr(F.col(vec_col), planes))
+
+
+def _multiprobe_buckets(
+    q_rows: list[tuple], planes: list[list[float]], n_probe: int
+) -> list[tuple]:
+    """Query-directed multi-probe bucket list (Lv et al., VLDB'07): probe
+    the query's own bucket first, then buckets reached by flipping the
+    lowest-|margin| signature bits, in increasing sum-of-squared-margin
+    cost. Flip sets are capped at 3 bits (cost-sorted, ample for practical
+    n_probe); ``n_probe >= 2**L`` degenerates to scanning every bucket,
+    which makes the ANN exact. Runs driver-side over the (small) query set.
+    """
+    from itertools import combinations
+
+    import numpy as np
+
+    P = np.asarray(planes, dtype="float64")
+    L = len(planes)
+    flip_sets: list[tuple[tuple[int, ...], int]] = [((), 0)]
+    for r in range(1, min(L, 3) + 1):
+        for comb in combinations(range(L), r):
+            mask = 0
+            for i in comb:
+                mask |= 1 << i
+            flip_sets.append((comb, mask))
+    out = []
+    for qid, vec in q_rows:
+        d = P @ np.asarray(vec, dtype="float64")
+        base = sum(1 << i for i in range(L) if d[i] > 0)
+        if n_probe >= (1 << L):
+            out.extend((qid, b) for b in range(1 << L))
+            continue
+        cost2 = d * d
+        ranked = sorted(flip_sets, key=lambda fs: sum(cost2[i] for i in fs[0]))
+        out.extend((qid, base ^ mask) for _, mask in ranked[:n_probe])
+    return out
 
 
 def lsh_topk(
@@ -153,20 +194,40 @@ def lsh_topk(
     queries: DataFrame,
     planes: list[list[float]],
     k: int = 10,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """ANN top-k: bucket by hyperplane signature, exact re-rank per bucket.
 
-    Recall < 1 by construction (single probe); the scale win is that the
-    join is an equi-join on bucket instead of a crossJoin. Output schema
-    matches brute_force_topk.
+    ``n_probe`` > 1 enables query-directed multi-probe (flip the
+    lowest-margin signature bits): recall grows with n_probe at the cost of
+    probing more buckets, and n_probe ≥ 2**len(planes) is exact. The corpus
+    keeps ONE signature per vector either way — multi-probe expands only the
+    (small, broadcast) query side, so the 100 TB side is never replicated.
+    The scale win is that the join is an equi-join on bucket instead of a
+    crossJoin. Output schema matches brute_force_topk.
     """
     cb = hyperplane_signature(corpus, planes, vec_col)
-    qb = hyperplane_signature(
-        queries.select(query_id_col, F.col(vec_col).alias("__qvec")), planes, "__qvec"
-    )
+    if n_probe > 1:
+        q_rows = [
+            (r[0], r[1]) for r in queries.select(query_id_col, vec_col).collect()
+        ]
+        probes = _multiprobe_buckets(q_rows, planes, n_probe)
+        spark = corpus.sparkSession
+        qid_type = dict(queries.dtypes)[query_id_col]
+        probe_df = spark.createDataFrame(
+            probes, f"{query_id_col} {qid_type}, bucket bigint"
+        )
+        qb = probe_df.join(
+            queries.select(query_id_col, F.col(vec_col).alias("__qvec")),
+            query_id_col,
+        )
+    else:
+        qb = hyperplane_signature(
+            queries.select(query_id_col, F.col(vec_col).alias("__qvec")), planes, "__qvec"
+        )
     scored = cb.join(F.broadcast(qb), "bucket").filter(
         F.col(id_col) != F.col(query_id_col)
     ).select(
@@ -270,15 +331,49 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: list[list[float]] | None = None,
+    plane_tables: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
 
     With ``planes``, pairs generate within LSH buckets via expression-level
-    joins (the 100 TB path — no broadcast of the corpus). Without, exact
-    all-pairs: the corpus streams against a broadcast copy of itself
-    through a NumPy matmul stage (bounded-corpus path; the 12.5 M-pair
-    expression-tree cosine this replaced was ~100× slower).
+    joins (the 100 TB path — no broadcast of the corpus). With
+    ``plane_tables`` (T independent plane sets), OR-amplified multi-table
+    LSH: a pair is a candidate if it collides in ANY table — recall grows
+    with T while each table's bucket join stays an equi-join; implemented
+    as ONE shuffle on (table_id, bucket) via posexplode of the per-table
+    signature array, not T separate joins. Without either, exact all-pairs:
+    the corpus streams against a broadcast copy of itself through a NumPy
+    matmul stage (bounded-corpus path; the 12.5 M-pair expression-tree
+    cosine this replaced was ~100× slower).
     """
+    if plane_tables is not None:
+        def tabled(side: str):
+            s = corpus.select(
+                F.col(id_col).alias(f"id_{side}"),
+                F.col(vec_col).alias(f"__v{side}"),
+            ).withColumn(
+                "__sigs",
+                F.array(
+                    *[_signature_expr(F.col(f"__v{side}"), t) for t in plane_tables]
+                ),
+            )
+            return s.select(
+                f"id_{side}",
+                f"__v{side}",
+                F.posexplode("__sigs").alias("table_id", "bucket"),
+            )
+
+        pairs = (
+            tabled("a")
+            .join(tabled("b"), ["table_id", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])  # collisions in >1 table
+        )
+        return (
+            pairs.withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
     if planes is not None:
         a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
         b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))

@@ -1568,10 +1568,10 @@ def hive_style_sql_join(spark, sf_dir):
     )
 
 
-def _seeded_planes(n_planes: int = 3, dim: int = 64) -> list[list[float]]:
+def _seeded_planes(n_planes: int = 3, dim: int = 64, seed: int = 42) -> list[list[float]]:
     """Deterministic hyperplanes (seeded LCG, no numpy dependency at plan
     build): reproducible across sessions and clusters."""
-    state = 42
+    state = seed
     planes = []
     for _ in range(n_planes):
         row = []
@@ -1598,6 +1598,40 @@ def lsh_similarity_topk(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
+
+
+@query("multiprobe_lsh_topk")  # ANN (recall < 1 at n_probe < 2^L): rows-only
+def multiprobe_lsh_topk(spark, sf_dir):
+    """Query-directed multi-probe LSH ANN top-10 (8 hyperplanes, 8 probes):
+    each query also probes the buckets reached by flipping its lowest-margin
+    signature bits (Lv et al., VLDB'07), trading bucket scans for recall
+    without replicating the corpus side. Recall vs single-probe and the
+    exactness limit (n_probe = 2^L) are asserted in tests/test_similarity.py."""
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.lsh_topk(emb, q, _seeded_planes(n_planes=8), k=10, n_probe=8)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+@query("banded_near_dup")  # LSH candidate recall < 1: rows-only
+def banded_near_dup(spark, sf_dir):
+    """OR-amplified multi-table LSH near-duplicate pairs (4 independent
+    4-plane tables): a pair is a candidate if it collides in ANY table.
+    One shuffle on (table_id, bucket) — the self-join near-dup scale path
+    with a recall knob (subset-of-exact and recall ≥ single-table asserted
+    in tests/test_similarity.py)."""
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tables = [_seeded_planes(n_planes=4, seed=s) for s in (42, 43, 44, 45)]
+    out = S.embedding_near_dup(emb, threshold=0.45, plane_tables=tables)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 @query(

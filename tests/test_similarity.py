@@ -94,6 +94,70 @@ def test_ivf_assign_covers_corpus(spark, sf_dir):
     assert assigned.filter((F.col("bucket") < 0) | (F.col("bucket") >= 8)).count() == 0
 
 
+def test_multiprobe_recall_monotone_and_exact(spark, sf_dir):
+    """Multi-probe LSH: recall never decreases with n_probe, and probing
+    all 2^L buckets is exact (the ANN → exact continuum, like IVF)."""
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    planes = _seeded_planes()
+    brute = _sets(S.brute_force_topk(emb, q, k=10))
+
+    def recall(n_probe):
+        got = _sets(S.lsh_topk(emb, q, planes, k=10, n_probe=n_probe))
+        return sum(len(got.get(k_, set()) & v) for k_, v in brute.items())
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    # 3 planes → 8 buckets; n_probe=8 scans them all → exact
+    assert _sets(S.lsh_topk(emb, q, planes, k=10, n_probe=8)) == brute
+
+
+def test_multiprobe_plan_has_no_cartesian(spark, sf_dir):
+    """Multi-probe expands only the broadcast query side; the corpus join
+    stays a bucket equi-join."""
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = (
+        S.lsh_topk(emb, q, _seeded_planes(), k=10, n_probe=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_near_dup_multitable_recall(spark, sf_dir):
+    """OR-amplified multi-table near-dup: still a subset of the exact pair
+    set, and T=4 tables find at least as many pairs as table 1 alone."""
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_dup(emb, threshold=0.45).collect()
+    }
+    tables = [_seeded_planes(n_planes=4, seed=s) for s in (42, 43, 44, 45)]
+    multi = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_dup(
+            emb, threshold=0.45, plane_tables=tables
+        ).collect()
+    }
+    single = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_dup(
+            emb, threshold=0.45, planes=tables[0]
+        ).collect()
+    }
+    assert multi <= exact
+    assert single <= multi
+    # no duplicate pairs despite collisions in several tables
+    rows = S.embedding_near_dup(emb, threshold=0.45, plane_tables=tables).collect()
+    assert len(rows) == len({(r.id_a, r.id_b) for r in rows})
+
+
 def test_embedding_near_dup_lsh_path_is_subset(spark, sf_dir):
     emb = catalog.load(spark, "embeddings", sf_dir)
     exact = {
