@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_big_data_processing_spark import catalog
 from mapreduce_big_data_processing_spark.operators import relational as R
+from mapreduce_big_data_processing_spark.operators import temporal as TP
 from mapreduce_big_data_processing_spark.operators import text as TX
 from mapreduce_big_data_processing_spark.operators import windows as WIN
 from mapreduce_big_data_processing_spark.session import tune
@@ -1597,6 +1598,101 @@ def lsh_similarity_topk(spark, sf_dir):
     out = S.lsh_topk(emb, q, _seeded_planes(), k=10)
     return out.select(
         "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+@query(
+    "asof_click_before_purchase",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+           round(c.value, 2) AS click_value
+    FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_click_before_purchase(spark, sf_dir):
+    """Backward as-of join: each purchase picks up the latest click at or
+    before it per user (union + ordered-window plan, one shuffle on the key
+    — no inequality-join nested loop). Matched rows only (inner ASOF), so
+    the driver's row-sort comparator never sees NULL timestamps; the
+    operator itself is left-join by default. Oracle is DuckDB's native
+    ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = TP.asof_join(p, c, on="ts", by="user_id", prefix="click_")
+    out = out.filter(F.col("click_ts").isNotNull())
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_ts",
+        F.round("click_value", 2).alias("click_value"),
+    )
+
+
+@query(
+    "asof_next_purchase_after_signup",
+    """
+    WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+         p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT s.event_id, s.user_id, s.ts, p.ts AS purchase_ts,
+           round(p.value, 2) AS purchase_value
+    FROM s ASOF JOIN p ON s.user_id = p.user_id AND s.ts <= p.ts
+    """,
+)
+def asof_next_purchase_after_signup(spark, sf_dir):
+    """Forward as-of join: each signup picks up the user's earliest
+    purchase at or after it — the same one-shuffle windowed plan with the
+    time order reversed. Matched rows only (inner ASOF), like
+    asof_click_before_purchase."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = TP.asof_join(
+        s, p, on="ts", by="user_id", direction="forward", prefix="purchase_"
+    )
+    out = out.filter(F.col("purchase_ts").isNotNull())
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_ts",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
+@query(
+    "value_band_counts",
+    """
+    SELECT b.band, count(*) AS n, round(avg(e.value), 2) AS avg_value
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 5.0), ('mid', 5.0, 20.0), ('high', 20.0, 1000.0))
+         AS b(band, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def value_band_counts(spark, sf_dir):
+    """Range (interval-containment) join as a bin equi-join: events bucket
+    into literal value bands without the BroadcastNestedLoop a raw
+    inequality join plans to (plan shape asserted in
+    tests/test_temporal.py)."""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 5.0), ("mid", 5.0, 20.0), ("high", 20.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    out = TP.range_join(ev, bands, "value", "lo", "hi", bin_width=10.0)
+    return out.groupBy("band").agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 2).alias("avg_value")
     )
 
 

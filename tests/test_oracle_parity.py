@@ -42,8 +42,9 @@ def _norm(v):
 
 def _rows(cols, data):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # sort by repr: total order even when a column mixes NULL and non-NULL
     return sorted(
-        tuple(_norm(row[i]) for i in order) for row in data
+        (tuple(_norm(row[i]) for i in order) for row in data), key=repr
     ), [cols[i] for i in order]
 
 

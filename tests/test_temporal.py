@@ -1,0 +1,111 @@
+"""As-of join and range join behavior: golden semantics on hand-built
+frames, tolerance, direction, and the scale property (no nested-loop join
+in either plan)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from mapreduce_big_data_processing_spark import catalog
+from mapreduce_big_data_processing_spark.operators import temporal as TP
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _tiny(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01T10:00:00")),
+            (2, "a", _ts("2024-01-01T12:00:00")),
+            (3, "b", _ts("2024-01-01T09:00:00")),
+        ],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01T09:30:00"), 10.0),
+            ("a", _ts("2024-01-01T10:00:00"), 20.0),  # ties left id=1 exactly
+            ("a", _ts("2024-01-01T11:00:00"), 30.0),
+            ("b", _ts("2024-01-01T23:00:00"), 40.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_backward_golden(spark):
+    left, right = _tiny(spark)
+    got = {
+        r.id: (r.right_ts, r.right_v)
+        for r in TP.asof_join(left, right, on="ts", by="k").collect()
+    }
+    # inclusive: id=1 matches the equal-ts 10:00 row, not 09:30
+    assert got[1] == (_ts("2024-01-01T10:00:00"), 20.0)
+    assert got[2] == (_ts("2024-01-01T11:00:00"), 30.0)
+    assert got[3] == (None, None)  # no b-row at or before 09:00
+
+
+def test_asof_forward_and_tolerance(spark):
+    left, right = _tiny(spark)
+    fwd = {
+        r.id: r.right_v
+        for r in TP.asof_join(
+            left, right, on="ts", by="k", direction="forward"
+        ).collect()
+    }
+    assert fwd == {1: 20.0, 2: None, 3: 40.0}
+    # 30-minute tolerance drops b's 14-hour-away forward match
+    tol = {
+        r.id: r.right_v
+        for r in TP.asof_join(
+            left, right, on="ts", by="k", direction="forward", tolerance=1800
+        ).collect()
+    }
+    assert tol == {1: 20.0, 2: None, 3: None}
+
+
+def test_asof_plan_has_no_nested_loop(spark, sf_dir):
+    ev = catalog.load(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    plan = (
+        TP.asof_join(p, c, on="ts", by="user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_matches_naive_and_plans_equi(spark, sf_dir):
+    ev = catalog.load(spark, "events", sf_dir).select("event_id", "value")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 5.0), ("mid", 5.0, 20.0), ("high", 20.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    binned = TP.range_join(ev, bands, "value", "lo", "hi", bin_width=10.0)
+    naive = ev.join(
+        bands, (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    assert sorted((r.event_id, r.band) for r in binned.collect()) == sorted(
+        (r.event_id, r.band) for r in naive.collect()
+    )
+    plan = binned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in naive_plan  # what the binning avoids
+
+
+def test_range_join_closed_both(spark):
+    left = spark.createDataFrame([(1, 5.0), (2, 10.0)], "id long, v double")
+    right = spark.createDataFrame([("x", 0.0, 10.0)], "band string, lo double, hi double")
+    half = TP.range_join(left, right, "v", "lo", "hi", bin_width=4.0)
+    assert [r.id for r in half.collect()] == [1]
+    both = TP.range_join(left, right, "v", "lo", "hi", bin_width=4.0, closed="both")
+    assert sorted(r.id for r in both.collect()) == [1, 2]
