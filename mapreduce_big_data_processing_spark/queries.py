@@ -1696,6 +1696,126 @@ def value_band_counts(spark, sf_dir):
     )
 
 
+@query(
+    "clean_corpus",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS words
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(words) AS INT) AS n_words,
+             CASE WHEN len(words) > 0
+                  THEN CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+                       / len(words)
+                  ELSE 0.0 END AS mean_wlen,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(text) -
+                            length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                       / length(text)
+                  ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(words) > 0
+                  THEN CAST(len(list_filter(words, w -> list_contains(
+                         ['the','is','and','of','to','a','in','that'], w))) AS DOUBLE)
+                       / len(words)
+                  ELSE 0.0 END AS stop_ratio
+      FROM base),
+    q AS (
+      SELECT doc_id, n_words,
+             round(CAST(CASE WHEN n_words BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+                 + CASE WHEN mean_wlen BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0.0 END
+                 + CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END
+                 + CASE WHEN stop_ratio >= 0.01 THEN 0.2 ELSE 0.0 END AS DOUBLE), 2)
+               AS quality
+      FROM m),
+    hits AS (
+      SELECT doc_id,
+        CAST(len(list_filter(words, w -> list_contains(['der','die','und','das','ist','nicht','ein','zu'], w))) AS INT) AS h_de,
+        CAST(len(list_filter(words, w -> list_contains(['the','is','and','of','to','a','in','that'], w))) AS INT) AS h_en,
+        CAST(len(list_filter(words, w -> list_contains(['el','la','de','que','y','en','un','es'], w))) AS INT) AS h_es,
+        CAST(len(list_filter(words, w -> list_contains(['le','la','de','et','les','des','est','une'], w))) AS INT) AS h_fr
+      FROM base),
+    lp AS (
+      SELECT doc_id,
+             CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                  WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                  WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                  WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+      FROM hits),
+    fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents),
+    canon AS (SELECT fingerprint, min(doc_id) AS canonical_id
+              FROM fp GROUP BY fingerprint),
+    dd AS (
+      SELECT fp.doc_id FROM fp JOIN canon USING (fingerprint)
+      WHERE fp.doc_id = canon.canonical_id)
+    SELECT q.doc_id, lp.lang_pred, q.n_words, q.quality
+    FROM q JOIN lp USING (doc_id) JOIN dd USING (doc_id)
+    WHERE q.quality >= 0.9 AND lp.lang_pred <> 'und'
+    """,
+)
+def clean_corpus(spark, sf_dir):
+    """End-to-end training-data cleaning pipeline in ONE lazy plan:
+    quality-score -> language-ID -> exact-dedup canonical filter. The two
+    stat operators are pure projections that fuse into a single scan of
+    documents (whole-stage codegen); the only shuffles are the dedup
+    fingerprint groupBy and the doc_id join back. Keeps canonical,
+    high-quality, identified-language docs — the survivors a tokenizer
+    would see."""
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+    from mapreduce_big_data_processing_spark.operators import textstats as TS
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = TS.language_id(TS.quality_score(docs))
+    keep = D.exact_dedup(docs).filter(F.col("is_duplicate") == 0).select("doc_id")
+    out = scored.join(keep, "doc_id").filter(
+        (F.col("quality") >= 0.9) & (F.col("lang_pred") != "und")
+    )
+    return out.select("doc_id", "lang_pred", "n_words", "quality")
+
+
+@query(
+    "event_time_rollup",
+    """
+    SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           coalesce(strftime(date_trunc('hour', ts), '%Y-%m-%d %H'), 'ALL') AS hour,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events
+    GROUP BY ROLLUP (strftime(date_trunc('day', ts), '%Y-%m-%d'),
+                     strftime(date_trunc('hour', ts), '%Y-%m-%d %H'))
+    """,
+)
+def event_time_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup: hour, day, and grand-total
+    aggregates of the events stream in ONE shuffle via ROLLUP grouping sets
+    (the continuous-aggregate pattern — at 100 TB the hour level feeds the
+    day level map-side instead of re-scanning raw data per resolution).
+    NULL grouping keys are coalesced to 'ALL' so every engine sorts/hashes
+    the result identically."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.withColumn(
+            "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+        )
+        .withColumn(
+            "hour", F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH")
+        )
+        .rollup("day", "hour")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    return out.select(
+        F.coalesce("day", F.lit("ALL")).alias("day"),
+        F.coalesce("hour", F.lit("ALL")).alias("hour"),
+        "n",
+        "total",
+    )
+
+
 @query("multiprobe_lsh_topk")  # ANN (recall < 1 at n_probe < 2^L): rows-only
 def multiprobe_lsh_topk(spark, sf_dir):
     """Query-directed multi-probe LSH ANN top-10 (8 hyperplanes, 8 probes):
