@@ -127,26 +127,24 @@ def minhash_signatures(
     coeffs = MINHASH_COEFFS[:n_hashes]
     if len(coeffs) < n_hashes:
         raise ValueError(f"n_hashes > {len(MINHASH_COEFFS)} not supported")
-    triples = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("h"),
-                F.lit(a).alias("a"),
-                F.lit(b).alias("b"),
-            )
-            for i, (a, b) in enumerate(coeffs)
-        ]
-    )
     base = _hash60(F.col("shingle"), portable) % P31
-    exploded = doc_shingles.select(
-        F.col(id_col), base.alias("base"), F.explode(triples).alias("c")
+    # n_hashes min-aggregates over ONE pass of the shingle rows (map-side
+    # partial agg; shuffle carries n_docs rows), then unpivot to long form.
+    # The explode-by-n_hashes formulation pushed n_hashes× the rows through
+    # the shuffle and was ~1.5× slower end-to-end.
+    mins = [
+        F.min((F.lit(a) * F.col("base") + F.lit(b)) % P31).alias(f"m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    per_doc = (
+        doc_shingles.select(F.col(id_col), base.alias("base"))
+        .groupBy(id_col)
+        .agg(*mins)
     )
-    hv = (F.col("c.a") * F.col("base") + F.col("c.b")) % P31
-    return (
-        exploded.select(F.col(id_col), F.col("c.h").alias("h"), hv.alias("hv"))
-        .groupBy(id_col, "h")
-        .agg(F.min("hv").alias("minhash"))
+    stack = "stack({}, {}) as (h, minhash)".format(
+        n_hashes, ", ".join(f"{i}, m{i}" for i in range(n_hashes))
     )
+    return per_doc.select(F.col(id_col), F.expr(stack))
 
 
 def lsh_candidate_pairs(
@@ -156,7 +154,14 @@ def lsh_candidate_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs (id_a < id_b) sharing at
-    least one band. Equi-join on (band, band_signature) — never all-pairs."""
+    least one band — never all-pairs.
+
+    Pairs generate from per-(band, signature) bucket id-lists (group, then
+    expand each bucket's combinations) instead of a banded-table self-join:
+    one aggregation pass, no second execution of the signature subplan, and
+    the combination lambdas only touch tiny bucket arrays. Buckets are the
+    LSH skew point — a degenerate corpus (one giant bucket) should cap or
+    split bucket size upstream."""
     rows_per_band = n_hashes // bands
     banded = (
         signatures.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
@@ -175,12 +180,24 @@ def lsh_candidate_pairs(
             ).alias("sig")
         )
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "sig")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "sig")
+    ids = F.array_sort(F.collect_set(F.col(id_col)))
+    buckets = (
+        banded.groupBy("band", "sig")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
 
@@ -200,14 +217,23 @@ def jaccard_pairs(
     sizes = doc_shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = doc_shingles.select(F.col(id_col).alias("id_a"), "shingle")
     b = doc_shingles.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        # candidate-first: expand each candidate pair with side-a shingles,
+        # then equi-join side b on (id_b, shingle) — work is proportional to
+        # the candidate set, not to every co-occurring pair in the corpus
+        inter = (
+            candidates.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (

@@ -22,8 +22,22 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+#: word-character class shared by the tokenizing stats (ASCII alnum + CJK)
+_W = "a-z0-9\\u4e00-\\u9fff"
+
+
 def _words(text: Column) -> Column:
-    return F.filter(F.split(F.lower(text), "[^a-z0-9\\u4e00-\\u9fff]+"), lambda w: w != "")
+    return F.filter(F.split(F.lower(text), f"[^{_W}]+"), lambda w: w != "")
+
+
+def _marker_hits(low: Column, markers: list[str]) -> Column:
+    """Count standalone marker-word occurrences with one codegen'd
+    regexp_count (lookarounds emulate word boundaries over the same
+    character class `_words` splits on). Equivalent to filtering the token
+    array but ~2× faster: higher-order array lambdas are interpreted
+    per-element, regexps run inside whole-stage codegen."""
+    pat = f"(?<![{_W}])(" + "|".join(markers) + f")(?![{_W}])"
+    return F.regexp_count(low, F.lit(pat))
 
 
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -47,17 +61,18 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     of C4/Gopher rules). Single projection pass.
     """
     text = F.col(text_col)
-    words = _words(text)
-    n_words = F.size(words)
+    low = F.lower(text)
+    # regex formulations of the token-array stats: identical results to
+    # splitting + filtering the array (asserted in tests), but every pass
+    # stays in whole-stage codegen instead of interpreted array lambdas
+    n_words = F.regexp_count(low, F.lit(f"[{_W}]+"))
     n_chars = F.length(text)
+    word_chars = F.length(F.regexp_replace(low, f"[^{_W}]", ""))
     punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
-    stop_hits = F.size(
-        F.filter(words, lambda w: w.isin(*LANG_MARKERS["en"]))
+    stop_hits = _marker_hits(low, LANG_MARKERS["en"])
+    mean_wlen = F.when(n_words > 0, word_chars.cast("double") / n_words).otherwise(
+        F.lit(0.0)
     )
-    mean_wlen = F.when(
-        n_words > 0,
-        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / n_words,
-    ).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(0.0)
     stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(0.0)
     length_ok = (n_words >= 10) & (n_words <= 100000)
@@ -86,11 +101,11 @@ def language_id(docs: DataFrame, text_col: str = "text", out: str = "lang_pred")
     Deterministic and SQL-expressible (oracle-testable). The char-n-gram
     upgrade is a drop-in replacement producing the same column.
     """
-    words = _words(F.col(text_col))
+    low = F.lower(F.col(text_col))
     scores = F.array(
         *[
             F.struct(
-                F.size(F.filter(words, lambda w: w.isin(*marks))).alias("hits"),
+                _marker_hits(low, marks).alias("hits"),
                 F.lit(lang).alias("lang"),
             )
             for lang, marks in sorted(LANG_MARKERS.items())
