@@ -1780,6 +1780,57 @@ def clean_corpus(spark, sf_dir):
 
 
 @query(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both R-7 linear interpolation — value-identical
+    across engines). At 100 TB the drop-in scale path is
+    `percentile_approx` (t-digest sketch, mergeable map-side) — approx
+    results differ per engine, so the oracle pins the exact variant."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@query(
+    "returned_orders_by_priority",
+    """
+    SELECT o.o_orderpriority, count(*) AS n
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def returned_orders_by_priority(spark, sf_dir):
+    """TPC-H Q4 shape (fixture columns): EXISTS decorrelates to a LEFT
+    SEMI join on orderkey with the predicate pushed below the join (only
+    returned lineitem rows shuffle), then a small grouped count."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    late = l.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        o.join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
     "event_time_rollup",
     """
     SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
