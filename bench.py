@@ -51,7 +51,10 @@ def main() -> None:
     from mapreduce_big_data_processing_spark.session import get_session
     from mapreduce_big_data_processing_spark import queries as Q
 
-    spark = get_session("bench", cpus=CPUS)
+    # adaptive=False: at sf≤0.1 every shuffle is a few MB — AQE's per-stage
+    # re-optimization latency (~0.1 s/query) buys nothing here; it goes back
+    # on for real scale (see session.get_session docstring)
+    spark = get_session("bench", cpus=CPUS, adaptive=False)
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in Q.QUERIES]
@@ -59,20 +62,34 @@ def main() -> None:
     # JVM JIT + whole-stage-codegen warm-up: run the same plans untimed at
     # the smallest scale factor (query *time* is the metric, not JVM
     # cold-start; DuckDB has no JIT ramp to amortize)
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for name in names:
-            Q.QUERIES[name](spark, warm_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+    # Warm-up at the MEASURED scale factor: whole-stage-codegen compiles
+    # per physical plan, and AQE picks different physical plans at
+    # different scales, so a small-sf warm-up leaves the real plans cold
+    # (~0.3-0.5 s first-run compile per query). The DuckDB comparison is
+    # timed on its second run too — steady-state latency on both sides.
+    for name in names:
+        Q.QUERIES[name](spark, SF_DIR).toPandas()
+    # drop materialized .cache()s so timed runs re-execute full pipelines
+    spark.catalog.clearCache()
 
     times: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = Q.QUERIES[name](spark, SF_DIR)
-        # noop sink: full execution of every column, zero driver collection
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        # median of 3: single-shot timings on a shared box swing ±0.5 s
+        samples = []
+        for _ in range(3):
+            # each sample re-executes the FULL pipeline — drop .cache()s a
+            # previous sample materialized (DuckDB re-runs its CTEs too)
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = Q.QUERIES[name](spark, SF_DIR)
+            # Arrow collect: materialize every result value on the driver —
+            # the same contract the DuckDB comparison pays with fetchall().
+            # (A noop-format write was ~0.37 s/query slower: the InsertInto
+            # command path re-plans and runs a write-commit protocol per
+            # call.)
+            df.toPandas()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(sorted(samples)[1], 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None

@@ -110,6 +110,12 @@ TABLES: dict[str, T.StructType] = {
 }
 
 
+#: per-session DataFrame memo — building a reader re-reads parquet footers
+#: (~0.1-0.2 s via py4j); the returned plan is immutable so reuse is safe.
+#: Keyed by applicationId so a restarted session never sees stale handles.
+_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one fixture table as a DataFrame (columnar scan, pushdown-ready)."""
     if name not in TABLES:
@@ -117,6 +123,10 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     from mapreduce_big_data_processing_spark.session import tune
 
     tune(spark)  # idempotent; events needs nanosAsLong set before the scan
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _LOAD_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the file, surfaced as int64 nanos under
@@ -126,6 +136,7 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
 
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _LOAD_CACHE[key] = df
     return df
 
 

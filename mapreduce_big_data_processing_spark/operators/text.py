@@ -180,7 +180,11 @@ def tf_idf(
         idf = F.log(idf)
     weights = dfreq.crossJoin(F.broadcast(n_docs)).withColumn("idf", idf).drop("df", "__n")
     return (
-        tf.join(weights, word_col)
+        # vocabulary ≪ corpus (Zipf): broadcast the per-word weights so the
+        # (doc,word) side never re-shuffles on word — post-aggregation stats
+        # are unknown to the planner, so without the hint (and with AQE off)
+        # this becomes a sort-merge join
+        tf.join(F.broadcast(weights), word_col)
         .withColumn("tfidf", F.col("tf") * F.col("idf"))
         .select(doc_col, word_col, "tf", "idf", "tfidf")
     )

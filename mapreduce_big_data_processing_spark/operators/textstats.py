@@ -67,8 +67,10 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # stays in whole-stage codegen instead of interpreted array lambdas
     n_words = F.regexp_count(low, F.lit(f"[{_W}]+"))
     n_chars = F.length(text)
-    word_chars = F.length(F.regexp_replace(low, f"[^{_W}]", ""))
-    punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    # count matches directly — regexp_replace builds a full copy of the
+    # string just to measure it
+    word_chars = F.regexp_count(low, F.lit(f"[{_W}]"))
+    punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
     stop_hits = _marker_hits(low, LANG_MARKERS["en"])
     mean_wlen = F.when(n_words > 0, word_chars.cast("double") / n_words).otherwise(
         F.lit(0.0)

@@ -47,11 +47,20 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def get_session(app_name: str = "mapreduce-bdp-spark", cpus: int | None = None) -> SparkSession:
+def get_session(
+    app_name: str = "mapreduce-bdp-spark",
+    cpus: int | None = None,
+    adaptive: bool = True,
+) -> SparkSession:
     """Create (or fetch) the engine session.
 
     On a real cluster the master/memory conf comes from spark-submit; these
-    builder settings only matter for local runs.
+    builder settings only matter for local runs. ``adaptive`` switches AQE:
+    on by default (the 100 TB posture — runtime re-planning, skew splits),
+    but its per-stage re-optimization costs ~0.1 s/query, which only pays
+    for itself when shuffles are large; callers that KNOW the workload is
+    sub-GB (bench at sf≤0.1) pass False, exactly as shuffle partitions are
+    sized to the local core count.
     """
     n = cpus or _local_cpus()
     builder = (
@@ -60,7 +69,7 @@ def get_session(app_name: str = "mapreduce-bdp-spark", cpus: int | None = None) 
         # local mode: shuffles are in-process; fewer, fatter partitions beat
         # the 200 default at test scale, AQE re-splits if data is big
         .config("spark.sql.shuffle.partitions", str(max(n // 4, 8)))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true" if adaptive else "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
