@@ -2185,6 +2185,216 @@ def ivf_similarity_topk(spark, sf_dir):
     )
 
 
+@query(
+    "segment_pivot_revenue",
+    """
+    SELECT n_name,
+           round(sum(o_totalprice) FILTER (c_mktsegment = 'AUTOMOBILE'), 2) AS "AUTOMOBILE",
+           round(sum(o_totalprice) FILTER (c_mktsegment = 'BUILDING'), 2) AS "BUILDING",
+           round(sum(o_totalprice) FILTER (c_mktsegment = 'FURNITURE'), 2) AS "FURNITURE",
+           round(sum(o_totalprice) FILTER (c_mktsegment = 'HOUSEHOLD'), 2) AS "HOUSEHOLD",
+           round(sum(o_totalprice) FILTER (c_mktsegment = 'MACHINERY'), 2) AS "MACHINERY"
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def segment_pivot_revenue(spark, sf_dir):
+    """Pivot (crosstab): revenue per nation x market segment. The segment
+    values are passed explicitly so the plan is ONE pass — without them
+    `.pivot()` first runs a distinct-collect job over the pivot column,
+    an extra full scan at 100 TB. Pivot compiles to a single hash
+    aggregate with one output column per segment (no shuffle per cell);
+    nation/customer are broadcast dims."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", segs)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
+@query(
+    "small_quantity_part_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def small_quantity_part_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue of below-average-quantity line items for one
+    brand. The correlated scalar subquery (per-part average) is expressed as
+    a window average over the SAME shuffle that groups the brand's line
+    items — brand filter first (broadcast semi-join on the dim), so the
+    per-part average is computed over only the brand's rows (partkey
+    determines brand, so the filtered average equals the correlated
+    subquery's), never the full fact table."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    brand_parts = p.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    mine = l.join(
+        F.broadcast(brand_parts), l.l_partkey == brand_parts.p_partkey, "left_semi"
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        mine.withColumn("qty_thresh", 0.2 * F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "daily_revenue_moving_avg",
+    """
+    WITH d AS (
+      SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1)
+    SELECT day,
+           round(rev, 2) AS revenue,
+           round(avg(rev) OVER (
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+    FROM d
+    """,
+)
+def daily_revenue_moving_avg(spark, sf_dir):
+    """7-day trailing moving average of daily revenue: grouped pre-aggregate
+    then an ordered ROWS-frame window. The window runs over the already
+    aggregated per-day series (~thousands of rows regardless of fact-table
+    size) so the single-partition sort is a non-issue; the heavy lifting is
+    the partial-agg groupBy underneath. At 100 TB partition the window by
+    year if the day series itself ever grows large."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format(F.date_trunc("day", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.avg("rev").over(w), 2).alias("ma7"),
+    )
+
+
+@query(
+    "user_value_deltas",
+    """
+    WITH x AS (
+      SELECT user_id,
+             value - lag(value) OVER (
+               PARTITION BY user_id ORDER BY event_id) AS d
+      FROM events)
+    SELECT user_id,
+           CAST(count(d) AS BIGINT) AS n_deltas,
+           round(avg(abs(d)), 6) AS mean_abs_delta
+    FROM x GROUP BY user_id
+    """,
+)
+def user_value_deltas(spark, sf_dir):
+    """Per-user consecutive-event value change (lag window) aggregated to a
+    volatility metric. Ordering is by event_id (the ingestion sequence) —
+    deterministic on both engines, and immune to the nanosecond-vs-
+    microsecond timestamp precision gap between the parquet file and
+    Spark's converted column. One shuffle on user_id serves both the
+    window and the final groupBy (same key, exchange reused)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    d = F.col("value") - F.lag("value").over(w)
+    return (
+        ev.select("user_id", d.alias("d"))
+        .groupBy("user_id")
+        .agg(
+            F.count("d").alias("n_deltas"),
+            F.round(F.avg(F.abs("d")), 6).alias("mean_abs_delta"),
+        )
+    )
+
+
+@query(
+    "doc_repetition_scores",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS words
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(words) AS INT) AS n_words,
+           CAST(len(list_distinct(words)) AS INT) AS n_distinct,
+           CASE WHEN len(words) > 0
+                THEN round(1.0 - CAST(len(list_distinct(words)) AS DOUBLE)
+                           / len(words), 6)
+                ELSE 0.0 END AS repetition
+    FROM w
+    """,
+)
+def doc_repetition_scores(spark, sf_dir):
+    """Gopher-style within-document repetition signal: fraction of token
+    occurrences that are repeats (1 - distinct/total). Pure array built-ins
+    over one projection — no explode, no shuffle; a narrow map stage that
+    scales linearly and composes with `clean_corpus` as another filter
+    column."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    n = F.size(words)
+    nd = F.size(F.array_distinct(words))
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        nd.alias("n_distinct"),
+        F.when(n > 0, F.round(1.0 - nd.cast("double") / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("repetition"),
+    )
+
+
+@query(
+    "customer_spend_quartiles",
+    """
+    WITH s AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+      FROM orders GROUP BY o_custkey),
+    q AS (
+      SELECT spend, ntile(4) OVER (ORDER BY spend, o_custkey) AS quartile
+      FROM s)
+    SELECT quartile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(spend), 2) AS total_spend
+    FROM q GROUP BY quartile
+    """,
+)
+def customer_spend_quartiles(spark, sf_dir):
+    """Quartile segmentation of customers by lifetime spend (ntile window)
+    with per-quartile rollup. Spend is rounded to cents BEFORE ranking so
+    both engines rank an identical total order (float sums differ in the
+    last bits across engines; ties break on custkey). The ntile sort runs
+    over per-customer aggregates, not raw orders."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    w = Window.orderBy("spend", "o_custkey")
+    q = spend.select("spend", F.ntile(4).over(w).alias("quartile"))
+    return q.groupBy("quartile").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("spend"), 2).alias("total_spend"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
