@@ -98,6 +98,50 @@ def session_window_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame, keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts", watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state — the streaming twin of
+    operators.dedup.exact_dedup. `dropDuplicatesWithinWatermark` keeps a
+    key only until the watermark passes its event time, so state is
+    O(keys-per-watermark-window), not O(all keys ever seen): the property
+    that makes continuous ingest dedup viable at 100 TB/day (a plain
+    `dropDuplicates` on a stream never frees state). Duplicates arriving
+    within the watermark horizon are suppressed; exact-once beyond it is
+    the upstream log's job (e.g. Kafka keys)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def interval_join_stream(
+    left: DataFrame, right: DataFrame, key: str = "user_id",
+    left_ts: str = "ts", right_ts: str = "ts",
+    upper: str = "1 hour", watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream equi-join with a time-bound — each left row matches
+    right rows with the same key whose timestamp lands in
+    [left_ts, left_ts + upper]. The time bound + watermarks are what let
+    both sides' join state expire (an unbounded stream-stream join never
+    frees anything); the batch analogue is operators.temporal.range_join.
+    Column names are prefixed l_/r_ to keep the output schema stable."""
+    l = left.withWatermark(left_ts, watermark).select(
+        F.col(key).alias("l_key"),
+        F.col(left_ts).alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (key, left_ts)],
+    )
+    r = right.withWatermark(right_ts, watermark).select(
+        F.col(key).alias("r_key"),
+        F.col(right_ts).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (key, right_ts)],
+    )
+    return l.join(
+        r,
+        F.expr(f"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + interval {upper}"),
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive a bounded file-source stream to completion into an in-memory
     table (local test harness; production sinks are kafka/parquet/foreachBatch)."""

@@ -4,6 +4,7 @@ multimodal plumbing (driver extension)."""
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -215,3 +216,67 @@ def test_multimodal_resize_and_frames(spark):
     frames = MM.sample_frames(media, every_n=10)
     assert frames.count() > 0
     assert frames.filter(F.col("frame_idx") % 10 != 0).count() == 0
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir, tmp):
+    """§2.10 extension — dropDuplicatesWithinWatermark over a stream that
+    delivers every event twice (two identical files) must converge to the
+    batch distinct count, with state bounded by the watermark."""
+    from mapreduce_big_data_processing_spark import catalog
+
+    src = os.path.join(tmp, "dup_stream")
+    ev = catalog.load(spark, "events", sf_dir)
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)  # duplicate delivery
+    stream = SW.read_event_stream(spark, src)
+    SW.run_to_memory(SW.dedup_stream(stream, watermark="10 hours"), "dedup_out")
+    got = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0].n
+    assert got == ev.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp):
+    """§2.10 extension — clicks⋈purchases within 1 hour per user, as a
+    stream-stream join, must produce exactly the batch join's row set."""
+    from mapreduce_big_data_processing_spark import catalog
+
+    src = os.path.join(tmp, "ev_stream")
+    ev = catalog.load(spark, "events", sf_dir)
+    # Micro-batches must arrive in event-time order or the 10h watermark
+    # out-runs data still in flight (a randomly-partitioned write makes
+    # every file span the full month and batch 2+ rows get dropped as
+    # late). FileStreamSource orders by modification time, so write one
+    # file per week SEQUENTIALLY — ties on mod-time are not ordered.
+    for lo, hi in [(1, 9), (9, 17), (17, 25), (25, 32)]:
+        ev.filter(F.dayofmonth("ts").between(lo, hi - 1)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+    s = SW.read_event_stream(spark, src)
+    clicks = s.filter(F.col("event_type") == "click")
+    buys = s.filter(F.col("event_type") == "purchase")
+    SW.run_to_memory(
+        SW.interval_join_stream(clicks, buys, upper="1 hour", watermark="10 hours"),
+        "sj_out",
+    )
+    got = {
+        (r.l_event_id, r.r_event_id)
+        for r in spark.sql("SELECT l_event_id, r_event_id FROM sj_out").collect()
+    }
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k2"), F.col("ts").alias("bts"),
+        F.col("event_id").alias("bid"),
+    )
+    want = {
+        (r.cid, r.bid)
+        for r in c.join(
+            b,
+            (F.col("k") == F.col("k2"))
+            & (F.col("bts") >= F.col("cts"))
+            & (F.col("bts") <= F.col("cts") + F.expr("interval 1 hour")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
