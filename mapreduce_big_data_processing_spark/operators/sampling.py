@@ -1,0 +1,111 @@
+"""Deterministic sampling + sequence packing for training-data pipelines.
+
+The reference has no sampling surface (its corpora are consumed whole —
+`final project/src/final_kNN_src/phase1/TF_IDF_Compute.java:444-546` loops
+over every class folder); these operators are the driver-mandated
+LLM-pipeline extension (BASELINE.json north star): curating a 100 TB corpus
+requires *reproducible* subsetting, per-domain quotas, mixture weighting,
+and packing documents into fixed token budgets.
+
+Design rules for 100 TB:
+  - All sampling is HASH-deterministic (md5 of a stable key), never
+    `rand()`: re-runs, retried tasks, and incremental ingests select the
+    same rows, so downstream dedup/training sees a stable corpus. A
+    hash-threshold sample is a SCAN-ONLY narrow op — no shuffle, fully
+    pushdown-friendly, trivially parallel at any scale.
+  - Per-group quotas use a window only AFTER a cheap hash pre-filter
+    (when quota << group size, pre-filtering at a safe over-sample rate
+    bounds the shuffled volume; the window then runs over the survivors).
+  - Packing partitions the window by a corpus shard key so no single
+    ordered window spans the whole corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucket16(key: Column, chars: int = 4) -> Column:
+    """Uniform hash bucket as a zero-padded hex prefix of md5(key).
+
+    String compare against a hex literal gives an exact p = t/16^chars
+    keep-rate. Kept as *hex text* (not an int) so the identical predicate
+    runs on any SQL engine without 64-bit parsing builtins.
+    """
+    return F.substring(F.md5(key.cast("string")), 1, chars)
+
+
+def hash_sample(df: DataFrame, key: str, threshold_hex: str) -> DataFrame:
+    """Keep rows whose md5-bucket sorts below ``threshold_hex``.
+
+    ``threshold_hex="4000"`` keeps exactly the rows in the first quarter of
+    the 16^4 bucket space (≈25%), deterministically per key.
+    """
+    return df.filter(bucket16(F.col(key), len(threshold_hex)) < F.lit(threshold_hex))
+
+
+def weighted_mixture_sample(
+    df: DataFrame, group_col: str, key: str, rates_hex: dict[str, str],
+    default_hex: str = "0000",
+) -> DataFrame:
+    """Per-group hash sampling with different keep-rates per group value —
+    the mixture-weighting step of a training-data pipeline (e.g. keep 50%
+    of `en`, 12.5% of everything else).
+
+    The rate table folds into a single CASE expression evaluated in the
+    scan stage: no join, no shuffle, whatever the number of groups.
+    """
+    thr = F.lit(default_hex)
+    for val, t in sorted(rates_hex.items()):
+        thr = F.when(F.col(group_col) == val, F.lit(t)).otherwise(thr)
+    return df.filter(bucket16(F.col(key)) < thr)
+
+
+def quota_per_group(
+    df: DataFrame, group_cols: list[str], key: str, n: int,
+) -> DataFrame:
+    """Deterministic quota sample: the ``n`` rows with the smallest
+    md5-bucket per group (ties broken by the key itself) — balanced
+    per-domain subsetting with a stable, order-independent selection.
+
+    At scale: one shuffle on ``group_cols`` for the window; when
+    n << group size, callers should pre-filter with :func:`hash_sample`
+    at an over-sampled rate first so only candidates shuffle.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        bucket16(F.col(key), 8), F.col(key)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
+def pack_sequences(
+    df: DataFrame, tokens_col: str, shard_col: str, order_col: str,
+    budget: int,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end in
+    ``order_col`` order within each shard, and the resulting token stream
+    is chopped into fixed ``budget``-token sequences. Each document is
+    assigned the sequence its FIRST token lands in (`seq_id`) — the
+    standard "concatenate then split at context length" packing used for
+    LLM pretraining batches.
+
+    Adds `tok_start` (offset of the document's first token in the shard
+    stream) and `seq_id` (= tok_start // budget). A running-sum window
+    partitioned by shard keeps state bounded: at 100 TB the shard key
+    (e.g. source × date) caps any one ordered partition, and shards pack
+    independently in parallel.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tok_start = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return df.withColumn("tok_start", tok_start).withColumn(
+        "seq_id", F.floor(F.col("tok_start") / budget)
+    )

@@ -2395,6 +2395,121 @@ def customer_spend_quartiles(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Deterministic sampling + sequence packing (training-data pipeline surface)
+# ===========================================================================
+
+
+@query(
+    "hash_sampled_docs",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+    """,
+)
+def hash_sampled_docs(spark, sf_dir):
+    """Deterministic ~25% corpus sample by md5 bucket of doc_id. Scan-only
+    (no shuffle, no rand()): retried tasks and incremental re-runs select
+    the identical row set — the reproducibility property a 100 TB corpus
+    snapshot needs."""
+    from mapreduce_big_data_processing_spark.operators import sampling as SP
+
+    docs = _t(spark, sf_dir, "documents")
+    return SP.hash_sample(docs, "doc_id", "4000").select("doc_id", "lang")
+
+
+@query(
+    "mixture_sampled_counts",
+    """
+    SELECT lang, count(*) AS n_docs
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '4000'
+                    ELSE '2000' END
+    GROUP BY lang
+    """,
+)
+def mixture_sampled_counts(spark, sf_dir):
+    """Mixture weighting: per-language keep-rates (en 50%, zh 25%, rest
+    12.5%) applied as one CASE threshold in the scan stage — re-balancing
+    a source mixture without a join or a shuffle of the data rows."""
+    from mapreduce_big_data_processing_spark.operators import sampling as SP
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = SP.weighted_mixture_sample(
+        docs, "lang", "doc_id", {"en": "8000", "zh": "4000"}, default_hex="2000"
+    )
+    return sampled.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "lang_quota_sample",
+    """
+    WITH r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+             ) AS rk
+      FROM documents)
+    SELECT lang, doc_id FROM r WHERE rk <= 20
+    """,
+)
+def lang_quota_sample(spark, sf_dir):
+    """Per-language quota: the 20 docs with the smallest md5 bucket per
+    lang — balanced, order-independent subset selection. One shuffle on
+    the group key; at 100 TB, pre-filter with hash_sample at an
+    over-sampled rate so only candidates reach the window."""
+    from mapreduce_big_data_processing_spark.operators import sampling as SP
+
+    docs = _t(spark, sf_dir, "documents")
+    return SP.quota_per_group(docs, ["lang"], "doc_id", 20).select("lang", "doc_id")
+
+
+@query(
+    "packed_sequences",
+    """
+    WITH t AS (
+      SELECT lang, doc_id,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             w -> w <> '')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT lang, doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+      FROM t)
+    SELECT lang, CAST(tok_start // 512 AS BIGINT) AS seq_id,
+           count(*) AS n_docs_starting,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM c GROUP BY lang, seq_id
+    """,
+)
+def packed_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (LLM pretraining batches): lay
+    documents end-to-end per shard (lang), chop the token stream into
+    512-token sequences, report docs-starting and token mass per sequence.
+    The running-sum window is partitioned by the shard key so no ordered
+    window spans the corpus; shards pack independently in parallel."""
+    from mapreduce_big_data_processing_spark.operators import sampling as SP
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda w: w != "")
+        ).alias("n_tokens"),
+    )
+    packed = SP.pack_sequences(toks, "n_tokens", "lang", "doc_id", budget=512)
+    return packed.groupBy("lang", "seq_id").agg(
+        F.count("*").alias("n_docs_starting"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

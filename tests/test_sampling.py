@@ -1,0 +1,89 @@
+"""Deterministic sampling + sequence packing (operators/sampling.py).
+
+Value-level correctness is covered by the DuckDB oracle
+(test_oracle_parity); these tests pin the operator PROPERTIES —
+determinism across runs, rate/quota bounds, packing invariants — and the
+plan shapes that make the samplers scale (scan-only, no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_big_data_processing_spark import catalog
+from mapreduce_big_data_processing_spark.operators import sampling as SP
+
+
+def _docs(spark, sf_dir):
+    return catalog.load(spark, "documents", sf_dir)
+
+
+def test_hash_sample_deterministic_and_rate(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = {r.doc_id for r in SP.hash_sample(docs, "doc_id", "4000").collect()}
+    b = {r.doc_id for r in SP.hash_sample(docs, "doc_id", "4000").collect()}
+    assert a == b and len(a) > 0
+    n = docs.count()
+    # md5 is uniform: 25% target, generous tolerance at small n
+    assert 0.12 * n <= len(a) <= 0.40 * n
+    # a lower threshold selects a strict subset (nested samples)
+    sub = {r.doc_id for r in SP.hash_sample(docs, "doc_id", "2000").collect()}
+    assert sub <= a
+
+
+def test_hash_sample_is_scan_only(spark, sf_dir):
+    plan = (
+        SP.hash_sample(_docs(spark, sf_dir), "doc_id", "4000")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_mixture_sample_respects_per_group_rates(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = SP.weighted_mixture_sample(
+        docs, "lang", "doc_id", {"en": "ffff"}, default_hex="0000"
+    )
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}  # rate 1.0 for en, 0.0 for everything else
+
+
+def test_quota_per_group_bounds_and_determinism(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    q = SP.quota_per_group(docs, ["lang"], "doc_id", 5)
+    per = {r.lang: r.n for r in q.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    avail = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per and all(n == min(5, avail[lang]) for lang, n in per.items())
+    again = SP.quota_per_group(docs, ["lang"], "doc_id", 5)
+    assert sorted(map(tuple, q.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda w: w != "")
+        ).alias("n_tokens"),
+    )
+    packed = SP.pack_sequences(toks, "n_tokens", "lang", "doc_id", budget=512)
+    rows = sorted(packed.collect(), key=lambda r: (r.lang, r.doc_id))
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        # stream offsets are exactly the running sum of prior doc lengths
+        off = 0
+        for r in rs:
+            assert r.tok_start == off, (lang, r.doc_id)
+            assert r.seq_id == off // 512
+            off += r.n_tokens
+        # seq_ids are non-decreasing and start at 0
+        assert rs[0].seq_id == 0
+    # total token mass is preserved (no doc dropped or double-packed)
+    assert sum(r.n_tokens for r in rows) == sum(
+        r.n_tokens for r in toks.collect()
+    )
