@@ -681,9 +681,9 @@ def _minhash_values_sql(n_hashes: int = 16) -> str:
     )
 
 
-@query(
-    "minhash_lsh_pairs",
-    f"""
+# shared between minhash_lsh_pairs and near_dup_clusters (which clusters
+# the same pair graph); keep ONE definition so the two oracles can't drift
+_MINHASH_PAIRS_SQL = f"""
     WITH sh AS ({_SHINGLES_SQL}),
     based AS (
       SELECT doc_id, shingle,
@@ -714,8 +714,10 @@ def _minhash_values_sql(n_hashes: int = 16) -> str:
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
-    """,
-)
+"""
+
+
+@query("minhash_lsh_pairs", _MINHASH_PAIRS_SQL)
 def minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dedup: shingle → 16 minhashes → 4 bands → banded
     candidate pairs → exact-Jaccard verification ≥ 0.5. Portable (md5)
@@ -732,6 +734,42 @@ def minhash_lsh_pairs(spark, sf_dir):
     cand = D.lsh_candidate_pairs(sig, n_hashes=16, bands=4)
     out = D.jaccard_pairs(sh, min_jaccard=0.5, candidates=cand)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "near_dup_clusters",
+    f"""
+    WITH RECURSIVE
+    p AS (SELECT id_a, id_b FROM ({_MINHASH_PAIRS_SQL})),
+    e AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b AS a, id_a AS b FROM p),
+    reach AS (
+      SELECT a AS n, b AS m FROM e
+      UNION
+      SELECT r.n AS n, e.b AS m FROM reach r JOIN e ON r.m = e.a
+    )
+    SELECT n AS doc_id, least(min(m), n) AS cluster_id
+    FROM reach GROUP BY n
+    """,
+)
+def near_dup_clusters(spark, sf_dir):
+    """Dedup-cluster assignment: connected components over the MinHash-LSH
+    near-dup pair graph — the step between pair detection and an actual
+    deduplicated corpus (keep `doc_id == cluster_id` as the canonical doc
+    per cluster). Hash-min converges to the exact per-component minimum,
+    so it differential-tests against a transitive-closure recursive CTE."""
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+    from mapreduce_big_data_processing_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingles(docs, k=3).cache()
+    sig = D.minhash_signatures(sh, n_hashes=16, portable=True)
+    cand = D.lsh_candidate_pairs(sig, n_hashes=16, bands=4)
+    pairs = D.jaccard_pairs(sh, min_jaccard=0.5, candidates=cand)
+    comp = G.connected_components(pairs, src="id_a", dst="id_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
 
 
 @query(

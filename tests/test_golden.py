@@ -316,3 +316,16 @@ def test_partial_aggregation_invariance(spark):
             ).collect()
         }
         assert out == {"a": 40, "b": 20}
+
+
+def test_connected_components_golden(spark):
+    """Hash-min CC on a handmade graph: a 4-path (deeper than one round),
+    a triangle, and a disjoint pair — exact component minima expected."""
+    from mapreduce_big_data_processing_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "src long, dst long",
+    )
+    got = {r.node: r.comp for r in G.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
