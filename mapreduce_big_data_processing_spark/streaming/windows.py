@@ -142,6 +142,46 @@ def interval_join_stream(
     )
 
 
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, key: str = "user_id", how: str = "left",
+) -> DataFrame:
+    """Stream-static broadcast enrichment — the streaming twin of the
+    replicated join (SURVEY §2.3 J2, the reference's distributed-cache
+    pattern). The static side is broadcast once per micro-batch and holds
+    NO streaming state: at 100 TB/day this is the only join shape that
+    adds zero state to the stream (dimension updates are picked up on the
+    next batch since the static plan re-resolves per trigger)."""
+    return events.join(F.broadcast(dim), key, how)
+
+
+def write_foreach_batch_parquet(
+    stream_df: DataFrame, path: str, checkpoint: str,
+) -> None:
+    """Exactly-once parquet sink via foreachBatch: each micro-batch
+    OVERWRITES its own `epoch=<batchId>` partition, so a retried batch
+    (same batchId after failure) replaces rather than duplicates — the
+    idempotent-sink half of Structured Streaming's exactly-once contract
+    (the checkpoint's WAL is the other half). Drives the bounded local
+    stream to completion; production keeps the query running."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("epoch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive a bounded file-source stream to completion into an in-memory
     table (local test harness; production sinks are kafka/parquet/foreachBatch)."""

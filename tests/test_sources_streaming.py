@@ -280,3 +280,44 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp):
+    """§2.3 J2 streaming twin — broadcast-joining a static dim into the
+    stream must equal the batch join, with no stateful operator."""
+    from mapreduce_big_data_processing_spark import catalog
+
+    src = os.path.join(tmp, "enrich_stream")
+    ev = catalog.load(spark, "events", sf_dir)
+    ev.coalesce(2).write.mode("overwrite").parquet(src)
+    dim = ev.groupBy("user_id").agg(F.min("ts").alias("first_seen"))
+    dim_static = spark.createDataFrame(dim.collect(), dim.schema)
+    SW.run_to_memory(
+        SW.enrich_stream(SW.read_event_stream(spark, src), dim_static), "enr_out"
+    )
+    got = {
+        (r.event_id, r.first_seen)
+        for r in spark.sql("SELECT event_id, first_seen FROM enr_out").collect()
+    }
+    want = {(r.event_id, r.first_seen) for r in ev.join(dim, "user_id").collect()}
+    assert got == want and len(got) == ev.count()
+
+
+def test_foreach_batch_sink_is_epoch_partitioned(spark, sf_dir, tmp):
+    """Exactly-once sink plumbing: every input row lands exactly once,
+    under an epoch=<batchId> partition that a retried batch would
+    overwrite idempotently."""
+    from mapreduce_big_data_processing_spark import catalog
+
+    src = os.path.join(tmp, "fb_stream")
+    out = os.path.join(tmp, "fb_out")
+    ck = os.path.join(tmp, "fb_ck")
+    ev = catalog.load(spark, "events", sf_dir)
+    ev.coalesce(2).write.mode("overwrite").parquet(src)
+    SW.write_foreach_batch_parquet(SW.read_event_stream(spark, src), out, ck)
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()
+    assert sorted(r.event_id for r in got.select("event_id").collect()) == sorted(
+        r.event_id for r in ev.select("event_id").collect()
+    )
+    assert "epoch" in got.columns
