@@ -773,6 +773,52 @@ def near_dup_clusters(spark, sf_dir):
 
 
 @query(
+    "dedup_survivors",
+    f"""
+    WITH RECURSIVE
+    p AS (SELECT id_a, id_b FROM ({_MINHASH_PAIRS_SQL})),
+    e AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b AS a, id_a AS b FROM p),
+    reach AS (
+      SELECT a AS n, b AS m FROM e
+      UNION
+      SELECT r.n AS n, e.b AS m FROM reach r JOIN e ON r.m = e.a
+    ),
+    comp AS (SELECT n AS doc_id, least(min(m), n) AS cluster_id
+             FROM reach GROUP BY n)
+    SELECT d.doc_id, d.lang
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    """,
+)
+def dedup_survivors(spark, sf_dir):
+    """The full near-dedup pipeline, end to end: MinHash-LSH pairs →
+    connected components → keep ONE canonical doc per cluster (smallest
+    doc_id) plus every unclustered doc. This is the corpus a training run
+    would actually consume. The component table is tiny relative to the
+    corpus (only docs with a near-dup), so the final filter is a broadcast
+    left anti-style join against the scan — no full-corpus shuffle."""
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+    from mapreduce_big_data_processing_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingles(docs, k=3).cache()
+    sig = D.minhash_signatures(sh, n_hashes=16, portable=True)
+    cand = D.lsh_candidate_pairs(sig, n_hashes=16, bands=4)
+    pairs = D.jaccard_pairs(sh, min_jaccard=0.5, candidates=cand)
+    comp = G.connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    return (
+        docs.join(F.broadcast(comp), "doc_id", "left")
+        .filter(
+            F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .select("doc_id", "lang")
+    )
+
+
+@query(
     "ngram_jaccard_pairs",
     f"""
     WITH sh AS ({_SHINGLES_SQL}),
@@ -2545,6 +2591,25 @@ def packed_sequences(spark, sf_dir):
     return packed.groupBy("lang", "seq_id").agg(
         F.count("*").alias("n_docs_starting"),
         F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
+@query("approx_value_percentiles")
+def approx_value_percentiles(spark, sf_dir):
+    """Approximate percentiles of event value (Greenwald-Khanna style
+    `percentile_approx`, mergeable per-partition summaries). Rows-only:
+    the approximation is engine-specific by design. The exact twin
+    (`value_percentiles`) needs a global sort at 100 TB; this runs as one
+    partial+final aggregate with bounded memory — the scale path for
+    quantile monitoring. Accuracy 10000 ≈ rank error ≤ 0.01%; asserted
+    against the exact answer in tests/test_properties.py."""
+    ev = _t(spark, sf_dir, "events")
+    pcts = [0.5, 0.9, 0.95, 0.99]
+    agg = ev.agg(
+        F.percentile_approx("value", pcts, 10000).alias("q")
+    )
+    return agg.select(
+        *[F.round(F.col("q")[i], 6).alias(f"p{int(p * 100)}") for i, p in enumerate(pcts)]
     )
 
 
