@@ -2594,6 +2594,39 @@ def packed_sequences(spark, sf_dir):
     )
 
 
+@query(
+    "trailing_hour_user_load",
+    """
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(sum(value) OVER w, 6) AS value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def trailing_hour_user_load(spark, sf_dir):
+    """Time-RANGE window frame: per event, the count and value-sum of the
+    same user's events in the trailing hour — the rate-limit / burst-
+    detection shape that ROWS frames cannot express (events are unevenly
+    spaced). Spark's rangeBetween needs a numeric ordering key, so the
+    frame runs over microsecond epochs — exactly the interval arithmetic
+    the SQL RANGE frame does on timestamps. One shuffle on user_id;
+    per-user partitions stay small at any corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 6).alias("value_1h"),
+    )
+
+
 @query("approx_value_percentiles")
 def approx_value_percentiles(spark, sf_dir):
     """Approximate percentiles of event value (Greenwald-Khanna style
