@@ -2646,6 +2646,408 @@ def approx_value_percentiles(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# TPC-H join-planning suite (SURVEY §2.3/§2.4 at full complexity) — the
+# remaining classic shapes, adapted to the reduced synthetic schema
+# ===========================================================================
+
+
+@query(
+    "nation_trade_flows",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def nation_trade_flows(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    The disjunctive nation-pair predicate can't push down as-is, but its
+    implied superset CAN: each nation dim is pre-filtered to the two names
+    (IN-list hits the broadcast build side before the fact join), then the
+    residual `supp != cust` keeps exactly the two asymmetric pairs. The
+    only shuffles are the two fact-fact joins; both nation joins broadcast."""
+    pair = ["NATION_1", "NATION_2"]
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "regional_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def regional_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_5 suppliers' share of revenue to ASIA
+    customers, per order-year. Seven-table plan; the region filter prunes
+    the customer side through two broadcast hops (region -> nation ->
+    customer) before either fact join — Catalyst's join reordering plus
+    broadcast thresholds do the work a hand-built MR cascade spells out
+    job-by-job (reference: one join per job, `ppt/Ch7….pdf p.59`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        F.col("n_nationkey").alias("c_nk")
+    )
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "priority_line_mix",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY l_returnflag
+    """,
+)
+def priority_line_mix(spark, sf_dir):
+    """TPC-H Q12 shape: conditional counts (CASE inside SUM) over a
+    fact-fact join — the map-side "tag then count both branches in one
+    pass" trick the reference hand-codes with two counters per reducer.
+    One shuffle for the join, one partial+final agg; both branches share
+    the single scan."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "promo_revenue_pct",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def promo_revenue_pct(spark, sf_dir):
+    """TPC-H Q14 shape: promotional revenue percentage for one year. The
+    date range pushes to the lineitem parquet scan (row-group pruning at
+    100 TB when data is shipdate-sorted); part broadcasts. The ratio's
+    numerator and denominator fold into ONE aggregate pass."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "part_supplier_variety",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def part_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape: how many distinct suppliers ship each surviving
+    (brand, type, size) — with a NOT IN exclusion list. The exclusion is a
+    broadcast ANTI join (the blacklist is tiny even at 100 TB: suppliers in
+    arrears); the part predicates push to the broadcast build side. The
+    count-distinct expands to a two-level aggregate (dedup on the full key,
+    then count) — both levels partial-aggregate before the shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "large_volume_customers",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    HAVING sum(l_quantity) > 250
+    """,
+)
+def large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: customers who placed very large-quantity orders.
+    Aggregate-THEN-join: lineitem collapses to per-order quantity sums and
+    the HAVING filter runs BEFORE the dimension joins, so the join input is
+    a few hundred rows instead of the full fact table — the classic
+    "push the aggregate below the join" rewrite the reference performs by
+    splitting into two MR jobs. AQE converts the post-filter join to
+    broadcast at runtime once it sees the tiny size."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 250)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("__qty"), 2).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "disjunctive_part_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def disjunctive_part_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs mixing predicates from BOTH join sides.
+    Catalyst derives the per-side implications automatically — the part
+    scan gets `p_brand IN (…) AND p_size BETWEEN 1 AND 50`, the lineitem
+    scan gets `l_quantity BETWEEN 1 AND 50` — so each side prunes before
+    the broadcast join and only the residual disjunction evaluates
+    post-join. The reference has no optimizer; its join mappers ship every
+    row and evaluate the whole predicate reduce-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "idle_rich_customers",
+    """
+    SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+)
+def idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers who never ordered.
+    The scalar subquery (global positive-balance mean) computes as a 1-row
+    aggregate broadcast-cross-joined into the row filter — no driver-side
+    collect, so the plan stays fully distributed and the mean is computed
+    once. The NOT IN is a null-safe-free anti join against the orders
+    custkey projection (column-pruned scan)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+# ===========================================================================
+# UDAF / UDTF surface (SURVEY §2.11) as registered queries
+# ===========================================================================
+
+
+@query(
+    "priority_geomean_price",
+    """
+    SELECT o_orderpriority,
+           round(exp(avg(ln(o_totalprice))), 4) AS geomean_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_geomean_price(spark, sf_dir):
+    """Grouped-aggregate pandas UDAF (§2.11): geometric mean of order value
+    per priority, computed as a true UDAF — one Arrow batch per group into
+    `functions/udx.py:geomean`. The docstring there records the scale
+    trade-off: a pandas UDAF skips map-side combine (raw rows shuffle), so
+    it's the right tool only for bounded group counts; the algebraic
+    `exp(avg(ln(x)))` oracle form is the high-cardinality path."""
+    from mapreduce_big_data_processing_spark.functions.udx import geomean
+
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(geomean("o_totalprice"), 4).alias("geomean_price")
+    )
+
+
+@query(
+    "doc_token_chunks",
+    """
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           array_to_string(toks[i*64+1 : (i+1)*64], ' ') AS chunk_text,
+           CAST(len(toks[i*64+1 : (i+1)*64]) AS INTEGER) AS n_tokens
+    FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, CAST(ceil(len(toks)/64.0) AS BIGINT) - 1)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    """,
+)
+def doc_token_chunks(spark, sf_dir):
+    """Python UDTF via LATERAL join (§2.11): split each document into
+    64-token windows — the context-length chunking step of a training-data
+    pipeline (no concat across docs; `packed_sequences` is the packing
+    twin). One input row fans out to ceil(n_tokens/64) output rows,
+    streamed per Arrow batch; no shuffle at all — chunking is embarrassingly
+    parallel over the document scan."""
+    from mapreduce_big_data_processing_spark.functions.udx import register_udx
+
+    register_udx(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__docs_for_chunking")
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+        FROM __docs_for_chunking, LATERAL chunk_tokens(text) c
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -55,6 +55,41 @@ def test_repetition_score_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_q19_disjunction_derives_per_side_pushdown(spark, sf_dir):
+    """OR-of-ANDs mixing both join sides: Catalyst must derive the per-side
+    implications — quantity bounds reach the lineitem scan, brand/size reach
+    the part scan — and the join must broadcast with zero hash exchanges."""
+    plan = _plan(spark, sf_dir, "disjunctive_part_revenue")
+    assert "l_quantity" in plan.split("PushedFilters")[1][:400]
+    assert _count(plan, "BroadcastHashJoin") == 1
+    assert _count(plan, "Exchange hashpartitioning") == 0
+
+
+def test_q18_aggregates_below_the_joins(spark, sf_dir):
+    """Aggregate-then-join: the per-order quantity rollup (the only hash
+    exchange) must sit BELOW both dimension joins, so the join input is the
+    filtered aggregate, not the raw fact table."""
+    plan = _plan(spark, sf_dir, "large_volume_customers")
+    assert _count(plan, "Exchange hashpartitioning") == 1
+    first_join = plan.index("Join")
+    assert "HashAggregate" in plan[first_join:]
+
+
+def test_q7_nation_inlist_reaches_dim_scans(spark, sf_dir):
+    """The disjunctive nation-pair predicate's IN-list superset must push
+    into BOTH nation dimension scans (pruning 23/25 nations pre-join)."""
+    plan = _plan(spark, sf_dir, "nation_trade_flows")
+    assert _count(plan, "In(n_name, [NATION_1,NATION_2]") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_udtf_chunking_is_shuffle_free(spark, sf_dir):
+    """Token chunking fans rows out over the scan — any Exchange here means
+    the lateral join was mis-planned."""
+    plan = _plan(spark, sf_dir, "doc_token_chunks")
+    assert "Exchange" not in plan
+
+
 def test_moving_avg_window_input_is_preaggregated(spark, sf_dir):
     """The ordered single-partition window must consume the per-day
     aggregate (tiny), not raw orders: partial+final hash aggregates appear
