@@ -144,3 +144,25 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.md5(canon).alias("content_md5"),
         F.conv(F.substring(block, 1, 15), 16, 10).cast("bigint").alias("block_key"),
     )
+
+
+#: PII patterns chosen for regex-dialect parity (Java regex and RE2 agree
+#: on these constructs — char classes, bounded repetition, \b, \d).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+    (r"\b\d{3}[- ]\d{3,4}[- ]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text", out: str = "redacted") -> DataFrame:
+    """PII scrubbing (training-corpus compliance pass): replace emails,
+    IPv4 addresses, and phone-shaped numbers with typed placeholder tags.
+    Chained `regexp_replace` — pure projection, codegen'd, scan-pipelined;
+    pattern order matters (emails first, so their digits never half-match
+    the looser numeric patterns). At 100 TB this fuses into the same scan
+    as quality/language stats: one pass, no shuffle."""
+    col = F.col(text_col)
+    for pat, tag in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, tag)
+    return docs.withColumn(out, col)

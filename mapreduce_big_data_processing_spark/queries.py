@@ -25,8 +25,10 @@ from pyspark.sql import functions as F
 
 from mapreduce_big_data_processing_spark import catalog
 from mapreduce_big_data_processing_spark.operators import relational as R
+from mapreduce_big_data_processing_spark.operators import sketches as SK
 from mapreduce_big_data_processing_spark.operators import temporal as TP
 from mapreduce_big_data_processing_spark.operators import text as TX
+from mapreduce_big_data_processing_spark.operators import textstats as TS
 from mapreduce_big_data_processing_spark.operators import windows as WIN
 from mapreduce_big_data_processing_spark.session import tune
 
@@ -3046,6 +3048,65 @@ def doc_token_chunks(spark, sf_dir):
         FROM __docs_for_chunking, LATERAL chunk_tokens(text) c
         """
     )
+
+
+@query(
+    "redacted_docs",
+    r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com at 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+                    || '.' || CAST((doc_id * 7) % 200 AS VARCHAR)
+                    || ' tel 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+               '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '<PHONE>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def redacted_docs(spark, sf_dir):
+    """PII scrubbing (compliance pass of a training-data pipeline): email,
+    IPv4, and phone-shaped spans replaced with typed tags. The synthetic
+    corpus contains no PII, so the query plants deterministic doc_id-derived
+    contact strings first — making the oracle compare the actual redaction
+    behavior, not a no-op. Pure projection (chained regexp_replace inside
+    one codegen stage): zero shuffle at any corpus size; patterns chosen
+    where Java regex and RE2 agree (`textstats.PII_PATTERNS`)."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com at 10.0."),
+        (did % 200).cast("string"),
+        F.lit("."),
+        ((did * 7) % 200).cast("string"),
+        F.lit(" tel 555-010-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    red = TS.redact_pii(d.select("doc_id", planted.alias("text")))
+    return red.select("doc_id", "redacted")
+
+
+@query("monthly_user_reach_hll")
+def monthly_user_reach_hll(spark, sf_dir):
+    """Sketch once, merge forever: per (event_type, day) HLL sketches of
+    user_id (the pre-aggregated cube a 100 TB pipeline materializes once),
+    then the per-type monthly reach by MERGING sketch states — raw events
+    are scanned exactly once, every coarser rollup afterwards is
+    sketch-sized. `hll_union_agg` is associative/commutative, so it
+    partial-aggregates map-side like a sum; same-lgK merges are lossless
+    (asserted vs the single-pass sketch in tests). Rows-only: the estimate
+    is DataSketches-specific; accuracy vs exact is golden-tested."""
+    ev = _t(spark, sf_dir, "events")
+    daily = SK.sketch_distinct(
+        ev.withColumn("day", F.date_trunc("day", "ts")),
+        ["event_type", "day"],
+        "user_id",
+    )
+    return SK.merge_rollup(daily, ["event_type"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
