@@ -89,6 +89,38 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | str | None 
     return reader.json(path)
 
 
+def read_json_lenient(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine-style ingestion for dirty corpora: PERMISSIVE parse with
+    a `_corrupt_record` column, split into (clean, quarantined) frames.
+
+    At 100 TB a single malformed line must neither kill the job (the
+    reference's parsers throw on bad splits — one bad record fails the
+    task, 4 retries fail the job) nor silently vanish (FAILFAST/DROPMALFORMED
+    hide data-quality regressions). The quarantine frame keeps the raw line
+    for replay after a parser fix. Both frames come from ONE parse pass;
+    Spark requires the corrupt column to be cache-materialized before
+    filtering on it alone, so callers writing both sinks should persist."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    full = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    parsed = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    clean = parsed.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantined = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return clean, quarantined
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """The columnar default: predicate pushdown + column pruning + page
     skipping — the 100 TB substrate the reference's text files can't give."""

@@ -195,3 +195,27 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") 
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def approx_reach_stream(
+    events: DataFrame, duration: str = "1 day", watermark: str = "2 hours",
+    *keys: str, lg_k: int = 12,
+) -> DataFrame:
+    """Windowed approximate distinct users (reach) over a stream: an HLL
+    sketch per (window, keys) cell as the aggregation state. Exact
+    streaming count-distinct needs per-key set state that grows without
+    bound; the sketch is constant-size (2^lg_k registers), mergeable
+    across triggers, and the watermark evicts closed windows — bounded
+    state at any stream rate. DataSketches HLL is deterministic for a
+    given input set, so the streamed estimate equals the batch estimate
+    over the same data (asserted in tests)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), *keys)
+        .agg(F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("hll"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            *keys,
+            F.hll_sketch_estimate("hll").alias("reach_est"),
+        )
+    )

@@ -54,3 +54,43 @@ def test_hll_rollup_accuracy_and_lossless_merge(spark, sf_dir):
         assert abs(rolled[et] - n) <= max(3, 0.05 * n), (et, rolled[et], n)
         # merging the daily parts must equal sketching the whole directly
         assert rolled[et] == single_pass[et], (et, rolled[et], single_pass[et])
+
+
+def test_streaming_reach_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """The streamed windowed HLL estimate must equal the batch estimate on
+    the same data — sketch state merges across triggers losslessly."""
+    from mapreduce_big_data_processing_spark.streaming import windows as SW
+
+    ev = catalog.load(spark, "events", sf_dir)
+    src = str(tmp_path / "stream_in")
+    ev.coalesce(4).write.mode("overwrite").parquet(src)
+
+    stream = SW.approx_reach_stream(
+        SW.read_event_stream(spark, src, max_files_per_trigger=1), "1 day", "2 hours", "event_type"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("reach_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {
+        (r["window_start"], r["event_type"]): r["reach_est"]
+        for r in spark.sql("SELECT * FROM reach_stream").collect()
+    }
+
+    batch = {
+        (r["window_start"], r["event_type"]): r["reach_est"]
+        for r in (
+            ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("hll"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                F.hll_sketch_estimate("hll").alias("reach_est"),
+            )
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
