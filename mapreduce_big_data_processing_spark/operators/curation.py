@@ -1,0 +1,223 @@
+"""Corpus-curation operators for LLM training-data pipelines (driver
+extension; BASELINE.json north star). The reference never curates beyond
+stopword filtering (`final project/src/final_NB_src/phase1/Count/
+CountMapper.java:28-45`); these are the operations a 100 TB pretraining
+pipeline runs between raw scrape and tokenizer:
+
+  - sub-document (paragraph / fixed-chunk) exact dedup — the MassiveText /
+    RefinedWeb recipe: duplicate *passages* are removed corpus-wide even
+    when the containing documents differ;
+  - benchmark decontamination — n-gram overlap of training docs against an
+    evaluation set, flagging docs whose shingle sets leak eval data;
+  - deterministic stratified splits — hash-range train/val/test assignment
+    that is reproducible, join-free, and stable under corpus growth.
+
+All operators are single-shuffle DataFrame plans:
+  - chunk dedup shuffles once on the chunk hash (first-occurrence window),
+    then once on doc_id to reassemble — no self-join, no O(n²) stage;
+  - decontamination broadcast-joins the (small) benchmark shingle set;
+  - splits are scan-only expressions (zero shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# sub-document exact dedup
+# ---------------------------------------------------------------------------
+
+
+def split_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    paragraph_regex: str | None = None,
+    words_per_chunk: int | None = None,
+) -> DataFrame:
+    """Explode documents into ordered passages: (id, pos, chunk).
+
+    Two granularities:
+      - ``paragraph_regex`` (e.g. ``"\\n{2,}"``): natural paragraphs;
+      - ``words_per_chunk``: fixed word windows, for corpora without
+        paragraph structure (the synthetic fixture is single-line).
+
+    pos is 1-based so reassembly order is explicit (collect_list order is
+    NOT guaranteed — SURVEY §7 risk 3).
+    """
+    if (paragraph_regex is None) == (words_per_chunk is None):
+        raise ValueError("exactly one of paragraph_regex/words_per_chunk")
+    if paragraph_regex is not None:
+        parts = F.split(F.col(text_col), paragraph_regex)
+    else:
+        w = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        n = words_per_chunk
+        # sequence(1, 0) would be DESCENDING — guard the empty-doc case
+        idx = F.when(
+            F.size(w) > 0,
+            F.sequence(
+                F.lit(1).cast("bigint"), F.ceil(F.size(w) / F.lit(float(n)))
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        parts = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.slice(w, ((i - F.lit(1)) * n + 1).cast("int"), n)
+            ),
+        )
+    ex = docs.select(
+        F.col(id_col), F.posexplode(parts).alias("pos0", "chunk")
+    ).where(F.trim("chunk") != "")
+    return ex.select(id_col, (F.col("pos0") + 1).alias("pos"), "chunk")
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    paragraph_regex: str | None = None,
+    words_per_chunk: int | None = None,
+) -> DataFrame:
+    """Corpus-wide passage-level exact dedup (MassiveText-style).
+
+    Every passage that already occurred earlier in the corpus (first
+    occurrence = lowest (id, pos) per normalized-chunk hash) is dropped;
+    surviving passages are reassembled in original order.
+
+    Output: (id, text_kept, n_chunks, n_kept) — text_kept is '' for a doc
+    whose every passage occurred elsewhere first.
+
+    Scale shape: one shuffle on the chunk fingerprint (window, not
+    self-join: the groupBy+rejoin alternative shuffles the chunk text
+    twice), one shuffle on id for reassembly. At 100 TB the fingerprint
+    shuffle dominates and is the theoretical minimum for global dedup.
+    """
+    chunks = split_chunks(
+        docs,
+        id_col,
+        text_col,
+        paragraph_regex=paragraph_regex,
+        words_per_chunk=words_per_chunk,
+    )
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("chunk")), r"\s+", " ")))
+    w = Window.partitionBy("fp").orderBy(id_col, "pos")
+    kept = (
+        chunks.withColumn("fp", fp)
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("keep", F.col("rk") == 1)
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"), F.struct(F.col("pos"), F.col("chunk"))
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("text_kept"),
+            F.count("*").alias("n_chunks"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        )
+        .select(id_col, "text_kept", "n_chunks", "n_kept")
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def ngram_contamination(
+    doc_shingles: DataFrame,
+    benchmark_shingles: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram overlap against a benchmark shingle set.
+
+    Inputs are (id, shingle) tables (distinct shingles per doc — the shape
+    ``dedup.shingles`` emits). The benchmark side is assumed small relative
+    to the corpus (eval sets are MBs vs TBs) and is broadcast after
+    dedup — the corpus-side scan streams past it with no shuffle for the
+    membership probe; the only shuffle is the per-doc count aggregation.
+
+    Output: (id, n_shingles, n_matched, contamination) with
+    contamination = n_matched / n_shingles.
+    """
+    bench = F.broadcast(benchmark_shingles.select("shingle").distinct())
+    probe = doc_shingles.join(
+        bench.withColumn("_hit", F.lit(1)), "shingle", "left"
+    )
+    return probe.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_matched"),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*"), 6
+        ).alias("contamination"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    contamination: DataFrame,
+    id_col: str = "doc_id",
+    max_contamination: float = 0.1,
+) -> DataFrame:
+    """Filter out docs whose contamination exceeds the threshold."""
+    clean_ids = contamination.where(
+        F.col("contamination") <= F.lit(max_contamination)
+    ).select(id_col)
+    return docs.join(clean_ids, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified splits
+# ---------------------------------------------------------------------------
+
+
+def stratified_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    out: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Assign every row to a named split by deterministic hash range.
+
+    weights: {"train": 0.8, "val": 0.1, "test": 0.1} — need not sum to 1;
+    they are normalized. Assignment is md5(key||salt) mapped to [0,1) and
+    cut at the cumulative weights, so it is:
+      - reproducible across runs/engines (portable hash, no RNG state);
+      - stable under growth: a row's split never changes when other rows
+        are added (the property random splits lack);
+      - scan-only: a CASE expression, zero shuffle, pushdown-friendly.
+    """
+    total = sum(weights.values())
+    u = _unit_hash(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    assigned = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out, assigned)
+
+
+def _unit_hash(key: Column) -> Column:
+    """md5(key) → uniform double in [0, 1). 60 bits of the digest over
+    2^60 — portable to any engine with md5 + hex parsing."""
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("double") / F.lit(
+        float(1 << 60)
+    )

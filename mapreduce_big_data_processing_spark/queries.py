@@ -3109,6 +3109,218 @@ def monthly_user_reach_hll(spark, sf_dir):
     return SK.merge_rollup(daily, ["event_type"])
 
 
+# ===========================================================================
+# Corpus curation: sub-document dedup, decontamination, splits, quantization
+# ===========================================================================
+
+
+@query(
+    "chunk_dedup_docs",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+      FROM documents),
+    ch AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(ws[CAST((i-1)*8+1 AS INT) :
+                                CAST(least(i*8, len(ws)) AS INT)], ' ') AS chunk
+      FROM w CROSS JOIN LATERAL (
+        SELECT unnest(range(1, CAST(ceil(len(ws)/8.0) AS BIGINT)+1)) AS i) u),
+    ranked AS (
+      SELECT doc_id, pos, chunk,
+             row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(chunk), '\s+', ' ', 'g')))
+               ORDER BY doc_id, pos) AS rk
+      FROM ch WHERE trim(chunk) <> '')
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN rk = 1 THEN chunk END, ' ' ORDER BY pos),
+                    '') AS text_kept,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def chunk_dedup_docs(spark, sf_dir):
+    """Sub-document (passage-level) exact dedup, MassiveText-style: the
+    corpus is split into 8-word chunks, every chunk that already occurred
+    at a lower (doc_id, pos) anywhere in the corpus is dropped, and docs
+    are reassembled from the survivors. One shuffle on the chunk
+    fingerprint (first-occurrence window — no self-join), one on doc_id to
+    reassemble; both are the theoretical minimum for global passage dedup."""
+    from mapreduce_big_data_processing_spark.operators import curation as C
+
+    docs = _t(spark, sf_dir, "documents")
+    return C.chunk_dedup(docs, words_per_chunk=8)
+
+
+_BENCH_SHINGLES = "doc_id % 20 = 0"  # every-20th doc plays the eval set
+
+
+@query(
+    "benchmark_contamination",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE {_BENCH_SHINGLES}),
+    probe AS (
+      SELECT s.doc_id, b.shingle AS hit
+      FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+      WHERE NOT (s.{_BENCH_SHINGLES}))
+    SELECT doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           round(CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS contamination
+    FROM probe GROUP BY doc_id
+    """,
+)
+def benchmark_contamination(spark, sf_dir):
+    """Benchmark decontamination scoring: 3-gram shingle overlap of every
+    training doc against an eval set (docs with doc_id % 20 = 0 stand in).
+    The eval shingle set is distinct-deduped then broadcast — the corpus
+    side streams with no shuffle for the probe; the only exchange is the
+    per-doc count aggregation. Feeds `curation.decontaminate` (threshold
+    filter, tested separately)."""
+    from mapreduce_big_data_processing_spark.operators import curation as C
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    is_bench = (F.col("doc_id") % 20) == 0
+    sh = D.shingles(docs, k=3)
+    bench_sh = D.shingles(docs.filter(is_bench), k=3)
+    train_sh = sh.filter(~((F.col("doc_id") % 20) == 0))
+    return C.ngram_contamination(train_sh, bench_sh)
+
+
+@query(
+    "corpus_split_counts",
+    """
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN u < 0.75 THEN 'train'
+                  WHEN u < 0.875 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT lang,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) / 1152921504606846976.0 AS u
+            FROM documents))
+    SELECT split, lang, count(*) AS n_docs
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def corpus_split_counts(spark, sf_dir):
+    """Deterministic stratified train/val/test split (75/12.5/12.5 — exact
+    binary fractions, so the cumulative cuts are bit-identical in any
+    engine). Assignment is a scan-only md5-range CASE expression: no RNG
+    state, no shuffle of the data rows, and a doc's split never changes
+    when the corpus grows — the reproducibility contract a 100 TB snapshot
+    pipeline needs. Output: per-(split, lang) doc counts."""
+    from mapreduce_big_data_processing_spark.operators import curation as C
+
+    docs = _t(spark, sf_dir, "documents")
+    split = C.stratified_split(
+        docs, "doc_id", {"train": 0.75, "val": 0.125, "test": 0.125}
+    )
+    return split.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "embedding_quantization_error",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             greatest(list_aggregate(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0,
+                      1e-12) AS scale
+      FROM embeddings),
+    e AS (SELECT vec_id, scale, CAST(unnest(embedding) AS DOUBLE) AS x FROM s)
+    SELECT vec_id, round(scale, 6) AS scale,
+           round(max(abs(floor(x / scale + 0.5) * scale - x)), 6) AS max_abs_err
+    FROM e GROUP BY vec_id, scale
+    """,
+)
+def embedding_quantization_error(spark, sf_dir):
+    """Int8 symmetric quantization of the embedding column (the 4×
+    storage/shuffle reduction a 100 TB similarity pipeline stores), scored
+    by per-vector max reconstruction error. The floor(x/scale + 0.5)
+    rounding form is used precisely because it is bit-identical across
+    engines (round() half-up vs half-even differs) — the oracle reproduces
+    the codes exactly, pinning the quantization semantics."""
+    from mapreduce_big_data_processing_spark.operators import quantization as QZ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = QZ.quantization_error(emb)
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round("max_abs_err", 6).alias("max_abs_err"),
+    )
+
+
+@query("quantized_similarity_topk")
+def quantized_similarity_topk(spark, sf_dir):
+    """Asymmetric quantized ANN: float queries (vec_id < 10) scored against
+    the int8-reconstructed corpus — the search path over the quantized
+    column. Rows-only (reconstruction perturbs cosine in the last decimals,
+    so rank order vs the float oracle is a recall assertion in tests, not a
+    hash match): recall@10 vs exact ≥ 0.9 is tested at sf0.001."""
+    from mapreduce_big_data_processing_spark.operators import quantization as QZ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = QZ.quantized_topk(emb, q, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+@query(
+    "top_revenue_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def top_revenue_supplier(spark, sf_dir):
+    """TPC-H Q15 adaptation (top supplier by quarterly revenue; the view +
+    scalar-max-subquery pattern). The per-supplier revenue aggregate is
+    computed once, its max reduced to a 1-row DataFrame, and the filter is
+    a broadcast join against that scalar — no global sort and no
+    single-partition window at any supplier count. Revenue is rounded to
+    cents BEFORE the max comparison on both sides so float summation order
+    cannot flip the winner."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    top = rev.join(F.broadcast(mx), rev["total_rev"] == mx["mx"]).select(
+        "l_suppkey", "total_rev"
+    )
+    return R.broadcast_join(
+        sup, top, sup["s_suppkey"] == top["l_suppkey"]
+    ).select("s_suppkey", "s_name", "total_rev")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

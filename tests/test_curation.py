@@ -1,0 +1,132 @@
+"""Curation operators: chunk dedup, decontamination, splits, quantization."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from mapreduce_big_data_processing_spark.operators import curation as C
+from mapreduce_big_data_processing_spark.operators import dedup as D
+from mapreduce_big_data_processing_spark.operators import quantization as QZ
+from mapreduce_big_data_processing_spark.operators import similarity as S
+
+
+def test_chunk_dedup_paragraphs_golden(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\nshared passage here\n\ngamma"),
+            (2, "shared passage here\n\ndelta epsilon"),
+            (3, "shared passage here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in C.chunk_dedup(docs, paragraph_regex=r"\n{2,}").collect()
+    }
+    # doc 1 owns the first occurrence (lowest doc_id)
+    assert out[1]["text_kept"] == "alpha beta shared passage here gamma"
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (3, 3)
+    assert out[2]["text_kept"] == "delta epsilon"
+    assert (out[2]["n_chunks"], out[2]["n_kept"]) == (2, 1)
+    # doc 3 is entirely duplicate passages
+    assert out[3]["text_kept"] == ""
+    assert (out[3]["n_chunks"], out[3]["n_kept"]) == (1, 0)
+
+
+def test_split_chunks_word_windows(spark):
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, "  "), (3, "only")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        C.split_chunks(docs, words_per_chunk=2).collect(),
+        key=lambda r: (r["doc_id"], r["pos"]),
+    )
+    got = [(r["doc_id"], r["pos"], r["chunk"]) for r in rows]
+    assert got == [
+        (1, 1, "w1 w2"),
+        (1, 2, "w3 w4"),
+        (1, 3, "w5"),
+        (3, 1, "only"),
+    ]
+
+
+def test_contamination_and_decontaminate_golden(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # contains bench 3-grams
+            (2, "totally unrelated words entirely different"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox")], "doc_id long, text string"
+    )
+    cont = C.ngram_contamination(D.shingles(docs, k=3), D.shingles(bench, k=3))
+    by_id = {r["doc_id"]: r for r in cont.collect()}
+    # doc 1: shingles {the quick brown, quick brown fox, brown fox jumps};
+    # bench has the first two → 2/3
+    assert by_id[1]["n_shingles"] == 3 and by_id[1]["n_matched"] == 2
+    assert by_id[1]["contamination"] == pytest.approx(2 / 3, abs=1e-6)
+    assert by_id[2]["n_matched"] == 0
+    clean = C.decontaminate(docs, cont, max_contamination=0.5)
+    assert [r["doc_id"] for r in clean.collect()] == [2]
+
+
+def test_stratified_split_properties(spark):
+    docs = spark.range(0, 400).withColumnRenamed("id", "k")
+    w = {"train": 0.75, "val": 0.125, "test": 0.125}
+    a = C.stratified_split(docs, "k", w)
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # complete partition, roughly proportional
+    assert sum(counts.values()) == 400
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # deterministic: re-evaluation identical
+    b = C.stratified_split(docs, "k", w)
+    assert a.exceptAll(b).count() == 0
+    # stable under growth: the first 100 keys keep their assignment
+    sub = C.stratified_split(docs.filter(F.col("k") < 100), "k", w)
+    joined = (
+        a.filter(F.col("k") < 100)
+        .withColumnRenamed("split", "s1")
+        .join(sub.withColumnRenamed("split", "s2"), "k")
+    )
+    assert joined.filter(F.col("s1") != F.col("s2")).count() == 0
+    # salt changes assignments (different hash stream)
+    salted = C.stratified_split(docs, "k", w, salt="v2")
+    assert a.exceptAll(salted).count() > 0
+
+
+def test_quantization_bounds(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = QZ.quantize(emb)
+    stats = q.select(
+        F.array_max("codes").alias("mx"),
+        F.array_min("codes").alias("mn"),
+        (
+            F.array_max(
+                F.zip_with(
+                    QZ.dequantize(F.col("codes"), F.col("scale")),
+                    F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                    lambda r, o: F.abs(r - o),
+                )
+            )
+            <= F.col("scale") / 2 + F.lit(1e-12)
+        ).alias("bounded"),
+    ).collect()
+    assert all(-127 <= r["mn"] and r["mx"] <= 127 for r in stats)
+    assert all(r["bounded"] for r in stats)
+
+
+def test_quantized_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.brute_force_topk(emb, q, k=10)
+    quant = QZ.quantized_topk(emb, q, k=10)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    g = {(r["query_id"], r["vec_id"]) for r in quant.collect()}
+    recall = len(e & g) / len(e)
+    assert recall >= 0.9, f"int8 recall@10 {recall}"
