@@ -80,6 +80,280 @@ def quantization_error(
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the FAISS IVFPQ building block
+# ---------------------------------------------------------------------------
+
+
+def _subvectors(vec: Column, m: int) -> Column:
+    """Split an array<float> into m contiguous array<double> subvectors
+    (last one ragged if dim % m != 0)."""
+    d = F.size(vec)
+    sub_len = F.ceil(d / F.lit(float(m))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.slice(vec, (s * sub_len + 1).cast("int"), sub_len),
+            lambda x: x.cast("double"),
+        ),
+    )
+
+
+def _cb_matrix(codebook_rows: list, m: int):
+    """Collected (sub, cid, c) rows → (m, k, dsub) ndarray."""
+    import numpy as np
+
+    kk = max(r["cid"] for r in codebook_rows) + 1
+    dsub = max(len(r["c"]) for r in codebook_rows)
+    cb = np.zeros((m, kk, dsub))
+    for r in codebook_rows:
+        cb[r["sub"], r["cid"], : len(r["c"])] = r["c"]
+    return cb
+
+
+def _sub_view(mat, m: int, dsub: int):
+    """(b, d) float matrix → (b, m, dsub), zero-padded to m*dsub."""
+    import numpy as np
+
+    b, d = mat.shape
+    if d < m * dsub:
+        mat = np.concatenate([mat, np.zeros((b, m * dsub - d))], axis=1)
+    return mat.reshape(b, m, dsub)
+
+
+def _nearest_cids(sub, cb):
+    """(b, m, dsub) × (m, k, dsub) → (b, m) argmin-distance codes.
+    np.argmin takes the FIRST minimum — lowest cid under ties."""
+    import numpy as np
+
+    # |v-c|² = |v|² - 2 v·c + |c|²; |v|² is constant per argmin
+    dots = np.einsum("bmd,mkd->bmk", sub, cb)
+    c2 = (cb * cb).sum(axis=2)  # (m, k)
+    return np.argmin(c2[None, :, :] - 2.0 * dots, axis=2)
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train per-subspace k-means codebooks (Jégou et al., PAMI'11): the
+    vector is cut into m subvectors; each subspace gets k centroids; a code
+    is then m small ints — 32× smaller than float32 at m=8,k=16 over 64 dims.
+
+    All m subspace k-means advance together: per iteration, ONE narrow
+    Arrow stage (no shuffle, no join) assigns every vector's m subvectors
+    to centroids via a batched matmul and emits per-batch partial
+    (sum, count) stats; the m×k×dsub reduce happens on the driver, which
+    owns the (broadcast-sized) codebook state between rounds. Deterministic
+    init: the k lowest ids' subvectors. Output codebook:
+    (sub, cid, c array<double>) — m×k rows.
+
+    Cites the reference's K-Means loop semantics (`ppt/Ch9….pdf p.21-39`);
+    the partial (sum, count) per batch is the combiner pattern
+    (`ppt/Ch9….pdf p.24-28`) vectorized through Arrow.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    pts = emb.select(id_col, vec_col)
+    # deterministic init: the k lowest ids' subvectors (tiny ordered take)
+    seed = pts.orderBy(F.asc(id_col)).limit(k).collect()
+    d = len(seed[0][vec_col])
+    dsub = -(-d // m)
+    cb = _sub_view(
+        np.array([r[vec_col] for r in seed], dtype="float64"), m, dsub
+    ).transpose(1, 0, 2).copy()  # (m, k, dsub)
+
+    # per-iteration: ONE narrow Arrow stage emitting m×k partial
+    # (sum, count) stats per batch; the m×k×dsub reduce happens on the
+    # driver (codebook-sized, not data-sized). No shuffle anywhere.
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cb)
+
+        def stats(batches):
+            import numpy as np
+            import pandas as pd
+
+            cb_ = bc.value
+            m_, k_, ds_ = cb_.shape
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                sub = _sub_view(
+                    np.vstack(pdf[vec_col].to_numpy()).astype("float64"), m_, ds_
+                )
+                codes = _nearest_cids(sub, cb_)  # (b, m)
+                s = np.zeros((m_, k_, ds_))
+                n = np.zeros((m_, k_), dtype="int64")
+                for mi in range(m_):
+                    np.add.at(s[mi], codes[:, mi], sub[:, mi, :])
+                    np.add.at(n[mi], codes[:, mi], 1)
+                yield pd.DataFrame(
+                    {
+                        "sub": np.repeat(np.arange(m_), k_),
+                        "cid": np.tile(np.arange(k_), m_),
+                        "s": list(s.reshape(m_ * k_, ds_)),
+                        "n": n.reshape(m_ * k_),
+                    }
+                )
+
+        parts = pts.mapInPandas(
+            stats, schema="sub int, cid int, s array<double>, n long"
+        ).collect()
+        tot_s = np.zeros_like(cb)
+        tot_n = np.zeros(cb.shape[:2], dtype="int64")
+        for r in parts:
+            tot_s[r["sub"], r["cid"]] += np.asarray(r["s"])
+            tot_n[r["sub"], r["cid"]] += r["n"]
+        nonempty = tot_n > 0  # empty clusters keep their previous centroid
+        cb[nonempty] = tot_s[nonempty] / tot_n[nonempty][:, None]
+
+    def sub_len(s: int) -> int:  # trailing subspaces may be ragged/empty
+        return max(0, min(dsub, d - s * dsub))
+
+    return spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in cb[s, c, : sub_len(s)]])
+            for s in range(m)
+            for c in range(cb.shape[1])
+        ],
+        "sub int, cid int, c array<double>",
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to (id, codes array<int> length m): nearest centroid
+    per subspace (argmin ties → lowest cid). One narrow Arrow stage — the
+    closure-broadcast codebook is probed with a batched matmul; no shuffle,
+    no join."""
+    spark = emb.sparkSession
+    cb = _cb_matrix(codebook.collect(), m)
+    bc = spark.sparkContext.broadcast(cb)
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        cb_ = bc.value
+        m_, _, ds_ = cb_.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sub = _sub_view(
+                np.vstack(pdf[vec_col].to_numpy()).astype("float64"), m_, ds_
+            )
+            codes = _nearest_cids(sub, cb_).astype("int32")
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    id_type = dict(emb.dtypes)[id_col]
+    return emb.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} {id_type}, codes array<int>"
+    )
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebook_rows: list,
+    k: int = 10,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric PQ search (ADC): per query, precompute an m×k lookup
+    table of subspace dot-products against every centroid; a corpus row's
+    score is then m table gathers + the norm LUT — no float vector is ever
+    read. The codes column (m bytes/row) is the ONLY corpus data scanned:
+    at 100 TB this is the difference between scanning 3 KB/row and 8 B/row.
+
+    codebook_rows: collected (sub, cid, c) rows (m×k — driver-small).
+    Scores are cosine against the PQ reconstruction. Output:
+    (query_id, vec_id, score, rank).
+    """
+    import numpy as np
+
+    kk = max(r["cid"] for r in codebook_rows) + 1
+    dsub = max(len(r["c"]) for r in codebook_rows)
+    cb = np.zeros((m, kk, dsub))
+    for r in codebook_rows:
+        cb[r["sub"], r["cid"], : len(r["c"])] = r["c"]
+    cent_norm2 = (cb * cb).sum(axis=2)  # (m, k)
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.array([r[1] for r in q_rows], dtype="float64")
+    nq, d = q_mat.shape
+    pad = m * dsub - d
+    if pad:
+        q_mat = np.concatenate([q_mat, np.zeros((nq, pad))], axis=1)
+    q_sub = q_mat.reshape(nq, m, dsub)  # (q, m, dsub)
+    # LUT[q, m, k] = dot(q_sub, centroid)
+    lut = np.einsum("qmd,mkd->qmk", q_sub, cb)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    spark = corpus_codes.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, lut, q_norm, cent_norm2))
+    _ID = id_col
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, lut_, qn, cn2 = bc.value
+        m_idx = np.arange(lut_.shape[1])
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.vstack(pdf["codes"].to_numpy()).astype("int64")  # (b, m)
+            recon_norm = np.sqrt(cn2[m_idx, codes].sum(axis=1))  # (b,)
+            recon_norm = np.maximum(recon_norm, 1e-12)
+            cids = pdf[_ID].to_numpy()
+            out = {"qid": [], "cid": [], "score": []}
+            for j, qid in enumerate(ids):
+                dots = lut_[j][m_idx, codes].sum(axis=1)  # (b,)
+                cos = dots / (recon_norm * max(qn[j], 1e-12))
+                mask = cids != qid
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                top = idx[np.argsort(-cos[idx], kind="stable")[:k]]
+                out["qid"].extend([qid] * len(top))
+                out["cid"].extend(cids[top])
+                out["score"].extend(cos[top])
+            yield pd.DataFrame(out)
+
+    id_type = dict(corpus_codes.dtypes)[id_col]
+    cand = corpus_codes.select(id_col, "codes").mapInPandas(
+        score, schema=f"qid {id_type}, cid {id_type}, score double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("cid").alias(id_col),
+            F.round("score", 6).alias("score"),
+            "rank",
+        )
+    )
+
+
 def quantized_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -286,3 +286,52 @@ def inverted_index(
         )
     postings = F.sort_array(F.collect_set(doc_col))
     return tokens.groupBy(word_col).agg(postings.alias("postings"))
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 ranking of the corpus against a bag of query terms — the
+    scoring layer over the inverted index (A9-A10): the reference builds
+    postings lists (`ppt/Ch5….pdf p.52-65`); BM25 is what a search engine
+    computes FROM them. Lucene-style idf = ln(1 + (N - df + .5)/(df + .5))
+    (always positive).
+
+    Plan shape: the corpus-sized work is one tokenize scan feeding two
+    bounded aggregations (per-doc length; per-(doc,term) tf restricted to
+    the query terms — the `isin` prunes the explosion before any shuffle).
+    Corpus stats (N, avgdl) and per-term df are broadcast scalars/tables.
+    Output: (id, bm25) for docs matching ≥1 term.
+    """
+    toks = tokenize(docs.select(id_col, text_col), text_col, out="w")
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("w").isin(query_terms))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm_len = 1 - b + b * F.col("dl") / F.col("avgdl")
+    per_term = idf * (
+        F.col("tf") * (k1 + 1) / (F.col("tf") + k1 * norm_len)
+    )
+    return (
+        tf.join(dl, id_col)
+        .join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), per_term.alias("sc"))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("sc"), 6).alias("bm25"))
+    )

@@ -166,3 +166,34 @@ def redact_pii(docs: DataFrame, text_col: str = "text", out: str = "redacted") -
     for pat, tag in PII_PATTERNS:
         col = F.regexp_replace(col, pat, tag)
     return docs.withColumn(out, col)
+
+
+def unigram_cross_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus unigram LM — the
+    classic perplexity-style quality signal (CCNet/Gopher use a trained
+    LM; the unigram corpus model is its engine-native, oracle-checkable
+    form): H(doc) = -avg over tokens of ln p(w), p(w) = cnt(w)/total.
+
+    Two passes over one tokenize scan: the LM (per-word counts + the total
+    scalar) and the per-doc average of -ln p(w) via a join on word. The LM
+    table is vocab-sized (Zipf-bounded, ≪ corpus); the join is the only
+    data-sized shuffle. Output: (id, n_tokens, cross_entropy) — high =
+    surprising/rare vocabulary, low = repetitive/common.
+    """
+    from mapreduce_big_data_processing_spark.operators.text import tokenize
+
+    toks = tokenize(docs.select(id_col, text_col), text_col, out="w")
+    lm = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = lm.agg(F.sum("cnt").alias("total"))
+    neg_logp = -F.log(F.col("cnt") / F.col("total"))
+    return (
+        toks.join(lm, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(neg_logp), 6).alias("cross_entropy"),
+        )
+    )

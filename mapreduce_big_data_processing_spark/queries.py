@@ -3276,6 +3276,89 @@ def quantized_similarity_topk(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ("spark", "window", "hash")
+
+
+@query(
+    "bm25_ranked_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        FROM documents) t
+      WHERE w <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+           WHERE w IN {_BM25_TERMS!r} GROUP BY doc_id, w),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    scored AS (
+      SELECT t.doc_id,
+             ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * (1.2 + 1)
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS sc
+      FROM tf t JOIN dl l USING (doc_id) JOIN df d USING (w)
+      CROSS JOIN stats s)
+    SELECT doc_id, round(sum(sc), 6) AS bm25 FROM scored GROUP BY doc_id
+    """,
+)
+def bm25_ranked_docs(spark, sf_dir):
+    """Okapi BM25 relevance of every doc against a 3-term query — the
+    scoring layer over the reference's inverted-index surface
+    (`ppt/Ch5….pdf p.52-65`). Corpus-sized work = one tokenize scan + two
+    bounded aggs; N/avgdl/df are broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bm25_search(docs, list(_BM25_TERMS))
+
+
+@query(
+    "doc_cross_entropy",
+    """
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        FROM documents) t
+      WHERE w <> ''),
+    lm AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+    total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM lm)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS cross_entropy
+    FROM toks JOIN lm USING (w) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def doc_cross_entropy(spark, sf_dir):
+    """Per-doc cross-entropy under the corpus unigram LM (CCNet-style
+    perplexity quality signal in oracle-checkable form): join tokens to
+    the vocab-sized LM table, average -ln p(w) per doc. One data-sized
+    shuffle (the word join); the LM total is a broadcast scalar."""
+    docs = _t(spark, sf_dir, "documents")
+    return TS.unigram_cross_entropy(docs)
+
+
+@query("pq_similarity_topk")
+def pq_similarity_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. ADC): per-subspace k-means
+    codebooks (trained in one driver loop — all m subspaces per pass),
+    m-byte codes, and LUT-gather scoring where the float embedding column
+    is never scanned at query time — 32× less corpus IO than the float
+    path at m=8,k=16 over 64 dims. Rows-only (approximate by design);
+    recall and an exactness-on-codebook-vectors golden test live in
+    test_curation.py."""
+    from mapreduce_big_data_processing_spark.operators import quantization as QZ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = QZ.pq_train(emb, m=8, k=16, iters=3)
+    cb_rows = cb.collect()
+    codes = QZ.pq_encode(emb, cb, m=8)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return QZ.pq_topk(codes, q, cb_rows, k=10, m=8)
+
+
 @query(
     "top_revenue_supplier",
     """

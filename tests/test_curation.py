@@ -119,6 +119,92 @@ def test_quantization_bounds(spark, sf_dir):
     assert all(r["bounded"] for r in stats)
 
 
+def _toy_codebook(spark):
+    # m=2 subspaces, k=3 centroids, dsub=2
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (0, 1, [0.0, 1.0]),
+        (0, 2, [1.0, 1.0]),
+        (1, 0, [2.0, 0.0]),
+        (1, 1, [0.0, 2.0]),
+        (1, 2, [2.0, 2.0]),
+    ]
+    return spark.createDataFrame(rows, "sub int, cid int, c array<double>")
+
+
+def test_pq_encode_recovers_codes(spark):
+    cb = _toy_codebook(spark)
+    # vectors = exact centroid concatenations
+    vecs = [
+        (0, [1.0, 0.0, 2.0, 0.0], [0, 0]),
+        (1, [0.0, 1.0, 0.0, 2.0], [1, 1]),
+        (2, [1.0, 1.0, 2.0, 2.0], [2, 2]),
+        (3, [0.0, 1.0, 2.0, 0.0], [1, 0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v, _ in vecs], "vec_id long, embedding array<float>"
+    )
+    from mapreduce_big_data_processing_spark.operators.quantization import pq_encode
+
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cb, m=2).collect()}
+    assert got == {i: c for i, _, c in vecs}
+
+
+def test_pq_exact_on_codebook_vectors(spark):
+    """When every corpus vector IS a centroid concatenation, PQ
+    reconstruction is exact, so ADC top-k must equal brute-force top-k."""
+    import itertools
+
+    from mapreduce_big_data_processing_spark.operators.quantization import (
+        pq_encode,
+        pq_topk,
+    )
+
+    cb = _toy_codebook(spark)
+    combos = list(itertools.product(range(3), repeat=2))
+    cents = {(r["sub"], r["cid"]): r["c"] for r in cb.collect()}
+    emb = spark.createDataFrame(
+        [
+            (i, [float(x) for x in cents[(0, a)] + cents[(1, b)]])
+            for i, (a, b) in enumerate(combos)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.brute_force_topk(emb, q, k=5)
+    codes = pq_encode(emb, cb, m=2)
+    got = pq_topk(codes, q, cb.collect(), k=5, m=2)
+    # reconstruction is exact, so the SCORES must match; membership at the
+    # k-boundary can differ when distinct vectors tie in cosine (the two
+    # float paths sum in different orders), so compare score multisets
+    e = sorted(
+        (r["query_id"], round(r["cosine"], 4)) for r in exact.collect()
+    )
+    g = sorted((r["query_id"], round(r["score"], 4)) for r in got.collect())
+    assert e == g
+
+
+def test_pq_trained_recall(spark, sf_dir):
+    from mapreduce_big_data_processing_spark.operators import quantization as QZ
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = QZ.pq_train(emb, m=8, k=16, iters=3)
+    codes = QZ.pq_encode(emb, cb, m=8)
+    got = QZ.pq_topk(codes, q, cb.collect(), k=10, m=8)
+    exact = S.brute_force_topk(emb, q, k=10)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    g = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+    recall = len(e & g) / len(e)
+    # PQ is lossy on random gaussians; the bound pins "works at all, and
+    # codebooks are trained" — exactness is covered by the golden test
+    assert recall >= 0.25, f"PQ recall@10 {recall}"
+
+
 def test_quantized_topk_recall(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10).select(
