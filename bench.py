@@ -43,6 +43,11 @@ HEADLINE = [
     "knn_predictions",
     "embedding_near_dup",
     "minhash_lsh_pairs",
+    "chunk_dedup_docs",
+    "benchmark_contamination",
+    "bm25_ranked_docs",
+    "doc_cross_entropy",
+    "corpus_split_counts",
     "pagerank_top20",
 ]
 

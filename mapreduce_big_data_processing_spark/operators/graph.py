@@ -61,8 +61,10 @@ def pagerank(
     # edges are consumed once per iteration: materialize them, or a lazy
     # upstream (tokenize→pairs→normalize) re-executes 10× — the Spark twin
     # of the reference's per-iteration HDFS re-read, and the first thing
-    # that kills iterative jobs at scale
-    edges = edges.cache()
+    # that kills iterative jobs at scale. Cache them PRE-PARTITIONED on the
+    # join key: the cached partitioning satisfies every iteration's join
+    # requirement, so only the (smaller) ranks side ever shuffles
+    edges = edges.repartition("src").cache()
     vertices = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))

@@ -52,3 +52,144 @@ def merge_rollup(
     return merged.select(
         *keys, F.hll_sketch_estimate(F.col(sketch_col)).alias(estimate_col)
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    min_frac: float = 0.005,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Exact frequent items at scale via sketch-then-verify (Misra-Gries).
+
+    Pass 1 (one narrow Arrow stage, NO shuffle of the data): each partition
+    maintains a Misra-Gries summary of ``capacity`` counters — by the
+    pigeonhole guarantee, any item with global count > N/capacity survives
+    in at least one partition's summary, so the union of summaries is a
+    superset of every item with frequency ≥ min_frac (capacity defaults to
+    ceil(2/min_frac) for slack at the threshold boundary). Pass 2 counts
+    ONLY the candidate set exactly (broadcast membership filter before the
+    shuffle) and applies the threshold.
+
+    The result is therefore EXACT — identical to GROUP BY + HAVING — while
+    never shuffling the full value domain: pass-1 output is bounded by
+    capacity × partitions rows regardless of data size, pass-2 shuffle by
+    the candidate count. Output: (value_col, cnt) with cnt ≥
+    ceil(min_frac × N).
+    """
+    capacity = capacity or int(2.0 / min_frac) + 1
+
+    def summarize(batches):
+        import pandas as pd
+
+        # mergeable-MG (Agarwal et al., "Mergeable Summaries"): merge the
+        # batch's exact counts in, then if over capacity subtract the
+        # (capacity+1)-th largest count from everyone and keep positives —
+        # every subtraction of m is charged against ≥ capacity+1 counters,
+        # so per-partition undercount ≤ n_p/(capacity+1)
+        counters: dict = {}
+        n = 0
+        for pdf in batches:
+            vc = pdf[value_col].value_counts()
+            n += int(vc.sum())
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > capacity:
+                m = sorted(counters.values(), reverse=True)[capacity]
+                counters = {k: c - m for k, c in counters.items() if c > m}
+        out = pd.DataFrame(
+            {value_col: list(counters.keys()) + [None], "n": 0}
+        )
+        out.loc[out.index[-1], "n"] = n
+        yield out
+
+    vtype = dict(df.dtypes)[value_col]
+    rows = df.select(value_col).where(F.col(value_col).isNotNull())
+    summary = rows.mapInPandas(
+        summarize, schema=f"{value_col} {vtype}, n long"
+    ).cache()
+    total = summary.agg(F.sum("n").alias("N"))
+    candidates = summary.filter(F.col(value_col).isNotNull()).select(value_col).distinct()
+    exact = (
+        rows.join(F.broadcast(candidates), value_col, "left_semi")
+        .groupBy(value_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.ceil(F.lit(min_frac) * F.col("N")))
+        .select(value_col, "cnt")
+    )
+
+
+def theta_distinct_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    groups: Sequence[str],
+) -> DataFrame:
+    """Distinct-value overlap across groups via Theta sketches (the
+    DataSketches set-operation family): |A ∩ B| estimated by intersecting
+    per-group sketch states — the question HLL cannot answer (HLL unions
+    only). One scan builds a sketch per group; the intersection is
+    sketch-sized work. Output: one row (groups..., per-group estimates,
+    intersection_est)."""
+    sketches = (
+        df.filter(F.col(group_col).isin(list(groups)))
+        .groupBy(group_col)
+        .agg(F.theta_sketch_agg(F.col(value_col)).alias("theta"))
+    )
+    merged = sketches.agg(
+        F.theta_sketch_estimate(
+            F.theta_intersection_agg(F.col("theta"))
+        ).alias("intersection_est"),
+        F.theta_sketch_estimate(F.theta_union_agg(F.col("theta"))).alias(
+            "union_est"
+        ),
+    )
+    # per-group point estimates in the SAME scan (conditional sketch aggs)
+    singles = df.agg(
+        *[
+            F.theta_sketch_estimate(
+                F.theta_sketch_agg(
+                    F.when(F.col(group_col) == g, F.col(value_col))
+                )
+            ).alias(f"distinct_{i}")
+            for i, g in enumerate(groups)
+        ]
+    )
+    return singles.crossJoin(F.broadcast(merged))
+
+
+def kll_quantile_rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    rollup_keys: Sequence[str],
+    quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Mergeable quantile rollup via KLL sketches: sketch ``value_col``
+    once per fine ``keys`` cell, answer coarser ``rollup_keys`` quantiles
+    by MERGING sketch states — the percentile twin of the HLL pattern
+    (percentile_approx over raw data would re-scan; KLL merges are
+    sketch-sized). Output: rollup_keys + q_* columns."""
+    fine = df.groupBy(*keys).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double")).alias("kll")
+    )
+    # kll_sketch_merge_double is a BINARY scalar (no merge aggregate in
+    # Spark 4.1): fold it over the per-group sketch list — still
+    # sketch-sized work per group, and the fine sketches are tiny
+    lst = F.collect_list("kll")
+    folded = F.aggregate(
+        F.slice(lst, F.lit(2), F.greatest(F.size(lst) - 1, F.lit(0))),
+        F.element_at(lst, 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    merged = fine.groupBy(*rollup_keys).agg(folded.alias("kll"))
+    qs = [
+        F.kll_sketch_get_quantile_double(F.col("kll"), F.lit(q)).alias(
+            f"q_{str(q).replace('.', '_')}"
+        )
+        for q in quantiles
+    ]
+    return merged.select(*rollup_keys, *qs)

@@ -302,22 +302,37 @@ def bm25_search(
     computes FROM them. Lucene-style idf = ln(1 + (N - df + .5)/(df + .5))
     (always positive).
 
-    Plan shape: the corpus-sized work is one tokenize scan feeding two
-    bounded aggregations (per-doc length; per-(doc,term) tf restricted to
-    the query terms — the `isin` prunes the explosion before any shuffle).
-    Corpus stats (N, avgdl) and per-term df are broadcast scalars/tables.
-    Output: (id, bm25) for docs matching ≥1 term.
+    Plan shape: ONE tokenize scan → ONE groupBy(id) computing dl and every
+    per-term tf as conditional sums in the same pass (the query-term list
+    is a compile-time literal, so tf columns are CASE sums — no second
+    aggregation, no tf⋈dl join). The per-term unpivot and the final
+    per-doc sum stay partitioned on id, so the whole query is a single
+    data-sized exchange; df and (N, avgdl) reduce the per-doc table to
+    broadcast scalars. Output: (id, bm25) for docs matching ≥1 term.
     """
     toks = tokenize(docs.select(id_col, text_col), text_col, out="w")
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    stats = dl.agg(
+    # cache: stats, df, and the scoring branch all read this — without it
+    # each branch re-runs the tokenize scan + aggregation (column pruning
+    # makes the three exchanges non-identical, so ReuseExchange can't
+    # help). One row per doc: orders of magnitude smaller than the corpus.
+    per_doc = toks.groupBy(id_col).agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum((F.col("w") == t).cast("bigint")).alias(f"_tf{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    ).cache()
+    stats = per_doc.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    tf = (
-        toks.filter(F.col("w").isin(query_terms))
-        .groupBy(id_col, "w")
-        .agg(F.count("*").alias("tf"))
+    stack_args = ", ".join(
+        f"'{t}', _tf{i}" for i, t in enumerate(query_terms)
     )
+    tf = per_doc.select(
+        id_col,
+        "dl",
+        F.expr(f"stack({len(query_terms)}, {stack_args}) AS (w, tf)"),
+    ).filter(F.col("tf") > 0)
     df = tf.groupBy("w").agg(F.count("*").alias("df"))
     idf = F.log(
         F.lit(1.0)
@@ -328,8 +343,7 @@ def bm25_search(
         F.col("tf") * (k1 + 1) / (F.col("tf") + k1 * norm_len)
     )
     return (
-        tf.join(dl, id_col)
-        .join(F.broadcast(df), "w")
+        tf.join(F.broadcast(df), "w")
         .crossJoin(F.broadcast(stats))
         .select(F.col(id_col), per_term.alias("sc"))
         .groupBy(id_col)

@@ -3404,6 +3404,57 @@ def top_revenue_supplier(spark, sf_dir):
     ).select("s_suppkey", "s_name", "total_rev")
 
 
+# ===========================================================================
+# Sketches beyond HLL: heavy hitters (exact via sketch+verify), theta, KLL
+# ===========================================================================
+
+
+@query(
+    "heavy_hitter_users",
+    """
+    WITH t AS (SELECT count(*) AS n FROM events)
+    SELECT user_id, count(*) AS cnt
+    FROM events CROSS JOIN t
+    GROUP BY user_id, t.n
+    HAVING count(*) >= ceil(0.0075 * t.n)
+    """,
+)
+def heavy_hitter_users(spark, sf_dir):
+    """EXACT frequent-item detection at unbounded domain size: pass 1 is a
+    shuffle-free Misra-Gries summary per partition (candidate superset
+    guaranteed by the mergeable-summaries bound), pass 2 exact-counts only
+    the broadcast candidate set. Output == plain GROUP BY/HAVING (the
+    oracle) while never shuffling the full key domain — the 100 TB shape
+    for "which keys exceed 0.75% of all traffic"."""
+    ev = _t(spark, sf_dir, "events")
+    return SK.heavy_hitters(ev, "user_id", min_frac=0.0075)
+
+
+@query("event_type_user_overlap")
+def event_type_user_overlap(spark, sf_dir):
+    """Distinct-user overlap between click and purchase audiences via
+    Theta sketches — the set-operation question (|A∩B|, |A∪B|) HLL cannot
+    answer. One scan builds per-group sketches; intersections/unions are
+    sketch-sized. Rows-only (DataSketches estimates); accuracy vs exact is
+    golden-tested."""
+    ev = _t(spark, sf_dir, "events")
+    return SK.theta_distinct_overlap(ev, "event_type", "user_id", ["click", "purchase"])
+
+
+@query("value_quantile_rollup")
+def value_quantile_rollup(spark, sf_dir):
+    """Mergeable quantile rollup: KLL sketch of `value` per (event_type,
+    day) cell, rolled up to per-type p50/p95/p99 by MERGING sketch states
+    — the percentile twin of the HLL sketch-once-merge-forever pattern.
+    Rows-only; rank-accuracy vs exact percentiles is golden-tested."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    return SK.kll_quantile_rollup(
+        ev, ["event_type", "day"], "value", ["event_type"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

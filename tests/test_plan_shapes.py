@@ -97,3 +97,40 @@ def test_moving_avg_window_input_is_preaggregated(spark, sf_dir):
     plan = _plan(spark, sf_dir, "daily_revenue_moving_avg")
     w = plan.index("Window")
     assert "HashAggregate" in plan[w:]
+
+
+def test_chunk_dedup_two_shuffles_only(spark, sf_dir):
+    """Passage dedup = fingerprint window + doc reassembly: exactly two
+    hash exchanges, no self-join (the groupBy+rejoin formulation would
+    shuffle the chunk text a third time)."""
+    plan = _plan(spark, sf_dir, "chunk_dedup_docs")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_split_assignment_is_scan_side(spark, sf_dir):
+    """Stratified split: the md5-range CASE is a projection — the only
+    exchange is the counting aggregation itself."""
+    plan = _plan(spark, sf_dir, "corpus_split_counts")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_bm25_broadcasts_stats_and_df(spark, sf_dir):
+    """BM25: per-term df and corpus stats must broadcast; the only
+    data-sized join is tf⋈dl on doc_id."""
+    plan = _plan(spark, sf_dir, "bm25_ranked_docs")
+    assert "BroadcastHashJoin" in plan  # df table
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats crossJoin
+    assert "SortMergeJoin" not in plan  # dl+tf fused into one groupBy(id)
+    # stats / df / main branch all read the CACHED per-doc table — the
+    # tokenize scan + groupBy(id) runs once, not three times
+    assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_contamination_probe_broadcasts_benchmark(spark, sf_dir):
+    """Decontamination: the eval shingle set broadcasts — the corpus-side
+    shingle stream must NOT shuffle for the membership probe."""
+    plan = _plan(spark, sf_dir, "benchmark_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -94,3 +94,70 @@ def test_streaming_reach_matches_batch_sketch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_heavy_hitters_exact_under_skew(spark):
+    """Forced eviction: zipf-ish skew with capacity far below the domain —
+    the sketch+verify result must STILL equal plain GROUP BY + HAVING."""
+    import itertools
+
+    rows = list(
+        itertools.chain.from_iterable(
+            [f"k{i}"] * n
+            for i, n in enumerate([400, 250, 120, 60, 30] + [7] * 100 + [1] * 300)
+        )
+    )
+    df = spark.createDataFrame([(v,) for v in rows], "k string").repartition(8)
+    got = {
+        (r["k"], r["cnt"])
+        for r in SK.heavy_hitters(df, "k", min_frac=0.02, capacity=12).collect()
+    }
+    n = len(rows)
+    exact = {
+        (r["k"], r["cnt"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= -(-int(0.02 * n) // 1))
+        .collect()
+        if r["cnt"] * 50 >= n
+    }
+    assert got == exact and len(exact) >= 3
+
+
+def test_theta_overlap_accuracy(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    row = SK.theta_distinct_overlap(
+        ev, "event_type", "user_id", ["click", "purchase"]
+    ).collect()[0]
+    c = {r[0] for r in ev.filter(F.col("event_type") == "click").select("user_id").distinct().collect()}
+    p = {r[0] for r in ev.filter(F.col("event_type") == "purchase").select("user_id").distinct().collect()}
+    assert abs(row["distinct_0"] - len(c)) <= max(2, 0.05 * len(c))
+    assert abs(row["distinct_1"] - len(p)) <= max(2, 0.05 * len(p))
+    assert abs(row["intersection_est"] - len(c & p)) <= max(3, 0.1 * len(c & p))
+    assert abs(row["union_est"] - len(c | p)) <= max(3, 0.05 * len(c | p))
+
+
+def test_kll_rollup_rank_accuracy(spark, sf_dir):
+    from mapreduce_big_data_processing_spark import catalog
+
+    ev = catalog.load(spark, "events", sf_dir).withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    got = {
+        r["event_type"]: r
+        for r in SK.kll_quantile_rollup(
+            ev, ["event_type", "day"], "value", ["event_type"]
+        ).collect()
+    }
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for et, xs in vals.items():
+        xs.sort()
+        for q, col in [(0.5, "q_0_5"), (0.95, "q_0_95")]:
+            est = got[et][col]
+            # rank of the estimate must be within ±4% of the target rank
+            import bisect
+
+            rank = bisect.bisect_left(xs, est) / len(xs)
+            assert abs(rank - q) <= 0.04, (et, q, rank, est)
