@@ -117,3 +117,49 @@ def write_z_ordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_mb: int = 128,
+    sort_within_by: Sequence[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_file_mb``-sized files. Returns the output file count.
+
+    The small-files problem is the operational failure mode of S7-style
+    key-routed writes and streaming foreachBatch sinks (every micro-batch
+    a file): at 100 TB a scan's task count — and the NameNode/listing
+    load — is file-bound, not byte-bound. Compaction = read + repartition
+    to ceil(bytes/target) + rewrite; ``sort_within_by`` optionally
+    re-establishes clustering (layout.write_range_clustered's property)
+    during the same pass.
+
+    Sizing uses the Hadoop FileSystem API (works on any supported
+    filesystem, not just file://). Write lands in ``dst`` (a new tree):
+    swap-in is the caller's atomic rename — compaction must never
+    overwrite its own input mid-read.
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(hconf)
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(src)
+    if sort_within_by:
+        out = df.repartitionByRange(n_files, *sort_within_by).sortWithinPartitions(
+            *sort_within_by
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("error").parquet(dst)
+    dpath = jvm.org.apache.hadoop.fs.Path(dst)
+    return sum(
+        1
+        for f in fs.listStatus(dpath)
+        if f.getPath().getName().endswith(".parquet")
+    )

@@ -105,3 +105,59 @@ def test_z_value_bit_interleave(spark):
     df = spark.createDataFrame([(1, 0), (0, 1), (3, 3), (2, 1)], "x long, y long")
     out = df.select(layout.z_value([F.col("x"), F.col("y")], bits=4).alias("z"))
     assert [r.z for r in out.collect()] == [1, 2, 15, 6]
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    from mapreduce_big_data_processing_spark.sources.layout import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.repartition(64).write.parquet(src)  # simulate a small-files tree
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+    n_out = compact_parquet(spark, src, dst, target_file_mb=128)
+    assert n_out < 64
+    assert len(glob.glob(f"{dst}/*.parquet")) == n_out
+    a = spark.read.parquet(dst)
+    assert a.count() == li.count()
+    assert a.exceptAll(spark.read.parquet(src)).count() == 0
+
+
+def test_compact_with_clustering_restores_pruning(spark, sf_dir, tmp_path):
+    """Compaction with sort_within_by must leave narrow per-file ranges —
+    checked against parquet footer stats like the other layout tests."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_big_data_processing_spark.sources.layout import compact_parquet
+
+    src = str(tmp_path / "frag2")
+    dst = str(tmp_path / "comp2")
+    # sf0.01 explicitly: the default fixture is too small to yield >1 file
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    li.repartition(32).write.parquet(src)
+    compact_parquet(spark, src, dst, target_file_mb=1, sort_within_by=["l_shipdate"])
+    files = sorted(glob.glob(f"{dst}/*.parquet"))
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+            "l_shipdate"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    # files must tile the key space: sorted by min, each file's range must
+    # not contain another file's whole range (disjoint-ish clustering)
+    ranges.sort()
+    overlaps = sum(
+        1 for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]) if b_lo < a_hi
+    )
+    # range-partitioned output: at most boundary-touch overlaps
+    assert overlaps <= len(ranges) // 2
