@@ -65,3 +65,24 @@ def save_as_table(
     if bucket_cols:
         writer = writer.bucketBy(n_buckets, *bucket_cols).sortBy(*bucket_cols)
     writer.saveAsTable(name)
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+) -> None:
+    """Idempotent backfill: replace ONLY the partitions present in ``df``,
+    leaving sibling partitions untouched (dynamic partitionOverwriteMode).
+
+    This is the batch twin of the streaming foreachBatch epoch-overwrite
+    sink: re-running a day's job rewrites that day's directory and nothing
+    else, so retries and backfills are exactly-once at the partition
+    level. STATIC mode (the default) would truncate the whole table — the
+    classic footgun this wrapper exists to avoid.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
