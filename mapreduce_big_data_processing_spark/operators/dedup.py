@@ -45,9 +45,11 @@ def exact_dedup(
     Output: (doc_id, fingerprint, canonical_id, is_duplicate) — canonical is
     the minimum id per fingerprint group. One shuffle on the fingerprint.
     """
+    # cached: the groupBy branch and the rejoin both consume this — without
+    # it the scan + md5-of-text runs twice (id+digest rows, tiny vs corpus)
     fp = docs.select(
         F.col(id_col), F.md5(_canon(F.col(text_col))).alias("fingerprint")
-    )
+    ).cache()
     canon = fp.groupBy("fingerprint").agg(F.min(id_col).alias("canonical_id"))
     return (
         fp.join(canon, "fingerprint")

@@ -164,10 +164,18 @@ def tf_idf(
     is the standard log(N/df).
     Output: (doc, word, tf, idf, tfidf).
     """
-    # One (doc,word) aggregation feeds tf, df and N — identical subplans, so
-    # the exchange is computed once and reused (ReusedExchange), not three
-    # re-tokenization passes.
-    counts = tokens.groupBy(doc_col, word_col).agg(F.count(F.lit(1)).alias("cnt"))
+    # One (doc,word) aggregation feeds tf, df and N. CACHED: column pruning
+    # specializes each consumer's aggregate (df doesn't need cnt, N only
+    # needs doc), so the three subplans are NOT identical and ReuseExchange
+    # cannot deduplicate them — without the cache the tokenize scan +
+    # explode runs three times (verified in the physical plan). The cached
+    # table is (doc × distinct-word) rows — far smaller than the token
+    # stream it replaces.
+    counts = (
+        tokens.groupBy(doc_col, word_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
+    )
     w = Window.partitionBy(doc_col)
     tf = counts.withColumn("tf", F.col("cnt") / F.sum("cnt").over(w)).drop("cnt")
     dfreq = counts.groupBy(word_col).agg(F.count(F.lit(1)).alias("df"))

@@ -3404,6 +3404,31 @@ def top_revenue_supplier(spark, sf_dir):
     ).select("s_suppkey", "s_name", "total_rev")
 
 
+@query(
+    "customer_order_distribution",
+    """
+    SELECT n_orders, count(*) AS n_customers
+    FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+    GROUP BY n_orders
+    """,
+)
+def customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 adaptation: order-count distribution INCLUDING customers
+    with zero orders — the left-outer + count(non-null) + re-histogram
+    shape `order_count_histogram` (orders-only) cannot produce. Two
+    bounded shuffles over per-customer keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
 # ===========================================================================
 # Sketches beyond HLL: heavy hitters (exact via sketch+verify), theta, KLL
 # ===========================================================================
