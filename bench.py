@@ -48,6 +48,7 @@ HEADLINE = [
     "bm25_ranked_docs",
     "doc_cross_entropy",
     "corpus_split_counts",
+    "curated_training_set",
     "pagerank_top20",
 ]
 

@@ -1782,10 +1782,8 @@ def value_band_counts(spark, sf_dir):
     )
 
 
-@query(
-    "clean_corpus",
-    """
-    WITH base AS (
+#: shared CTE chain: quality metrics -> language ID -> exact-dedup canon
+_CLEAN_CORPUS_CTES = """base AS (
       SELECT doc_id, text,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                          w -> w <> '') AS words
@@ -1839,7 +1837,12 @@ def value_band_counts(spark, sf_dir):
               FROM fp GROUP BY fingerprint),
     dd AS (
       SELECT fp.doc_id FROM fp JOIN canon USING (fingerprint)
-      WHERE fp.doc_id = canon.canonical_id)
+      WHERE fp.doc_id = canon.canonical_id)"""
+
+
+@query(
+    "clean_corpus",
+    "WITH " + _CLEAN_CORPUS_CTES + """
     SELECT q.doc_id, lp.lang_pred, q.n_words, q.quality
     FROM q JOIN lp USING (doc_id) JOIN dd USING (doc_id)
     WHERE q.quality >= 0.9 AND lp.lang_pred <> 'und'
@@ -3402,6 +3405,79 @@ def top_revenue_supplier(spark, sf_dir):
     return R.broadcast_join(
         sup, top, sup["s_suppkey"] == top["l_suppkey"]
     ).select("s_suppkey", "s_name", "total_rev")
+
+
+@query(
+    "curated_training_set",
+    "WITH "
+    + _CLEAN_CORPUS_CTES
+    + f""",
+    sh AS ({_SHINGLES_SQL}),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE {_BENCH_SHINGLES}),
+    cont AS (
+      SELECT s.doc_id,
+             CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS contamination
+      FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+      WHERE NOT (s.{_BENCH_SHINGLES})
+      GROUP BY s.doc_id),
+    surv AS (
+      SELECT q.doc_id, lp.lang_pred, q.n_words
+      FROM q JOIN lp USING (doc_id) JOIN dd USING (doc_id)
+             JOIN cont USING (doc_id)
+      WHERE q.quality >= 0.9 AND lp.lang_pred <> 'und'
+        AND cont.contamination <= 0.2),
+    assigned AS (
+      SELECT lang_pred, n_words,
+             CASE WHEN u < 0.75 THEN 'train'
+                  WHEN u < 0.875 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT *,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) / 1152921504606846976.0 AS u
+            FROM surv))
+    SELECT split, lang_pred, count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words
+    FROM assigned GROUP BY split, lang_pred
+    """,
+)
+def curated_training_set(spark, sf_dir):
+    """The full training-data curation pipeline as ONE lazy plan — the
+    driver-extension north star end-to-end: quality scoring + language ID
+    (projections fused into one documents scan) → exact-dedup canonical
+    filter → benchmark decontamination (broadcast eval shingles, eval docs
+    excluded) → deterministic stratified split → per-(split, lang) corpus
+    accounting. Differential-tested against the identical composition as
+    one DuckDB CTE chain. Shuffle inventory: dedup fingerprint groupBy,
+    shingle contamination groupBy, the doc_id joins, final tiny agg —
+    every other step rides the scan."""
+    from mapreduce_big_data_processing_spark.operators import curation as C
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = TS.language_id(TS.quality_score(docs))
+    keep = D.exact_dedup(docs).filter(F.col("is_duplicate") == 0).select("doc_id")
+    is_bench = (F.col("doc_id") % 20) == 0
+    cont = C.ngram_contamination(
+        D.shingles(docs, k=3).filter(~is_bench),
+        D.shingles(docs.filter(is_bench), k=3),
+    )
+    surv = (
+        scored.join(keep, "doc_id")
+        .join(cont.select("doc_id", "contamination"), "doc_id")
+        .filter(
+            (F.col("quality") >= 0.9)
+            & (F.col("lang_pred") != "und")
+            & (F.col("contamination") <= 0.2)
+        )
+    )
+    assigned = C.stratified_split(
+        surv, "doc_id", {"train": 0.75, "val": 0.125, "test": 0.125}
+    )
+    return assigned.groupBy("split", "lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+    )
 
 
 @query(
