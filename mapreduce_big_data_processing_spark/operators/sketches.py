@@ -78,6 +78,13 @@ def heavy_hitters(
     ceil(min_frac × N).
     """
     capacity = capacity or int(2.0 / min_frac) + 1
+    if capacity * min_frac < 1.0:
+        # the exactness guarantee needs N/(capacity+1) < ceil(min_frac·N):
+        # a smaller capacity can silently DROP true heavy hitters
+        raise ValueError(
+            f"capacity {capacity} < 1/min_frac ({1.0 / min_frac:.0f}): "
+            "candidate superset guarantee would not hold"
+        )
 
     def summarize(batches):
         import pandas as pd

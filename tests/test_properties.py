@@ -115,3 +115,69 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
         assert abs(approx[label] - e) <= max(0.05 * abs(e), 1e-6), (
             label, approx[label], e,
         )
+
+
+def test_chunk_dedup_partition_invariance(spark):
+    """Passage dedup must be independent of input partitioning: the
+    first-occurrence rule is defined by (doc_id, pos) order, not physical
+    layout."""
+    from mapreduce_big_data_processing_spark.operators import curation as C
+
+    docs = spark.createDataFrame(
+        [(i, f"common passage here unique{i} tail words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        map(tuple, C.chunk_dedup(docs.repartition(1), words_per_chunk=3).collect())
+    )
+    b = sorted(
+        map(tuple, C.chunk_dedup(docs.repartition(7), words_per_chunk=3).collect())
+    )
+    assert a == b
+
+
+def test_heavy_hitters_partition_invariance(spark):
+    """Sketch+verify heavy hitters: MG summaries differ per layout, but
+    the verified OUTPUT must not (it equals GROUP BY + HAVING)."""
+    from mapreduce_big_data_processing_spark.operators import sketches as SK
+
+    # domain (52) > capacity (21) forces MG eviction, while capacity still
+    # satisfies the guarantee bound N/(capacity+1) < ceil(min_frac*N)
+    rows = (
+        [("hotA",)] * 300
+        + [("hotB",)] * 250
+        + [(f"k{i}",) for i in range(50) for _ in range(10)]
+    )
+    df = spark.createDataFrame(rows, "k string")
+    outs = []
+    for n in (1, 4, 13):
+        outs.append(
+            sorted(
+                map(
+                    tuple,
+                    SK.heavy_hitters(
+                        df.repartition(n), "k", min_frac=0.1, capacity=21
+                    ).collect(),
+                )
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0] == [("hotA", 300), ("hotB", 250)]
+
+
+def test_bm25_partition_invariance(spark):
+    from mapreduce_big_data_processing_spark.operators.text import bm25_search
+
+    docs = spark.createDataFrame(
+        [(i, "spark window hash " * (1 + i % 3) + f"filler{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    a = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_search(docs.repartition(1), ["spark", "hash"]).collect()
+    }
+    b = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_search(docs.repartition(8), ["spark", "hash"]).collect()
+    }
+    assert a == b
