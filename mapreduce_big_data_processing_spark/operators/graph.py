@@ -45,6 +45,7 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 10,
     checkpoint_every: int = 5,
+    tol: float | None = None,
 ) -> DataFrame:
     """G2+G3 — weighted PageRank with dangling-mass redistribution.
 
@@ -109,7 +110,25 @@ def pagerank(
         )
 
     ranks = vertices.withColumn("pr", F.lit(1.0 / n))
-    return iterate(ranks, step, max_iter, checkpoint_every)
+    if tol is None:
+        return iterate(ranks, step, max_iter, checkpoint_every)
+
+    # convergence mode (`ppt/Ch8….pdf p.26` alternative 2): stop when the
+    # total rank movement Σ|Δpr| drops under tol — one extra scalar job
+    # per round, the price of not running fixed iterations
+    from mapreduce_big_data_processing_spark.plans.iterate import iterate_until
+
+    def converged(prev: DataFrame, cur: DataFrame) -> bool:
+        delta = (
+            prev.select("node", F.col("pr").alias("p0"))
+            .join(cur.select("node", F.col("pr").alias("p1")), "node")
+            .agg(F.sum(F.abs(F.col("p1") - F.col("p0"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        return delta is not None and delta < tol
+
+    state, _rounds = iterate_until(ranks, step, converged, max_iter, checkpoint_every)
+    return state
 
 
 def label_propagation(

@@ -1127,6 +1127,22 @@ def pagerank_top20(spark, sf_dir):
     return G.top_ranked(ranks, 20).select("node", F.round("pr", 6).alias("pr"))
 
 
+@query("pagerank_converged")
+def pagerank_converged(spark, sf_dir):
+    """PageRank in convergence mode (`ppt/Ch8….pdf p.26` alternative 2):
+    iterate until Σ|Δpr| < tol instead of a fixed count — the
+    iterate_until harness with a driver-side scalar test per round.
+    Rows-only: the stopping round is data-dependent, so there is no fixed
+    unrolled-CTE oracle; closeness to the fixed-iteration result is
+    golden-tested."""
+    from mapreduce_big_data_processing_spark.operators import graph as G
+
+    ranks = G.pagerank(
+        _word_graph(spark, sf_dir), damping=0.85, max_iter=15, tol=1e-4
+    )
+    return G.top_ranked(ranks, 20).select("node", F.round("pr", 6).alias("pr"))
+
+
 @query("label_propagation", _lpa_sql(iters=5))
 def label_propagation(spark, sf_dir):
     """G4 — synchronous weighted LPA, 5 rounds, integer co-occurrence

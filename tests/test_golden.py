@@ -329,3 +329,20 @@ def test_connected_components_golden(spark):
     )
     got = {r.node: r.comp for r in G.connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_pagerank_convergence_mode(spark):
+    """tol-mode must stop early on a quickly-mixing graph and land within
+    tol-scale distance of a long fixed-iteration run."""
+    pairs = [
+        ("a", "b", 0.5), ("a", "c", 0.5), ("b", "a", 1.0),
+        ("c", "b", 0.5), ("c", "d", 0.5), ("d", "a", 1.0),
+    ]
+    edges = spark.createDataFrame(pairs, "src string, dst string, weight double")
+    fixed = {r.node: r.pr for r in G.pagerank(edges, max_iter=40).collect()}
+    conv = {r.node: r.pr for r in G.pagerank(edges, max_iter=40, tol=1e-9).collect()}
+    assert set(fixed) == set(conv)
+    for n in fixed:
+        assert conv[n] == pytest.approx(fixed[n], abs=1e-6)
+    total = sum(conv.values())
+    assert total == pytest.approx(1.0)

@@ -338,3 +338,45 @@ def test_lenient_json_quarantine(spark, tmp):
     assert len(bad) == 2 and all(isinstance(s, str) for s in bad)
     # replayability: the raw lines round-trip after a "parser fix"
     assert any("BROKEN" in s for s in bad)
+
+
+def test_streaming_heavy_hitters_matches_batch(spark, sf_dir, tmp):
+    """Bounded stream, capacity above the per-group domain: the final MG
+    emission per group must carry EXACT counts equal to the batch
+    groupBy — and stay bounded-state for unbounded streams."""
+    from mapreduce_big_data_processing_spark import catalog
+    from mapreduce_big_data_processing_spark.streaming import stateful as ST
+
+    src = os.path.join(tmp, "events_hh")
+    catalog.load(spark, "events", sf_dir).write.parquet(src)
+    stream = SW.read_event_stream(spark, src)
+    out = ST.streaming_heavy_hitters(stream, capacity=300)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hh_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.event_type, r.value): r.count_lb
+        for r in spark.sql(
+            """
+            SELECT event_type, value, count_lb FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY event_type, value ORDER BY count_lb DESC) rn
+              FROM hh_stream) WHERE rn = 1
+            """
+        ).collect()
+    }
+    ev = catalog.load(spark, "events", sf_dir)
+    want = {
+        (r.event_type, str(r.user_id)): r.n
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
