@@ -380,3 +380,35 @@ def test_streaming_heavy_hitters_matches_batch(spark, sf_dir, tmp):
         .collect()
     }
     assert got == want
+
+
+def test_jdbc_roundtrip_derby(spark, sf_dir):
+    """S5/S9 against a real RDBMS: Spark ships Derby (the Hive-metastore
+    dependency), so the JDBC source/sink run end-to-end in-process —
+    including a partitioned (4-cursor) parallel read."""
+    from mapreduce_big_data_processing_spark.sources.readers import read_jdbc
+    from mapreduce_big_data_processing_spark.sources.writers import write_jdbc
+
+    url = "jdbc:derby:memory:enginedb;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    write_jdbc(
+        nation, url, "NATION", mode="overwrite", driver=driver
+    )
+    back = read_jdbc(spark, url, "NATION", driver=driver)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, nation.collect())
+    )
+    # parallel read: 4 JDBC cursors split on the key range
+    par = read_jdbc(
+        spark,
+        url,
+        "NATION",
+        partition_column="N_NATIONKEY",
+        lower_bound=0,
+        upper_bound=30,
+        num_partitions=4,
+        driver=driver,
+    )
+    assert par.rdd.getNumPartitions() == 4
+    assert par.count() == nation.count()
