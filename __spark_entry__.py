@@ -25,8 +25,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return Q.QUERIES["pricing_summary"](spark, SMOKE_SF_DIR)
+    """Flagship on /root/testdata/sf0.001; driver checks rows>0 + schema.
+
+    `curated_training_set` — the end-to-end training-data curation
+    pipeline (quality + language ID fused into one scan → exact-dedup →
+    benchmark decontamination → stratified split → corpus accounting) as
+    ONE lazy plan; oracle-checked at sf0.01 via the identical DuckDB CTE
+    chain."""
+    return Q.QUERIES["curated_training_set"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -412,3 +412,30 @@ def test_jdbc_roundtrip_derby(spark, sf_dir):
     )
     assert par.rdd.getNumPartitions() == 4
     assert par.count() == nation.count()
+
+
+def test_media_similarity_pipeline(spark):
+    """Multimodal → ANN integration: media features (mapInPandas decode
+    stub) flow straight into the similarity and quantization operators —
+    the media dedup/search path with the decode step swapped for the
+    deterministic fake."""
+    from mapreduce_big_data_processing_spark.operators import quantization as QZ
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    feats = MM.extract_features(MM.synthetic_media(spark, 48)).select(
+        "media_id", F.col("features").alias("embedding")
+    )
+    q = feats.filter(F.col("media_id") < 4).select(
+        F.col("media_id").alias("query_id"), "embedding"
+    )
+    exact = S.brute_force_topk(
+        feats, q, k=5, id_col="media_id", query_id_col="query_id"
+    )
+    assert exact.groupBy("query_id").count().agg(F.min("count")).collect()[0][0] == 5
+    # int8-quantized path agrees on the neighbor sets at high recall
+    quant = QZ.quantized_topk(
+        feats, q, k=5, id_col="media_id", query_id_col="query_id"
+    )
+    e = {(r["query_id"], r["media_id"]) for r in exact.collect()}
+    g = {(r["query_id"], r["media_id"]) for r in quant.collect()}
+    assert len(e & g) / len(e) >= 0.8
