@@ -69,14 +69,18 @@ def quantization_error(
             lambda r, o: F.abs(r - o),
         )
     )
-    # two projections: aliasing round(scale) AS "scale" in the same select
-    # would lateral-resolve the err expression's `scale` to the ROUNDED
-    # value (Spark lateral column aliases), perturbing the reconstruction
+    # two projections: aliasing an expression AS "scale" in the same select
+    # would lateral-resolve the err expression's `scale` reference (Spark
+    # lateral column aliases), perturbing the reconstruction. Values are
+    # emitted RAW: rounding here and again in a consumer double-rounds,
+    # which manufactures exact-half decimal boundaries where Spark's
+    # BigDecimal HALF_UP and DuckDB's float rounding disagree (seen at
+    # sf0.1) — raw doubles are never exactly on a boundary.
     raw = q.select(F.col(id_col), F.col("scale").alias("_s"), err.alias("_e"))
     return raw.select(
         F.col(id_col),
-        F.round("_s", 9).alias("scale"),
-        F.round("_e", 9).alias("max_abs_err"),
+        F.col("_s").alias("scale"),
+        F.col("_e").alias("max_abs_err"),
     )
 
 

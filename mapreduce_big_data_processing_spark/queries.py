@@ -419,15 +419,21 @@ def hourly_event_counts(spark, sf_dir):
     "hourly_avg_value",
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
-           round(avg(value), 6) AS avg_value
+           round(round(sum(value), 3) / count(*), 6) AS avg_value
     FROM events GROUP BY window_start, event_type
     """,
 )
 def hourly_avg_value(spark, sf_dir):
-    """A16 — avg response time per URL per hour (task 4)."""
+    """A16 — avg response time per URL per hour (task 4). The mean is
+    computed as round(sum, 3)/count: summation order differs between
+    engines by ~1e-10, and with thousands of output cells a raw avg
+    rounded to 6 decimals lands on a rounding boundary often enough to
+    flip hashes (seen at sf0.1) — rounding the sum first absorbs the
+    divergence, then the division is exact on identical doubles."""
     ev = _t(spark, sf_dir, "events")
+    avg_det = F.round(F.round(F.sum("value"), 3) / F.count(F.lit(1)), 6)
     out = WIN.windowed_agg(
-        ev, "ts", "1 hour", ["event_type"], [F.round(F.avg("value"), 6).alias("avg_value")]
+        ev, "ts", "1 hour", ["event_type"], [avg_det.alias("avg_value")]
     )
     return out.select("window_start", "event_type", "avg_value")
 
@@ -2405,7 +2411,7 @@ def daily_revenue_moving_avg(spark, sf_dir):
       FROM events)
     SELECT user_id,
            CAST(count(d) AS BIGINT) AS n_deltas,
-           round(avg(abs(d)), 6) AS mean_abs_delta
+           round(round(sum(abs(d)), 3) / count(d), 6) AS mean_abs_delta
     FROM x GROUP BY user_id
     """,
 )
@@ -2424,7 +2430,11 @@ def user_value_deltas(spark, sf_dir):
         .groupBy("user_id")
         .agg(
             F.count("d").alias("n_deltas"),
-            F.round(F.avg(F.abs("d")), 6).alias("mean_abs_delta"),
+            # round-sum-then-divide: cross-engine sum-order divergence is
+            # absorbed before the mean lands near a round-6 boundary
+            F.round(F.round(F.sum(F.abs("d")), 3) / F.count("d"), 6).alias(
+                "mean_abs_delta"
+            ),
         )
     )
 
