@@ -1,0 +1,54 @@
+"""Regenerate PLANS.md: explain('formatted') snapshots of representative
+queries at sf0.001 with AQE off (stable plan text).
+
+The load-bearing plan properties are PINNED in tests/test_plan_shapes.py;
+this file is documentation for human review, not a gate.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PICKS = {
+    "pricing_summary": "TPC-H Q1: scan -> partial+final hash agg; pushdown + pruned ReadSchema",
+    "revenue_by_nation": "4-table join: broadcast dims, single fact shuffle",
+    "top_customers": "global top-k as TakeOrderedAndProject (no full sort)",
+    "minhash_lsh_pairs": "MinHash+LSH: one-pass signatures, banded candidate join, no cartesian",
+    "bm25_ranked_docs": "BM25: one groupBy(doc) feeds dl+tf; df/stats broadcast; cached per-doc table",
+    "chunk_dedup_docs": "passage dedup: fingerprint window + reassembly, two exchanges, no self-join",
+    "curated_training_set": "flagship curation pipeline: fused stat projections, broadcast eval shingles",
+    "heavy_hitter_users": "sketch+verify: narrow MG stage, broadcast candidate semi-join",
+}
+
+
+def main() -> None:
+    from mapreduce_big_data_processing_spark.session import get_session
+    from mapreduce_big_data_processing_spark import queries as Q
+
+    spark = get_session("plans", cpus=8, adaptive=False)
+    spark.sparkContext.setLogLevel("ERROR")
+    out = [
+        "# PLANS — explain('formatted') snapshots of representative queries",
+        "",
+        "Regenerate with `python tools_dump_plans.py` (this file is that script's",
+        "output). These are the physical plans the engine ships at sf0.001 with AQE",
+        "off for stable text; `tests/test_plan_shapes.py` pins the load-bearing",
+        "properties (broadcasts, exchange counts, no cartesians) so regressions",
+        "fail CI rather than relying on this document.",
+        "",
+    ]
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    for name, why in PICKS.items():
+        df = Q.QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().explainString(mode)
+        out += [f"## {name}", f"*{why}*", "```", plan.strip(), "```", ""]
+    with open(os.path.join(os.path.dirname(__file__), "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md written")
+
+
+if __name__ == "__main__":
+    main()
