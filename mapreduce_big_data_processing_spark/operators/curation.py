@@ -221,3 +221,67 @@ def _unit_hash(key: Column) -> Column:
     return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("double") / F.lit(
         float(1 << 60)
     )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_doc_frac: float = 0.05,
+    paragraph_regex: str | None = None,
+    words_per_chunk: int | None = None,
+) -> DataFrame:
+    """Boilerplate removal (RefinedWeb-style): drop EVERY occurrence of any
+    passage appearing in more than ``min_doc_frac`` of documents (footers,
+    nav text, license blocks). Distinct from ``chunk_dedup``, which keeps
+    the first occurrence — boilerplate is template text, so no copy stays.
+
+    Output: (id, text_kept, n_chunks, n_kept), reassembled in order.
+
+    Scale shape: one shuffle computes per-passage document frequency; the
+    boilerplate set is then broadcast for the anti-probe. That set is
+    PROVABLY small: a passage needs > min_doc_frac·N documents, so at most
+    avg_passages_per_doc / min_doc_frac distinct passages can qualify —
+    independent of corpus size. Reassembly is the one remaining shuffle.
+    """
+    chunks = split_chunks(
+        docs,
+        id_col,
+        text_col,
+        paragraph_regex=paragraph_regex,
+        words_per_chunk=words_per_chunk,
+    )
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("chunk")), r"\s+", " ")))
+    with_fp = chunks.withColumn("fp", fp)
+    n_docs = docs.select(F.countDistinct(id_col).alias("n"))
+    boiler = (
+        with_fp.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > F.col("n") * F.lit(min_doc_frac))
+        .select("fp")
+    )
+    kept = with_fp.join(F.broadcast(boiler).withColumn("_b", F.lit(1)), "fp", "left")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("_b").isNull(),
+                                F.struct(F.col("pos"), F.col("chunk")),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("text_kept"),
+            F.count("*").alias("n_chunks"),
+            F.sum(F.col("_b").isNull().cast("bigint")).alias("n_kept"),
+        )
+        .select(id_col, "text_kept", "n_chunks", "n_kept")
+    )

@@ -3507,6 +3507,68 @@ def curated_training_set(spark, sf_dir):
 
 
 @query(
+    "boilerplate_stripped_docs",
+    r"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || chr(10) || chr(10) ||
+               'standard footer all rights reserved contact support team'
+               AS text
+      FROM documents),
+    ch AS (
+      SELECT doc_id, i AS pos, ps[i] AS chunk
+      FROM (SELECT doc_id, string_split_regex(text, '\n{2,}') AS ps
+            FROM planted)
+      CROSS JOIN LATERAL (
+        SELECT unnest(range(1, len(ps)+1)) AS i) u
+      WHERE trim(ps[i]) <> ''),
+    fps AS (
+      SELECT doc_id, pos, chunk,
+             md5(trim(regexp_replace(lower(chunk), '\s+', ' ', 'g'))) AS fp
+      FROM ch),
+    boiler AS (
+      SELECT fp FROM fps
+      GROUP BY fp
+      HAVING count(DISTINCT doc_id) >
+             (SELECT count(DISTINCT doc_id) FROM planted) * 0.3)
+    SELECT f.doc_id,
+           coalesce(string_agg(CASE WHEN b.fp IS NULL THEN f.chunk END,
+                               ' ' ORDER BY f.pos), '') AS text_kept,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN b.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM fps f LEFT JOIN boiler b ON f.fp = b.fp
+    GROUP BY f.doc_id
+    """,
+)
+def boilerplate_stripped_docs(spark, sf_dir):
+    """Boilerplate removal (RefinedWeb recipe): every occurrence of any
+    PARAGRAPH present in >30% of documents is dropped — template footers/
+    nav/license text, as opposed to chunk_dedup's keep-first semantics.
+    The synthetic corpus is single-line with no real boilerplate, so the
+    query plants an identical footer paragraph on every doc first, making
+    the oracle verify actual stripping (body kept, footer gone
+    everywhere). The qualifying-paragraph set is provably bounded
+    (≤ avg_paragraphs_per_doc / min_doc_frac) and broadcast for the
+    probe."""
+    from mapreduce_big_data_processing_spark.operators import curation as C
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(
+                "\n\nstandard footer all rights reserved contact support team"
+            ),
+        ).alias("text"),
+    )
+    return C.strip_boilerplate(
+        planted, min_doc_frac=0.3, paragraph_regex=r"\n{2,}"
+    )
+
+
+@query(
     "customer_order_distribution",
     """
     SELECT n_orders, count(*) AS n_customers

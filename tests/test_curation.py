@@ -216,3 +216,33 @@ def test_quantized_topk_recall(spark, sf_dir):
     g = {(r["query_id"], r["vec_id"]) for r in quant.collect()}
     recall = len(e & g) / len(e)
     assert recall >= 0.9, f"int8 recall@10 {recall}"
+
+
+def test_strip_boilerplate_golden(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha\n\nCOPYRIGHT FOOTER\n\nbody one"),
+            (2, "different beta\n\ncopyright footer"),
+            (3, "gamma text\n\nCopyright  Footer\n\nmore gamma"),
+            (4, "no template here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in C.strip_boilerplate(
+            docs, min_doc_frac=0.5, paragraph_regex=r"\n{2,}"
+        ).collect()
+    }
+    # footer appears in 3/4 docs (> 0.5) under whitespace/case canon → all
+    # occurrences dropped; unique paragraphs survive
+    assert out[1]["text_kept"] == "unique alpha body one"
+    assert out[2]["text_kept"] == "different beta"
+    assert out[3]["text_kept"] == "gamma text more gamma"
+    assert out[4]["text_kept"] == "no template here at all"
+    assert out[1]["n_chunks"] == 3 and out[1]["n_kept"] == 2
+    # below threshold → nothing stripped
+    keep_all = C.strip_boilerplate(
+        docs, min_doc_frac=0.9, paragraph_regex=r"\n{2,}"
+    )
+    assert keep_all.filter(F.col("n_kept") != F.col("n_chunks")).count() == 0
