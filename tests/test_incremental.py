@@ -88,3 +88,52 @@ def test_incremental_run_timestamp_column(spark, sf_dir):
         n1 = incremental_run(ev, "ts", state, lambda df: seen.append(df.count()))
         assert n1 == ev.count() and seen[0] == n1
         assert incremental_run(ev, "ts", state, lambda df: None) == 0
+
+
+def test_nightly_sketch_maintenance_loop(spark, sf_dir, tmp_path):
+    """The operational loop a 100 TB reporting pipeline runs nightly:
+    incremental_run delivers only new events -> HLL sketch per
+    (event_type, day) -> overwrite_partitions rewrites only the affected
+    day partitions. After two incremental runs, merging the STORED sketch
+    table must equal sketching all raw data directly — sketch once,
+    merge forever, never rescan history."""
+    from mapreduce_big_data_processing_spark import catalog
+    from mapreduce_big_data_processing_spark.operators import sketches as SK
+    from mapreduce_big_data_processing_spark.plans.incremental import (
+        incremental_run,
+    )
+
+    ev = catalog.load(spark, "events", sf_dir).withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    cut = days[len(days) // 2]
+    state = str(tmp_path / "wm.json")
+    store = str(tmp_path / "sketches")
+
+    def process(delta):
+        daily = SK.sketch_distinct(delta, ["event_type", "day"], "user_id")
+        from mapreduce_big_data_processing_spark.sources.writers import (
+            overwrite_partitions,
+        )
+
+        overwrite_partitions(daily, store, ["day"])
+
+    # night 1: history up to the cut; night 2: the rest
+    n1 = incremental_run(ev.filter(F.col("day") <= F.lit(cut)), "ts", state, process)
+    n2 = incremental_run(ev, "ts", state, process)
+    assert n1 > 0 and n2 > 0 and n1 + n2 == ev.count()
+
+    stored = spark.read.parquet(store)
+    got = {
+        r["event_type"]: r["distinct_est"]
+        for r in SK.merge_rollup(stored, ["event_type"]).collect()
+    }
+    want = {
+        r["event_type"]: r["distinct_est"]
+        for r in SK.merge_rollup(
+            SK.sketch_distinct(ev, ["event_type", "day"], "user_id"),
+            ["event_type"],
+        ).collect()
+    }
+    assert got == want and len(got) == 5
