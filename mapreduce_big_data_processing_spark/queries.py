@@ -3507,6 +3507,108 @@ def curated_training_set(spark, sf_dir):
 
 
 @query(
+    "parsed_access_log",
+    r"""
+    WITH raw AS (
+      SELECT '10.0.' || CAST(user_id % 200 AS VARCHAR) || '.' ||
+             CAST((user_id * 7) % 200 AS VARCHAR) ||
+             ' - - "GET /' || event_type || '/' || CAST(event_id AS VARCHAR) ||
+             ' HTTP/1.1" ' ||
+             CAST(CASE WHEN value > 150 THEN 500 ELSE 200 END AS VARCHAR) ||
+             ' ' || CAST(CAST(value * 10 AS BIGINT) AS VARCHAR) AS line
+      FROM events),
+    parsed AS (
+      SELECT regexp_extract(line, '^(\d+\.\d+\.\d+\.\d+) ', 1) AS ip,
+             regexp_extract(line, '"GET /([a-z]+)/', 1) AS path_root,
+             regexp_extract(line, 'HTTP/1.1" (\d+) ', 1) AS status
+      FROM raw)
+    SELECT path_root, status, count(*) AS n_requests,
+           CAST(count(DISTINCT ip) AS BIGINT) AS n_ips
+    FROM parsed GROUP BY path_root, status
+    """,
+)
+def parsed_access_log(spark, sf_dir):
+    """The log project's step 0 (`…课程设计1-日志分析.pdf p.2`): raw access-log
+    lines parsed back into typed fields with regexp_extract, then the
+    per-(path, status) request/IP counts. The fixture is structured, so
+    the query synthesizes Apache-style lines deterministically first —
+    the oracle then verifies the actual parse, not a no-op. Parsing is a
+    pure projection (fused into the scan); the only shuffle is the count
+    aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    status = F.when(F.col("value") > 150, 500).otherwise(200)
+    line = F.concat(
+        F.lit("10.0."),
+        (uid % 200).cast("string"),
+        F.lit("."),
+        ((uid * 7) % 200).cast("string"),
+        F.lit(' - - "GET /'),
+        F.col("event_type"),
+        F.lit("/"),
+        eid.cast("string"),
+        F.lit(' HTTP/1.1" '),
+        status.cast("string"),
+        F.lit(" "),
+        (F.col("value") * 10).cast("bigint").cast("string"),
+    )
+    raw = ev.select(line.alias("line"))
+    parsed = raw.select(
+        F.regexp_extract("line", r"^(\d+\.\d+\.\d+\.\d+) ", 1).alias("ip"),
+        F.regexp_extract("line", r'"GET /([a-z]+)/', 1).alias("path_root"),
+        F.regexp_extract("line", r'HTTP/1.1" (\d+) ', 1).alias("status"),
+    )
+    return parsed.groupBy("path_root", "status").agg(
+        F.count("*").alias("n_requests"),
+        F.countDistinct("ip").alias("n_ips"),
+    )
+
+
+@query(
+    "customer_value_rank_profile",
+    """
+    WITH spend AS (
+      SELECT c_custkey, round(sum(o_totalprice), 2) AS total_spend
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    SELECT c_custkey, total_spend,
+           CAST(rank() OVER (ORDER BY total_spend DESC, c_custkey) AS BIGINT)
+             AS spend_rank,
+           CAST(dense_rank() OVER (ORDER BY total_spend DESC, c_custkey)
+             AS BIGINT) AS spend_dense_rank,
+           round(percent_rank() OVER (ORDER BY total_spend DESC, c_custkey), 6)
+             AS spend_pct_rank,
+           round(cume_dist() OVER (ORDER BY total_spend DESC, c_custkey), 6)
+             AS spend_cume_dist
+    FROM spend
+    """,
+)
+def customer_value_rank_profile(spark, sf_dir):
+    """Window-rank breadth on one ordering: rank, dense_rank,
+    percent_rank, cume_dist over per-customer spend (tie-broken by key so
+    both engines produce identical positions). The ranks run on the
+    POST-AGGREGATION table — customer-count rows, not order rows; the
+    global window is a single-partition sort of that reduced table, which
+    is the acceptable shape only because aggregation came first."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+    return spend.select(
+        "c_custkey",
+        "total_spend",
+        F.rank().over(w).cast("bigint").alias("spend_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("spend_dense_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("spend_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("spend_cume_dist"),
+    )
+
+
+@query(
     "boilerplate_stripped_docs",
     r"""
     WITH planted AS (
