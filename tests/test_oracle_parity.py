@@ -75,3 +75,15 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_every_oracle_sql_plans_in_duckdb(sf_dir):
+    """Fast lint: EXPLAIN every oracle (no execution) — catches SQL typos,
+    unknown functions, and schema drift in seconds, without waiting for
+    the full differential sweep."""
+    con = _duck(sf_dir)
+    for name, sql in sorted(ORACLES.items()):
+        try:
+            con.sql("EXPLAIN " + sql)
+        except Exception as e:  # pragma: no cover - failure formatting
+            raise AssertionError(f"{name}: oracle SQL failed to plan: {e}")

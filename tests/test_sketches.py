@@ -9,6 +9,7 @@ never degrades the answer.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mapreduce_big_data_processing_spark import catalog
@@ -163,3 +164,66 @@ def test_kll_rollup_rank_accuracy(spark, sf_dir):
 
             rank = bisect.bisect_left(xs, est) / len(xs)
             assert abs(rank - q) <= 0.04, (et, q, rank, est)
+
+
+def test_streaming_kll_quantiles_match_batch(spark, sf_dir, tmp_path):
+    """Streaming KLL: sketch `value` per (event_type, day) window under
+    Structured Streaming, then answer per-type quantiles by merging the
+    streamed sketch states — must equal the batch kll_quantile_rollup on
+    the same data (sketch merges are order-insensitive)."""
+    from mapreduce_big_data_processing_spark import catalog
+    from mapreduce_big_data_processing_spark.streaming import windows as SW
+
+    ev = catalog.load(spark, "events", sf_dir)
+    src = str(tmp_path / "kll_stream_in")
+    ev.coalesce(4).write.mode("overwrite").parquet(src)
+
+    stream = SW.read_event_stream(spark, src, max_files_per_trigger=1)
+    windowed = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.kll_sketch_agg_double(F.col("value").cast("double")).alias("kll")
+        )
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("kll_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed_cells = spark.sql("SELECT event_type, kll FROM kll_stream")
+    lst = F.collect_list("kll")
+    folded = F.aggregate(
+        F.slice(lst, F.lit(2), F.greatest(F.size(lst) - 1, F.lit(0))),
+        F.element_at(lst, 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    got = {
+        r["event_type"]: (r["p50"], r["p95"])
+        for r in streamed_cells.groupBy("event_type")
+        .agg(folded.alias("kll"))
+        .select(
+            "event_type",
+            F.kll_sketch_get_quantile_double("kll", F.lit(0.5)).alias("p50"),
+            F.kll_sketch_get_quantile_double("kll", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    # KLL's guarantee is in RANK space (±ε of the target rank), not value
+    # space — compare the streamed estimates' ranks against the exact
+    # per-type distributions, same protocol as the batch rollup test
+    import bisect
+
+    vals: dict = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    assert set(got) == set(vals) and len(got) == 5
+    for et, xs in vals.items():
+        xs.sort()
+        for target, est in [(0.5, got[et][0]), (0.95, got[et][1])]:
+            rank = bisect.bisect_left(xs, est) / len(xs)
+            assert abs(rank - target) <= 0.04, (et, target, rank, est)
