@@ -134,3 +134,49 @@ def test_contamination_probe_broadcasts_benchmark(spark, sf_dir):
     plan = _plan(spark, sf_dir, "benchmark_contamination")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime skew handling: with a 90%-hot key, AQE's skew-join rule must
+    split the oversized partition (SortMergeJoin marked skew=true in the
+    FINAL adaptive plan). Thresholds are lowered to trigger at test scale;
+    this is the mechanism that absorbs unplanned hot keys at 100 TB —
+    planned-ahead skew uses the salted operators instead."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x"), F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(0, 2000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = left.join(right, "k").groupBy().count()
+        assert j.collect()[0]["count"] == 180200
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
