@@ -129,13 +129,21 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file, surfaced as int64 nanos under
-        # spark.sql.legacy.parquet.nanosAsLong (session.tune). Truncate to
-        # microseconds — same as DuckDB/Arrow readers do for TIMESTAMP_NS.
+        # ts is TIMESTAMP(NANOS) in the file. Depending on session conf it
+        # surfaces either as int64 nanos (spark.sql.legacy.parquet.nanosAsLong
+        # set at builder time) or natively as TIMESTAMP_NTZ truncated to
+        # micros (Spark 4.x default — runtime-setting the legacy conf is
+        # accepted but has no effect on the scan). Normalize both to a plain
+        # TIMESTAMP: tune() pins the session timezone to UTC first, so the
+        # NTZ->LTZ cast preserves the instant. Functions like unix_micros
+        # reject NTZ, so skipping this breaks on driver-owned sessions.
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _LOAD_CACHE[key] = df
     return df
 

@@ -205,12 +205,18 @@ def knn_classify(
     vec_col: str = "embedding",
     label_col: str = "label",
     out: str = "pred",
+    weighted: bool = False,
 ) -> DataFrame:
     """M1 — kNN by cosine similarity + majority vote (ties → smallest
     label, then nearest neighbor order). The reference broadcasts the train
     set and keeps a manual K-best buffer per test row
     (`…/KNNMapper.java:113-183`); here the *test* side broadcasts (queries
     are the small side in batch scoring) and top-k is a window.
+
+    ``weighted=True`` switches the vote to similarity-weighted
+    (`ppt/Ch9….pdf p.55-57`): each neighbor votes its cosine similarity
+    instead of 1, so a single very-close neighbor can outvote two distant
+    ones — same plan shape, only the vote aggregate changes.
     """
     from mapreduce_big_data_processing_spark.operators.similarity import (
         _batch_scored_candidates,
@@ -229,8 +235,9 @@ def knn_classify(
         )
         .withColumnRenamed("cosine", "sim")
     )
+    vote_expr = F.sum("sim") if weighted else F.count(F.lit(1)).cast("double")
     votes = top.groupBy("__tid", label_col).agg(
-        F.count(F.lit(1)).alias("votes"), F.max("sim").alias("best_sim")
+        vote_expr.alias("votes"), F.max("sim").alias("best_sim")
     )
     wv = Window.partitionBy("__tid").orderBy(
         F.desc("votes"), F.desc("best_sim"), F.asc(label_col)
@@ -309,6 +316,145 @@ def kmeans(
     # assignment crossJoin plan flat
     centroids = iterate(centroids, step, max_iter, checkpoint_every=1)
     return assign(centroids).select(id_col, "cid")
+
+
+# ---------------------------------------------------------------------------
+# SVM one-vs-rest (M5)
+# ---------------------------------------------------------------------------
+
+
+def svm_train(
+    train: DataFrame,
+    lam: float = 0.01,
+    iters: int = 30,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+):
+    """M5 — one-vs-rest linear SVM (`ppt/Ch9….pdf p.63-68`: the reference
+    trains one 2-class model per class, 480 of them, then predicts by max
+    score). Training is Pegasos-style full-batch subgradient descent
+    (Shalev-Shwartz et al., ICML'07): minimize λ/2‖w‖² + mean hinge loss,
+    step η_t = 1/(λt).
+
+    Scale posture: the DATA never moves — each iteration is one scan of the
+    cached feature table where every Arrow batch emits a single partial
+    gradient row for ALL classes at once ((C·(d+1))-vector), so the driver
+    only ever holds the tiny weight matrix and per-partition partials
+    (map-side combine, same driver-loop contract as :func:`kmeans` /
+    PageRank). All C one-vs-rest problems share each scan instead of
+    running C jobs like the reference.
+
+    Returns ``(classes, W)``: the sorted class list and the (C, d+1) NumPy
+    weight matrix (last column = bias).
+    """
+    import numpy as np
+
+    classes = [
+        r[0]
+        for r in train.select(label_col).distinct().orderBy(label_col).collect()
+    ]
+    cls_idx = {c: j for j, c in enumerate(classes)}
+    C = len(classes)
+
+    X = train.select(
+        F.col(label_col).alias("__y"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).cache()
+    n = X.count()
+    d = len(X.first()["__v"])
+    W = np.zeros((C, d + 1))
+
+    spark = train.sparkSession
+    idx_bc = spark.sparkContext.broadcast(cls_idx)
+
+    for t in range(1, iters + 1):
+        w_bc = spark.sparkContext.broadcast(W)
+
+        def partial(batches):
+            import numpy as np
+            import pandas as pd
+
+            W_ = w_bc.value
+            ci = idx_bc.value
+            C_, d1 = W_.shape
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.vstack(pdf["__v"].to_numpy()).astype("float64")
+                V = np.concatenate([V, np.ones((len(V), 1))], axis=1)
+                # Y[i, c] = +1 if row i belongs to class c else -1
+                y_idx = pdf["__y"].map(ci).to_numpy()
+                Y = -np.ones((len(V), C_))
+                Y[np.arange(len(V)), y_idx] = 1.0
+                margin = Y * (V @ W_.T)  # (b, C)
+                viol = (margin < 1.0).astype("float64")
+                G = (Y * viol).T @ V  # (C, d+1): Σ y_i x_i over violations
+                yield pd.DataFrame({"g": [G.reshape(-1)]})
+
+        parts = X.mapInPandas(partial, schema="g array<double>").collect()
+        G = np.zeros(C * (d + 1))
+        for r in parts:
+            G += np.asarray(r["g"])
+        eta = 1.0 / (lam * t)
+        W = (1.0 - eta * lam) * W + (eta / n) * G.reshape(C, d + 1)
+        w_bc.destroy()
+    return classes, W
+
+
+def svm_predict(
+    test: DataFrame,
+    classes: list,
+    W,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "pred",
+    threshold: float | None = None,
+    other_label=None,
+) -> DataFrame:
+    """M5 predict — score all C models in one vectorized pass (X @ Wᵀ),
+    take the max-margin class; with ``threshold``, scores below it fall
+    back to ``other_label`` (the reference's "none of the 480 people"
+    bucket, `ppt/Ch9….pdf p.67-68`). Ties break to the smallest class.
+    The weight matrix is tiny broadcast state; the test side streams.
+    """
+    import numpy as np
+
+    spark = test.sparkSession
+    Wm = np.asarray(W, dtype="float64")
+    bc = spark.sparkContext.broadcast((list(classes), Wm, threshold, other_label))
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        cls, W_, thr, other = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["__v"].to_numpy()).astype("float64")
+            V = np.concatenate([V, np.ones((len(V), 1))], axis=1)
+            S = V @ W_.T  # (b, C)
+            # argmax with smallest-class tiebreak: argmax scans left-to-right
+            # over classes already sorted ascending
+            best = S.argmax(axis=1)
+            preds = [cls[j] for j in best]
+            if thr is not None:
+                mx = S.max(axis=1)
+                preds = [
+                    other if m < thr else p for p, m in zip(preds, mx)
+                ]
+            yield pd.DataFrame({"id": pdf["__id"], "p": preds})
+
+    lbl_type = "string" if isinstance(classes[0], str) else "int"
+    id_type = dict(test.dtypes)[id_col]
+    return (
+        test.select(
+            F.col(id_col).alias("__id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        )
+        .mapInPandas(score, schema=f"id {id_type}, p {lbl_type}")
+        .select(F.col("id").alias(id_col), F.col("p").alias(out))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -283,75 +283,81 @@ def pq_topk(
     read. The codes column (m bytes/row) is the ONLY corpus data scanned:
     at 100 TB this is the difference between scanning 3 KB/row and 8 B/row.
 
-    codebook_rows: collected (sub, cid, c) rows (m×k — driver-small).
-    Scores are cosine against the PQ reconstruction. Output:
+    codebook_rows: (sub, cid, c) rows (m×k — driver-small by design; the
+    codebook IS broadcast state). The per-query LUT is computed by an
+    Arrow-batched pandas stage over the query table — the query side is
+    never collected to the driver, so it may itself be a table — and the
+    LUT gathers run JVM-side (element_at over the broadcast-joined lut
+    column). Scores are cosine against the PQ reconstruction. Output:
     (query_id, vec_id, score, rank).
     """
     import numpy as np
 
-    kk = max(r["cid"] for r in codebook_rows) + 1
-    dsub = max(len(r["c"]) for r in codebook_rows)
-    cb = np.zeros((m, kk, dsub))
-    for r in codebook_rows:
-        cb[r["sub"], r["cid"], : len(r["c"])] = r["c"]
-    cent_norm2 = (cb * cb).sum(axis=2)  # (m, k)
-
-    q_rows = queries.select(query_id_col, vec_col).collect()
-    q_ids = [r[0] for r in q_rows]
-    q_mat = np.array([r[1] for r in q_rows], dtype="float64")
-    nq, d = q_mat.shape
-    pad = m * dsub - d
-    if pad:
-        q_mat = np.concatenate([q_mat, np.zeros((nq, pad))], axis=1)
-    q_sub = q_mat.reshape(nq, m, dsub)  # (q, m, dsub)
-    # LUT[q, m, k] = dot(q_sub, centroid)
-    lut = np.einsum("qmd,mkd->qmk", q_sub, cb)
-    q_norm = np.linalg.norm(q_mat, axis=1)
-
+    cb = _cb_matrix(codebook_rows, m)  # (m, kk, dsub)
+    _, kk, dsub = cb.shape
+    cent_norm2 = (cb * cb).sum(axis=2)  # (m, kk)
     spark = corpus_codes.sparkSession
-    bc = spark.sparkContext.broadcast((q_ids, lut, q_norm, cent_norm2))
-    _ID = id_col
+    bc = spark.sparkContext.broadcast(cb)
 
-    def score(batches):
+    def luts(batches):
         import numpy as np
-        import pandas as pd
+        import pandas as pd  # noqa: F401
 
-        ids, lut_, qn, cn2 = bc.value
-        m_idx = np.arange(lut_.shape[1])
+        cb_ = bc.value
+        m_, kk_, ds_ = cb_.shape
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            codes = np.vstack(pdf["codes"].to_numpy()).astype("int64")  # (b, m)
-            recon_norm = np.sqrt(cn2[m_idx, codes].sum(axis=1))  # (b,)
-            recon_norm = np.maximum(recon_norm, 1e-12)
-            cids = pdf[_ID].to_numpy()
-            out = {"qid": [], "cid": [], "score": []}
-            for j, qid in enumerate(ids):
-                dots = lut_[j][m_idx, codes].sum(axis=1)  # (b,)
-                cos = dots / (recon_norm * max(qn[j], 1e-12))
-                mask = cids != qid
-                idx = np.nonzero(mask)[0]
-                if len(idx) == 0:
-                    continue
-                top = idx[np.argsort(-cos[idx], kind="stable")[:k]]
-                out["qid"].extend([qid] * len(top))
-                out["cid"].extend(cids[top])
-                out["score"].extend(cos[top])
-            yield pd.DataFrame(out)
+            qm = np.vstack(pdf["__qvec"].to_numpy()).astype("float64")
+            nq, d = qm.shape
+            pad = m_ * ds_ - d
+            if pad:
+                qm = np.concatenate([qm, np.zeros((nq, pad))], axis=1)
+            lut = np.einsum("qmd,mkd->qmk", qm.reshape(nq, m_, ds_), cb_)
+            pdf = pdf.copy()
+            pdf["__lut"] = list(lut.reshape(nq, m_ * kk_))
+            pdf["__qnorm"] = np.maximum(np.linalg.norm(qm, axis=1), 1e-12)
+            yield pdf[[query_id_col, "__lut", "__qnorm"]]
 
-    id_type = dict(corpus_codes.dtypes)[id_col]
-    cand = corpus_codes.select(id_col, "codes").mapInPandas(
-        score, schema=f"qid {id_type}, cid {id_type}, score double"
+    qid_type = dict(queries.dtypes)[query_id_col]
+    qlut = queries.select(query_id_col, F.col(vec_col).alias("__qvec")).mapInPandas(
+        luts, schema=f"`{query_id_col}` {qid_type}, __lut array<double>, __qnorm double"
+    )
+
+    # JVM-side ADC: m gathers from the joined lut column per corpus row
+    cn2_flat = F.array(*[F.lit(float(x)) for x in cent_norm2.reshape(-1)])
+    dots = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, i: F.element_at(F.col("__lut"), (i * kk + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    recon2 = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, i: F.element_at(cn2_flat, (i * kk + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    score = dots / (F.greatest(F.sqrt(recon2), F.lit(1e-12)) * F.col("__qnorm"))
+    scored = (
+        corpus_codes.select(id_col, "codes")
+        .crossJoin(F.broadcast(qlut))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, score.alias("score"))
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            F.col("qid").alias(query_id_col),
-            F.col("cid").alias(id_col),
+            query_id_col,
+            id_col,
             F.round("score", 6).alias("score"),
             "rank",
         )

@@ -153,40 +153,88 @@ def hyperplane_signature(
     return df.withColumn(out, _signature_expr(F.col(vec_col), planes))
 
 
-def _multiprobe_buckets(
-    q_rows: list[tuple], planes: list[list[float]], n_probe: int
-) -> list[tuple]:
-    """Query-directed multi-probe bucket list (Lv et al., VLDB'07): probe
-    the query's own bucket first, then buckets reached by flipping the
-    lowest-|margin| signature bits, in increasing sum-of-squared-margin
-    cost. Flip sets are capped at 3 bits (cost-sorted, ample for practical
-    n_probe); ``n_probe >= 2**L`` degenerates to scanning every bucket,
-    which makes the ANN exact. Runs driver-side over the (small) query set.
-    """
+def _flip_sets(n_planes: int) -> list[tuple[tuple[int, ...], int]]:
+    """Candidate signature-bit flip sets for multi-probe LSH, enumeration
+    order = (no flip), then 1-bit, 2-bit, 3-bit combinations in
+    lexicographic order (the cost-sort tiebreak, so probe order is
+    deterministic)."""
     from itertools import combinations
 
+    out: list[tuple[tuple[int, ...], int]] = [((), 0)]
+    for r in range(1, min(n_planes, 3) + 1):
+        for comb in combinations(range(n_planes), r):
+            mask = 0
+            for i in comb:
+                mask |= 1 << i
+            out.append((comb, mask))
+    return out
+
+
+def multiprobe_buckets(
+    queries: DataFrame,
+    planes: list[list[float]],
+    n_probe: int,
+    vec_col: str = "__qvec",
+    out: str = "bucket",
+) -> DataFrame:
+    """Query-directed multi-probe bucket expansion (Lv et al., VLDB'07):
+    each query probes its own bucket first, then the buckets reached by
+    flipping its lowest-|margin| signature bits, in increasing
+    sum-of-squared-margin cost. Flip sets are capped at 3 bits
+    (cost-sorted, ample for practical n_probe); ``n_probe >= 2**L``
+    degenerates to scanning every bucket, which makes the ANN exact.
+
+    Runs as ONE Arrow-batched pandas stage over the query table — the
+    plane matrix and flip-set enumeration are tiny broadcast state, so the
+    query side never collects to the driver (it may itself be a table).
+    Emits one row per (query row, probed bucket).
+    """
     import numpy as np
 
     P = np.asarray(planes, dtype="float64")
     L = len(planes)
-    flip_sets: list[tuple[tuple[int, ...], int]] = [((), 0)]
-    for r in range(1, min(L, 3) + 1):
-        for comb in combinations(range(L), r):
-            mask = 0
-            for i in comb:
-                mask |= 1 << i
-            flip_sets.append((comb, mask))
-    out = []
-    for qid, vec in q_rows:
-        d = P @ np.asarray(vec, dtype="float64")
-        base = sum(1 << i for i in range(L) if d[i] > 0)
-        if n_probe >= (1 << L):
-            out.extend((qid, b) for b in range(1 << L))
-            continue
-        cost2 = d * d
-        ranked = sorted(flip_sets, key=lambda fs: sum(cost2[i] for i in fs[0]))
-        out.extend((qid, base ^ mask) for _, mask in ranked[:n_probe])
-    return out
+    fsets = _flip_sets(L)
+    # (n_flipsets, L) 0/1 incidence: cost of a flip set = cost2 @ row
+    inc = np.zeros((len(fsets), L))
+    masks = np.array([m for _, m in fsets], dtype="int64")
+    for j, (comb, _) in enumerate(fsets):
+        for i in comb:
+            inc[j, i] = 1.0
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast((P, inc, masks, L, n_probe))
+
+    def probes(batches):
+        import numpy as np
+        import pandas as pd
+
+        P_, inc_, masks_, L_, np_ = bc.value
+        exhaustive = np_ >= (1 << L_)
+        all_buckets = list(range(1 << L_)) if exhaustive else None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if exhaustive:
+                pdf = pdf.copy()
+                pdf[out] = [all_buckets] * len(pdf)
+                yield pdf
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            D = V @ P_.T  # (batch, L) margins
+            base = ((D > 0).astype("int64") * (1 << np.arange(L_))).sum(axis=1)
+            costs = (D * D) @ inc_.T  # (batch, n_flipsets)
+            order = np.argsort(costs, axis=1, kind="stable")[:, :np_]
+            pdf = pdf.copy()
+            pdf[out] = [
+                (b ^ masks_[order[r]]).tolist()
+                for r, b in enumerate(base)
+            ]
+            yield pdf
+
+    fields = ", ".join(f"`{c}` {t}" for c, t in queries.dtypes)
+    expanded = queries.mapInPandas(
+        probes, schema=f"{fields}, {out} array<bigint>"
+    )
+    return expanded.withColumn(out, F.explode(out))
 
 
 def lsh_topk(
@@ -211,18 +259,10 @@ def lsh_topk(
     """
     cb = hyperplane_signature(corpus, planes, vec_col)
     if n_probe > 1:
-        q_rows = [
-            (r[0], r[1]) for r in queries.select(query_id_col, vec_col).collect()
-        ]
-        probes = _multiprobe_buckets(q_rows, planes, n_probe)
-        spark = corpus.sparkSession
-        qid_type = dict(queries.dtypes)[query_id_col]
-        probe_df = spark.createDataFrame(
-            probes, f"{query_id_col} {qid_type}, bucket bigint"
-        )
-        qb = probe_df.join(
+        qb = multiprobe_buckets(
             queries.select(query_id_col, F.col(vec_col).alias("__qvec")),
-            query_id_col,
+            planes,
+            n_probe,
         )
     else:
         qb = hyperplane_signature(
@@ -293,33 +333,52 @@ def ivf_topk(
     centroid buckets. Recall grows with n_probe (n_probe = n_centroids is
     exact). The corpus-side win at scale: the bucket column is a partition/
     cluster key, so probes prune partitions instead of scanning 100 TB.
-    Output schema matches brute_force_topk."""
+
+    Probe generation runs as an Arrow-batched pandas stage over the query
+    table (the centroid matrix is tiny broadcast state) — the query side is
+    never collected to the driver, so it may itself be a table. Scoring is
+    a bucket equi-join + the JVM-side expression cosine. Output schema
+    matches brute_force_topk."""
     import numpy as np
 
     cb = ivf_assign(corpus, centroids, id_col, vec_col)
     c = np.array(centroids, dtype="float64")
     cn = np.linalg.norm(c, axis=1)
-    q_rows = queries.select(query_id_col, vec_col).collect()
-    probe_rows = []
-    for r in q_rows:
-        qv = np.array(r[1], dtype="float64")
-        sims = (c @ qv) / (cn * np.linalg.norm(qv))
-        for b in np.argsort(-sims)[:n_probe]:
-            probe_rows.append((r[0], int(b)))
     spark = corpus.sparkSession
-    probes = spark.createDataFrame(probe_rows, f"{query_id_col} long, bucket int")
-    # restrict the corpus to probed buckets, then exact-rescore per query
-    probed = cb.join(F.broadcast(probes.select("bucket").distinct()), "bucket")
-    cand = _batch_scored_candidates(
-        probed, queries, k, id_col, vec_col, query_id_col
+    bc = spark.sparkContext.broadcast((c, cn, n_probe))
+
+    def probes(batches):
+        import numpy as np
+
+        cm, cnn, np_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["__qvec"].to_numpy()).astype("float64")
+            vn = np.linalg.norm(V, axis=1)
+            sims = (V @ cm.T) / np.outer(vn, cnn)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :np_]
+            pdf = pdf.copy()
+            pdf["bucket"] = [row.astype("int32").tolist() for row in order]
+            yield pdf
+
+    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+    fields = ", ".join(f"`{c_}` {t}" for c_, t in q.dtypes)
+    qb = q.mapInPandas(probes, schema=f"{fields}, bucket array<int>").withColumn(
+        "bucket", F.explode("bucket")
     )
-    # keep only (query, vector) pairs whose bucket was probed for THAT query
-    cand = cand.join(
-        cb.select(F.col(id_col), "bucket"), id_col
-    ).join(F.broadcast(probes), [query_id_col, "bucket"], "left_semi")
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
+        )
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )

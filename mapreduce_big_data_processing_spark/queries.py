@@ -1623,27 +1623,69 @@ def class_centroids(spark, sf_dir):
     return emb.groupBy("label").applyInPandas(fit, schema="label int, dim int, w double")
 
 
-@query(
-    "embedding_near_dup",
+def _seeded_planes(n_planes: int = 3, dim: int = 64, seed: int = 42) -> list[list[float]]:
+    """Deterministic hyperplanes (seeded LCG, no numpy dependency at plan
+    build): reproducible across sessions and clusters."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+#: the OR-amplified multi-table LSH config shared by the registered
+#: embedding_near_dup query and its DuckDB oracle (deterministic planes →
+#: deterministic buckets → the SQL oracle reproduces the candidate set
+#: exactly, so a recall<1 ANN path still hash-matches).
+_NEAR_DUP_TABLES = [_seeded_planes(n_planes=4, seed=s) for s in (42, 43, 44, 45)]
+
+
+def _near_dup_lsh_sql(tables: list[list[list[float]]], threshold: float) -> str:
+    """DuckDB oracle for the multi-table hyperplane-LSH near-dup pairs:
+    recompute every table's signature from the same plane literals, join on
+    any-table collision, then exact-cosine filter — semantically identical
+    to the Spark plan (posexplode + equi-join + dropDuplicates)."""
+
+    def bucket(tbl: list[list[float]], name: str) -> str:
+        bits = [
+            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(tbl)
+        ]
+        return "(" + " + ".join(bits) + f") AS {name}"
+
+    sigs = ", ".join(bucket(t, f"b{i}") for i, t in enumerate(tables))
+    collide = " OR ".join(f"a.b{i} = b.b{i}" for i in range(len(tables)))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v, {sigs} FROM e),
+    scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+      FROM s a JOIN s b ON a.vec_id < b.vec_id AND ({collide}))
+    SELECT id_a, id_b, round(c, 6) AS cosine FROM scored WHERE c >= {threshold}
     """
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.v, b.v) /
-                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                 6) AS cosine
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) /
-          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
-    """,
-)
+
+
+@query("embedding_near_dup", _near_dup_lsh_sql(_NEAR_DUP_TABLES, 0.45))
 def embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact all-pairs at test scale;
-    the LSH-bucketed variant in similarity.embedding_near_dup(planes=…) is
-    the 100 TB path)."""
+    """Embedding-cosine near-duplicate pairs — OR-amplified multi-table
+    hyperplane LSH (4 independent 4-plane tables) as the REGISTERED
+    default: one shuffle on (table_id, bucket), candidates verified by
+    exact cosine, and NO driver-side collect of the corpus (the exact
+    all-pairs path survives only as test-side oracle verification in
+    tests/test_similarity.py). Deterministic seeded planes make the
+    candidate set reproducible, so the DuckDB oracle replays the identical
+    bucketing and the row set hash-matches despite recall<1 vs exact."""
     from mapreduce_big_data_processing_spark.operators import similarity as S
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = S.embedding_near_dup(emb, threshold=0.45)
+    out = S.embedding_near_dup(emb, threshold=0.45, plane_tables=_NEAR_DUP_TABLES)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1675,20 +1717,6 @@ def hive_style_sql_join(spark, sf_dir):
         GROUP BY n_name, o_orderpriority
         """
     )
-
-
-def _seeded_planes(n_planes: int = 3, dim: int = 64, seed: int = 42) -> list[list[float]]:
-    """Deterministic hyperplanes (seeded LCG, no numpy dependency at plan
-    build): reproducible across sessions and clusters."""
-    state = seed
-    planes = []
-    for _ in range(n_planes):
-        row = []
-        for _ in range(dim):
-            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
-        planes.append(row)
-    return planes
 
 
 @query("lsh_similarity_topk")  # recall < 1 by construction: rows-only check

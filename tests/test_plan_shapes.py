@@ -180,3 +180,50 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ann_operators_never_collect_query_or_corpus(spark, sf_dir):
+    """The ANN/near-dup scale paths must not pull the query or corpus side
+    to the driver: probe generation (multi-probe LSH, IVF) and PQ LUTs are
+    Arrow stages over the query TABLE; the only legitimate driver state is
+    the tiny plane/centroid/codebook constants, which these operators take
+    as plain Python lists. Executed end-to-end with DataFrame.collect
+    patched to raise — any internal collect fails the run."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from mapreduce_big_data_processing_spark import catalog
+    from mapreduce_big_data_processing_spark.operators import quantization as QZ
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+    from mapreduce_big_data_processing_spark.queries import _seeded_planes
+
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = [list(r.embedding) for r in emb.orderBy("vec_id").limit(8).collect()]
+    cb = QZ.pq_train(emb, m=2, k=4, iters=1)
+    cb_rows = cb.collect()  # codebook: driver-held by design (m×k rows)
+    codes = QZ.pq_encode(emb, cb, m=2)
+
+    real_collect = DataFrame.collect
+
+    def boom(self, *a, **kw):
+        raise AssertionError("driver-side collect inside an ANN operator")
+
+    DataFrame.collect = boom
+    try:
+        builds = [
+            S.lsh_topk(emb, q, _seeded_planes(), k=5, n_probe=4),
+            S.ivf_topk(emb, q, cents, k=5, n_probe=2),
+            QZ.pq_topk(codes, q, cb_rows, k=5, m=2),
+            S.embedding_near_dup(
+                emb,
+                threshold=0.45,
+                plane_tables=[_seeded_planes(n_planes=4, seed=s) for s in (42, 43)],
+            ),
+        ]
+        for df in builds:
+            assert df.count() > 0
+    finally:
+        DataFrame.collect = real_collect
