@@ -11,7 +11,7 @@ prunes/pushes down into the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -168,3 +168,26 @@ def keyed_table_scan(
             cond = cond & (F.col(key_col) <= upper)
         return df.filter(cond)
     return df
+
+
+def latest_k_versions(
+    df: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    k: int = 1,
+    tiebreak_cols: list[str] | None = None,
+    rank_name: str = "version_rank",
+) -> DataFrame:
+    """S10 — HBase cell-version semantics (`ppt/Ch6….pdf p.60-62`): a cell
+    is (rowkey, qualifier, timestamp) and a read returns the newest k
+    versions per cell, ordered newest-first. One window over the cell key —
+    the partition key is exactly the HBase row key, so at scale this is a
+    single shuffle (or none, if the table is already bucketed on it).
+    ``tiebreak_cols`` break equal-timestamp ties deterministically (HBase
+    resolves those by seqid; parquet rows need an explicit column)."""
+    order = [F.desc(version_col)] + [F.desc(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn(rank_name, F.row_number().over(w))
+        .filter(F.col(rank_name) <= k)
+    )

@@ -346,3 +346,91 @@ def test_pagerank_convergence_mode(spark):
         assert conv[n] == pytest.approx(fixed[n], abs=1e-6)
     total = sum(conv.values())
     assert total == pytest.approx(1.0)
+
+
+def test_svm_one_vs_rest_separable(spark):
+    """M5 (`ppt/Ch9….pdf p.63-68`): one-vs-rest linear SVM on a cleanly
+    separable 3-class 2-D set must classify train AND held-out points
+    perfectly; the per-class margins must pick the right model via max
+    score."""
+    pts = [
+        # class 0: cluster at (-4, 0)
+        (0, [-4.0, 0.2], 0), (1, [-4.3, -0.1], 0), (2, [-3.8, 0.0], 0),
+        (3, [-4.1, 0.4], 0),
+        # class 1: cluster at (4, 0)
+        (4, [4.0, 0.1], 1), (5, [4.2, -0.3], 1), (6, [3.9, 0.2], 1),
+        (7, [4.4, 0.0], 1),
+        # class 2: cluster at (0, 4)
+        (8, [0.1, 4.0], 2), (9, [-0.2, 4.3], 2), (10, [0.0, 3.9], 2),
+        (11, [0.3, 4.1], 2),
+    ]
+    train = spark.createDataFrame(pts, "vec_id long, embedding array<double>, label int")
+    classes, W = ML.svm_train(train, lam=0.1, iters=40)
+    assert classes == [0, 1, 2]
+    assert W.shape == (3, 3)  # 2 dims + bias
+    pred = {
+        r.vec_id: r.pred
+        for r in ML.svm_predict(train, classes, W).collect()
+    }
+    assert pred == {p[0]: p[2] for p in pts}
+    # held-out points near each cluster center
+    test = spark.createDataFrame(
+        [(100, [-4.0, 0.0]), (101, [4.0, 0.0]), (102, [0.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r.pred for r in ML.svm_predict(test, classes, W).collect()}
+    assert got == {100: 0, 101: 1, 102: 2}
+
+
+def test_svm_threshold_other_bucket(spark):
+    """M5 predict with a score threshold: a low-confidence point (on the
+    midline, where every one-vs-rest margin is ~0) falls back to the
+    `other` label (the reference's none-of-the-480 bucket,
+    `ppt/Ch9….pdf p.67-68`), while a point inside a cluster clears the
+    margin."""
+    pts = [
+        (0, [-4.0, 0.0], 0), (1, [-4.2, 0.1], 0), (2, [-3.9, -0.2], 0),
+        (3, [4.0, 0.0], 1), (4, [4.1, 0.2], 1), (5, [3.8, -0.1], 1),
+    ]
+    train = spark.createDataFrame(pts, "vec_id long, embedding array<double>, label int")
+    classes, W = ML.svm_train(train, lam=0.1, iters=40)
+    test = spark.createDataFrame(
+        [(10, [-4.0, 0.0]), (11, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.pred
+        for r in ML.svm_predict(
+            test, classes, W, threshold=0.5, other_label=-1
+        ).collect()
+    }
+    assert got[10] == 0
+    assert got[11] == -1
+
+
+def test_knn_weighted_vote_disagrees_with_majority(spark):
+    """M1 weighted mode (`ppt/Ch9….pdf p.55-57`): one near neighbor of
+    class 0 (cos≈1) must outvote two distant class-1 neighbors
+    (cos≈0.45 each) under similarity weighting, while plain majority
+    picks class 1."""
+    import math
+
+    def vec(angle_deg):
+        a = math.radians(angle_deg)
+        return [math.cos(a), math.sin(a)]
+
+    train = spark.createDataFrame(
+        [
+            (0, vec(1.0), 0),     # cos(query, .) ≈ 0.9998
+            (1, vec(64.0), 1),    # ≈ cos 64° ≈ 0.438
+            (2, vec(-64.0), 1),   # ≈ 0.438
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    test = spark.createDataFrame(
+        [(10, vec(0.0))], "vec_id long, embedding array<double>"
+    )
+    majority = ML.knn_classify(train, test, k=3).collect()[0].pred
+    weighted = ML.knn_classify(train, test, k=3, weighted=True).collect()[0].pred
+    assert majority == 1   # two votes beat one
+    assert weighted == 0   # 0.9998 beats 0.438 + 0.438

@@ -439,3 +439,38 @@ def test_media_similarity_pipeline(spark):
     e = {(r["query_id"], r["media_id"]) for r in exact.collect()}
     g = {(r["query_id"], r["media_id"]) for r in quant.collect()}
     assert len(e & g) / len(e) >= 0.8
+
+
+def test_latest_k_versions_cell_semantics(spark):
+    """S10 versions (`ppt/Ch6….pdf p.60-62`): newest-k cells per
+    (rowkey, qualifier), newest first, deterministic tie-break."""
+    from mapreduce_big_data_processing_spark.sources.readers import latest_k_versions
+
+    rows = [
+        # (rowkey, qualifier, version_ts, seq, value)
+        (1, "cf:a", 100, 1, "v1"),
+        (1, "cf:a", 200, 2, "v2"),
+        (1, "cf:a", 300, 3, "v3"),
+        (1, "cf:b", 100, 4, "b1"),
+        (2, "cf:a", 50, 5, "x1"),
+        # equal timestamps: seqid breaks the tie (higher = newer)
+        (2, "cf:b", 70, 6, "old"),
+        (2, "cf:b", 70, 7, "new"),
+    ]
+    df = spark.createDataFrame(
+        rows, "rowkey long, qualifier string, ts long, seq long, value string"
+    )
+    got = {
+        (r.rowkey, r.qualifier, r.version_rank): r.value
+        for r in latest_k_versions(
+            df, ["rowkey", "qualifier"], "ts", k=2, tiebreak_cols=["seq"]
+        ).collect()
+    }
+    assert got == {
+        (1, "cf:a", 1): "v3",
+        (1, "cf:a", 2): "v2",
+        (1, "cf:b", 1): "b1",
+        (2, "cf:a", 1): "x1",
+        (2, "cf:b", 1): "new",
+        (2, "cf:b", 2): "old",
+    }
