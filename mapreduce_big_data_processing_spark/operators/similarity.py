@@ -391,6 +391,7 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     planes: list[list[float]] | None = None,
     plane_tables: list[list[list[float]]] | None = None,
+    block_rows: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
 
@@ -416,9 +417,13 @@ def embedding_near_dup(
         # expression-tree cosine per pair) shuffles the ~100×-amplified
         # candidate set and pays an interpreted fold per pair — measured
         # 6× slower at sf0.1 and quadratically worse with corpus growth.
-        # Buckets must stay bounded (plane count is the knob; AQE skew
-        # splitting does not apply inside a pandas group — salt or add
-        # planes if a bucket outgrows executor memory).
+        # The kernel's quadratic term — the similarity matrix — is TILED:
+        # block pairs of ≤``block_rows`` rows bound it (128 MB at the 4096
+        # default) regardless of bucket size, so a degenerate bucket (every
+        # doc identical) degrades to more tiles, not an OOM. The linear term (the bucket's raw
+        # vectors arriving as one pandas group) is the remaining bound;
+        # plane count is the knob for that, since AQE skew splitting does
+        # not apply inside a pandas group.
         import numpy as np  # noqa: F401 (worker-side import below)
 
         sig = F.array(
@@ -430,6 +435,7 @@ def embedding_near_dup(
             F.posexplode(sig).alias("table_id", "bucket"),
         )
         thr = float(threshold)
+        blk = int(block_rows)
 
         def verify(pdf):
             import numpy as np
@@ -439,15 +445,30 @@ def embedding_near_dup(
                 return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
             ids = pdf["__id"].to_numpy()
             V = np.vstack(pdf["__v"].to_numpy()).astype("float64")
-            n = np.linalg.norm(V, axis=1)
-            n = np.maximum(n, 1e-12)
-            G = (V / n[:, None]) @ (V / n[:, None]).T
-            ia, ib = np.triu_indices(len(ids), 1)
-            keep = G[ia, ib] >= thr
-            ia, ib = ia[keep], ib[keep]
-            a, b = ids[ia], ids[ib]
-            lo, hi = np.minimum(a, b), np.maximum(a, b)
-            return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": G[ia, ib]})
+            n = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
+            Vn = V / n[:, None]
+            m = len(ids)
+            outs = []
+            for i0 in range(0, m, blk):
+                A = Vn[i0 : i0 + blk]
+                for j0 in range(i0, m, blk):
+                    G = A @ Vn[j0 : j0 + blk].T
+                    if j0 == i0:  # diagonal tile: upper triangle only
+                        ia, ib = np.triu_indices(len(A), 1)
+                    else:
+                        ia, ib = np.indices(G.shape).reshape(2, -1)
+                    keep = G[ia, ib] >= thr
+                    ia, ib = ia[keep], ib[keep]
+                    if len(ia) == 0:
+                        continue
+                    a, b = ids[i0 + ia], ids[j0 + ib]
+                    lo, hi = np.minimum(a, b), np.maximum(a, b)
+                    outs.append(
+                        pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": G[ia, ib]})
+                    )
+            if not outs:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return pd.concat(outs, ignore_index=True)
 
         id_type = dict(corpus.dtypes)[id_col]
         cand = bucketed.groupBy("table_id", "bucket").applyInPandas(

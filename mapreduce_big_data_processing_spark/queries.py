@@ -3999,7 +3999,23 @@ def streaming_hourly_counts(spark, sf_dir):
     )
     agg = SW.windowed_count_stream(stream, "1 hour", "2 hours", "event_type")
     name = "mbdp_stream_hourly_tbl"
-    SW.run_to_memory(agg, name, output_mode="complete")
+    # Stateful streaming disables AQE, so a driver-owned session's default
+    # 200 shuffle partitions stand for the whole micro-batch pipeline
+    # (~200 near-empty state tasks per trigger at test scale). Scope a
+    # core-sized setting to this stream — each call uses a fresh implicit
+    # checkpoint, so the state-partition count isn't pinned across runs —
+    # and restore the caller's value afterwards.
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        SW.run_to_memory(agg, name, output_mode="complete")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
     return spark.table(name).select("window_start", "window_end", "event_type", "cnt")
 
 

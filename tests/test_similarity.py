@@ -169,3 +169,29 @@ def test_embedding_near_dup_lsh_path_is_subset(spark, sf_dir):
         for r in S.embedding_near_dup(emb, threshold=0.45, planes=_seeded_planes()).collect()
     }
     assert bucketed <= exact
+
+
+def test_near_dup_tiled_kernel_matches_untiled(spark):
+    """Degenerate-bucket guard: the in-kernel tiling (block_rows) must not
+    change the pair set — a 30-row single-cluster corpus (every vector in
+    one LSH bucket per table) verified with 7-row tiles equals the
+    untiled answer and the exact count n*(n-1)/2."""
+    import math
+
+    rows = []
+    for i in range(30):
+        # tight cluster: base direction + tiny deterministic wiggle
+        a = 0.01 * math.sin(i)
+        rows.append((i, [math.cos(a), math.sin(a), 0.5, 0.25]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tables = [[[1.0, 0.2, -0.3, 0.4]], [[-0.2, 1.0, 0.1, -0.5]]]
+    tiled = S.embedding_near_dup(
+        emb, threshold=0.9, plane_tables=tables, block_rows=7
+    )
+    untiled = S.embedding_near_dup(
+        emb, threshold=0.9, plane_tables=tables, block_rows=10**6
+    )
+    t = {(r.id_a, r.id_b): round(r.cosine, 9) for r in tiled.collect()}
+    u = {(r.id_a, r.id_b): round(r.cosine, 9) for r in untiled.collect()}
+    assert t == u
+    assert len(t) == 30 * 29 // 2  # all pairs are near-dups in this cluster
