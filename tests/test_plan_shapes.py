@@ -227,3 +227,27 @@ def test_ann_operators_never_collect_query_or_corpus(spark, sf_dir):
             assert df.count() > 0
     finally:
         DataFrame.collect = real_collect
+
+
+def test_keyed_scan_range_predicate_reaches_parquet(spark, sf_dir):
+    """S10 keyed_scan_latest: the row-key range scan must push to the
+    parquet source (the LSM row-key index analogue — at 100 TB this is
+    partition/row-group pruning, not a post-scan filter), and the
+    newest-k window must be the only exchange."""
+    from mapreduce_big_data_processing_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["keyed_scan_latest"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "PushedFilters" in plan
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    ][0]
+    assert "GreaterThanOrEqual(user_id" in pushed and "LessThanOrEqual(user_id" in pushed
+    assert plan.count("Exchange") <= 2  # one hashpartitioning for the window

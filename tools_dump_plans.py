@@ -21,6 +21,8 @@ PICKS = {
     "chunk_dedup_docs": "passage dedup: fingerprint window + reassembly, two exchanges, no self-join",
     "curated_training_set": "flagship curation pipeline: fused stat projections, broadcast eval shingles",
     "heavy_hitter_users": "sketch+verify: narrow MG stage, broadcast candidate semi-join",
+    "embedding_near_dup": "multi-table LSH self-join: one (table,bucket) shuffle into the tiled in-kernel matmul verify; only surviving pairs leave",
+    "keyed_scan_latest": "HBase-style versioned read: row-key range pushed to the scan, one window for newest-k cells",
 }
 
 
