@@ -35,6 +35,13 @@ def _hash60(col: Column, portable: bool) -> Column:
     return F.abs(F.xxhash64(col))
 
 
+def content_fingerprint(text_col) -> "F.Column":
+    """Normalized-content fingerprint (md5 of the canonicalized text) —
+    the exact-dedup key, exposed so pipelines can compute it scan-side and
+    dedup with a window instead of re-scanning through exact_dedup."""
+    return F.md5(_canon(text_col))
+
+
 def exact_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -48,7 +55,7 @@ def exact_dedup(
     # cached: the groupBy branch and the rejoin both consume this — without
     # it the scan + md5-of-text runs twice (id+digest rows, tiny vs corpus)
     fp = docs.select(
-        F.col(id_col), F.md5(_canon(F.col(text_col))).alias("fingerprint")
+        F.col(id_col), content_fingerprint(F.col(text_col)).alias("fingerprint")
     ).cache()
     canon = fp.groupBy("fingerprint").agg(F.min(id_col).alias("canonical_id"))
     return (

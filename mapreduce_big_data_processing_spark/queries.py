@@ -3548,16 +3548,28 @@ def curated_training_set(spark, sf_dir):
     from mapreduce_big_data_processing_spark.operators import dedup as D
 
     docs = _t(spark, sf_dir, "documents")
-    scored = TS.language_id(TS.quality_score(docs))
-    keep = D.exact_dedup(docs).filter(F.col("is_duplicate") == 0).select("doc_id")
+    # dedup FUSED into the stat scan: fingerprint is one more scan-side
+    # projection, keep = first doc per fingerprint via a window whose
+    # shuffle carries only the pruned stat columns (text is dropped after
+    # fingerprinting) — one documents scan and one broadcast join fewer
+    # than the exact_dedup(docs)-then-rejoin shape, same keep semantics
+    # (minimum doc_id per fingerprint, exactly the oracle's dd CTE).
+    scored = TS.language_id(TS.quality_score(docs)).withColumn(
+        "fingerprint", D.content_fingerprint(F.col("text"))
+    )
+    w_fp = Window.partitionBy("fingerprint").orderBy(F.asc("doc_id"))
+    deduped = (
+        scored.withColumn("__rn", F.row_number().over(w_fp))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "fingerprint")
+    )
     is_bench = (F.col("doc_id") % 20) == 0
     cont = C.ngram_contamination(
         D.shingles(docs, k=3).filter(~is_bench),
         D.shingles(docs.filter(is_bench), k=3),
     )
     surv = (
-        scored.join(keep, "doc_id")
-        .join(cont.select("doc_id", "contamination"), "doc_id")
+        deduped.join(cont.select("doc_id", "contamination"), "doc_id")
         .filter(
             (F.col("quality") >= 0.9)
             & (F.col("lang_pred") != "und")
