@@ -1939,20 +1939,24 @@ _CLEAN_CORPUS_CTES = """base AS (
 )
 def clean_corpus(spark, sf_dir):
     """End-to-end training-data cleaning pipeline in ONE lazy plan:
-    quality-score -> language-ID -> exact-dedup canonical filter. The two
-    stat operators are pure projections that fuse into a single scan of
-    documents (whole-stage codegen); the only shuffles are the dedup
-    fingerprint groupBy and the doc_id join back. Keeps canonical,
-    high-quality, identified-language docs — the survivors a tokenizer
-    would see."""
+    quality-score -> language-ID -> exact-dedup canonical filter. The
+    stat operators AND the dedup fingerprint are pure projections that
+    fuse into a single scan of documents (whole-stage codegen); the only
+    shuffle is the fingerprint window (text pruned before it), keep =
+    first doc per fingerprint. Keeps canonical, high-quality,
+    identified-language docs — the survivors a tokenizer would see."""
     from mapreduce_big_data_processing_spark.operators import dedup as D
     from mapreduce_big_data_processing_spark.operators import textstats as TS
 
     docs = _t(spark, sf_dir, "documents")
-    scored = TS.language_id(TS.quality_score(docs))
-    keep = D.exact_dedup(docs).filter(F.col("is_duplicate") == 0).select("doc_id")
-    out = scored.join(keep, "doc_id").filter(
-        (F.col("quality") >= 0.9) & (F.col("lang_pred") != "und")
+    scored = TS.language_id(TS.quality_score(docs)).withColumn(
+        "fingerprint", D.content_fingerprint(F.col("text"))
+    )
+    w_fp = Window.partitionBy("fingerprint").orderBy(F.asc("doc_id"))
+    out = (
+        scored.withColumn("__rn", F.row_number().over(w_fp))
+        .filter(F.col("__rn") == 1)
+        .filter((F.col("quality") >= 0.9) & (F.col("lang_pred") != "und"))
     )
     return out.select("doc_id", "lang_pred", "n_words", "quality")
 
