@@ -1729,6 +1729,44 @@ def embedding_near_dup(spark, sf_dir):
 
 
 @query(
+    "embedding_dup_clusters",
+    f"""
+    WITH RECURSIVE
+    p AS (SELECT id_a, id_b FROM ({_near_dup_lsh_sql(_NEAR_DUP_TABLES, 0.45)})),
+    eg AS (SELECT id_a AS a, id_b AS b FROM p
+           UNION SELECT id_b AS a, id_a AS b FROM p),
+    reach AS (
+      SELECT a AS n, b AS m FROM eg
+      UNION
+      SELECT r.n AS n, eg.b AS m FROM reach r JOIN eg ON r.m = eg.a
+    )
+    SELECT n AS vec_id, least(min(m), n) AS cluster_id
+    FROM reach GROUP BY n
+    """,
+)
+def embedding_dup_clusters(spark, sf_dir):
+    """Semantic (embedding-space) dedup clusters, SemDeDup-style
+    (Abbas et al., 2023): connected components over the embedding
+    near-dup pair graph — the step that turns pairwise cosine hits into
+    dedup groups (keep `vec_id == cluster_id` as each group's canonical
+    member). Same deterministic multi-table LSH pair generation as
+    `embedding_near_dup`, hash-min components to convergence; the oracle
+    replays the pairs and closes them with a transitive-closure recursive
+    CTE."""
+    from mapreduce_big_data_processing_spark.operators import graph as G
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = S.embedding_near_dup(
+        emb, threshold=0.45, plane_tables=_NEAR_DUP_TABLES
+    )
+    comp = G.connected_components(pairs, src="id_a", dst="id_b")
+    return comp.select(
+        F.col("node").alias("vec_id"), F.col("comp").alias("cluster_id")
+    )
+
+
+@query(
     "hive_style_sql_join",
     """
     SELECT n_name, o_orderpriority, count(*) AS n,
@@ -4154,6 +4192,7 @@ _PRIORITY = [
     "boilerplate_stripped_docs",
     # ---- end of the 50-entry driver window ----
     "doc_token_chunks",       # §2.11 UDTF
+    "embedding_dup_clusters",
     "token_stats",
     "doc_fingerprints",
     "ngram_jaccard_pairs",
