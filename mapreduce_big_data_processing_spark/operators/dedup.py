@@ -295,3 +295,56 @@ def simhash(
             )
         ).alias("simhash")
     )
+
+
+def simhash_pairs(
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via band-rotation equi-joins (the Google
+    crawl-dedup construction, Manku et al. WWW'07): split each signature
+    into ``bands`` contiguous bit slices; by pigeonhole, any pair with
+    Hamming distance ≤ bands-1 agrees on at least one whole slice, so for
+    ``max_hamming < bands`` the banded equi-join is EXACT (recall 1) —
+    never all-pairs. One shuffle on (band, slice-value); candidates carry
+    only (id, simhash bigint); verification is one bit_count(xor) per
+    candidate. Output: (id_a, id_b, hamming), id_a < id_b.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {max_hamming} bands for "
+            f"exact recall (pigeonhole); got bands={bands}"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.expr(f"shiftright(simhash, {i * width}) & {mask}")
+            for i in range(bands)
+        ]
+    )
+    tagged = sims.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash").alias("__sh"),
+        F.posexplode(slices).alias("band", "key"),
+    )
+    a = tagged.select(
+        F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"), "band", "key"
+    )
+    b = tagged.select(
+        F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.expr("__sha ^ __shb")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -854,9 +854,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query(
-    "simhash_fingerprints",
-    """
+_SIMHASH_SQL = """
     WITH toks AS (
       SELECT doc_id, w, count(*) AS tf FROM (
         SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
@@ -875,13 +873,40 @@ def ngram_jaccard_pairs(spark, sf_dir):
            CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
                          ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
-    """,
-)
+    """
+
+
+@query("simhash_fingerprints", _SIMHASH_SQL)
 def simhash_fingerprints(spark, sf_dir):
     """SimHash (32-bit) per document — tf-weighted bit-majority vote."""
     from mapreduce_big_data_processing_spark.operators import dedup as D
 
     return D.simhash(_t(spark, sf_dir, "documents"), bits=32, portable=True)
+
+
+@query(
+    "simhash_near_dup_pairs",
+    f"""
+    WITH s AS ({_SIMHASH_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_dup_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via band-rotation equi-joins (Manku et al.
+    WWW'07, the Google crawl-dedup construction): 4 contiguous 8-bit
+    slices of the 32-bit signature; by pigeonhole any pair with Hamming
+    distance ≤ 3 agrees on a whole slice, so the banded join is EXACT —
+    the oracle verifies against the all-pairs SQL while the engine never
+    builds an all-pairs stage."""
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+
+    sims = D.simhash(_t(spark, sf_dir, "documents"), bits=32, portable=True)
+    return D.simhash_pairs(sims, bits=32, bands=4, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 @query(
@@ -1245,6 +1270,46 @@ def knn_accuracy(spark, sf_dir):
     pred = ML.knn_classify(train, test, k=5)
     joined = pred.join(emb.select("vec_id", "label"), "vec_id")
     return ML.accuracy(joined, "label", "pred")
+
+
+@query(
+    "knn_weighted_predictions",
+    """
+    WITH test AS (SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS tv
+                  FROM embeddings WHERE vec_id % 5 = 0),
+    train AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id % 5 <> 0),
+    scored AS (
+      SELECT tid, label, vec_id AS nbr,
+             list_dot_product(tv, cv) /
+               (sqrt(list_dot_product(tv, tv)) * sqrt(list_dot_product(cv, cv))) AS sim
+      FROM test CROSS JOIN train),
+    top AS (
+      SELECT tid, label, sim FROM (
+        SELECT tid, label, sim,
+               row_number() OVER (PARTITION BY tid ORDER BY sim DESC, nbr) AS rn
+        FROM scored) WHERE rn <= 5),
+    votes AS (SELECT tid, label, sum(sim) AS votes, max(sim) AS best
+              FROM top GROUP BY tid, label),
+    pick AS (
+      SELECT tid, label,
+             row_number() OVER (PARTITION BY tid
+                                ORDER BY votes DESC, best DESC, label) AS rn
+      FROM votes)
+    SELECT tid AS vec_id, label AS pred FROM pick WHERE rn = 1
+    """,
+)
+def knn_weighted_predictions(spark, sf_dir):
+    """M1 weighted-vote mode (`ppt/Ch9….pdf p.55-57`): each of the k=5
+    neighbors votes its cosine similarity instead of 1 — one very close
+    neighbor can outvote two distant ones. Same plan shape as
+    knn_predictions; only the vote aggregate changes."""
+    from mapreduce_big_data_processing_spark.operators import ml as ML
+
+    emb = _t(spark, sf_dir, "embeddings")
+    test = emb.filter(F.col("vec_id") % 5 == 0)
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    return ML.knn_classify(train, test, k=5, weighted=True)
 
 
 _NB_SQL_BODY = f"""
@@ -4193,6 +4258,8 @@ _PRIORITY = [
     # ---- end of the 50-entry driver window ----
     "doc_token_chunks",       # §2.11 UDTF
     "embedding_dup_clusters",
+    "simhash_near_dup_pairs",
+    "knn_weighted_predictions",
     "token_stats",
     "doc_fingerprints",
     "ngram_jaccard_pairs",
