@@ -1748,6 +1748,18 @@ def _seeded_planes(n_planes: int = 3, dim: int = 64, seed: int = 42) -> list[lis
 _NEAR_DUP_TABLES = [_seeded_planes(n_planes=4, seed=s) for s in (42, 43, 44, 45)]
 
 
+def _plane_bucket_sql(planes: list[list[float]], vcol: str = "v") -> str:
+    """SQL expression recomputing the hyperplane-signature bucket from the
+    same plane literals the Spark expression uses — shared by every
+    LSH-family oracle so the bucketing replays bit-for-bit."""
+    bits = [
+        f"(CASE WHEN list_dot_product({vcol}, [{', '.join(repr(x) for x in p)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
 def _near_dup_lsh_sql(tables: list[list[list[float]]], threshold: float) -> str:
     """DuckDB oracle for the multi-table hyperplane-LSH near-dup pairs:
     recompute every table's signature from the same plane literals, join on
@@ -1755,12 +1767,7 @@ def _near_dup_lsh_sql(tables: list[list[list[float]]], threshold: float) -> str:
     to the Spark plan (posexplode + equi-join + dropDuplicates)."""
 
     def bucket(tbl: list[list[float]], name: str) -> str:
-        bits = [
-            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]) > 0 "
-            f"THEN {1 << i} ELSE 0 END)"
-            for i, p in enumerate(tbl)
-        ]
-        return "(" + " + ".join(bits) + f") AS {name}"
+        return _plane_bucket_sql(tbl, "v") + f" AS {name}"
 
     sigs = ", ".join(bucket(t, f"b{i}") for i, t in enumerate(tables))
     collide = " OR ".join(f"a.b{i} = b.b{i}" for i in range(len(tables)))
@@ -1861,12 +1868,33 @@ def hive_style_sql_join(spark, sf_dir):
     )
 
 
-@query("lsh_similarity_topk")  # recall < 1 by construction: rows-only check
+@query(
+    "lsh_similarity_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v, {_plane_bucket_sql(_seeded_planes(), "v")} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM s WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_dot_product(qv, c.v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+      FROM q JOIN s c USING (bucket) WHERE c.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
 def lsh_similarity_topk(spark, sf_dir):
     """Hyperplane-LSH ANN top-10 for query vectors (vec_id < 10): bucket
     equi-join + exact re-rank inside buckets. The scale path for
     similarity_topk — recall measured against brute force in
-    tests/test_similarity.py."""
+    tests/test_similarity.py. Recall < 1 vs exact, but the bucketing is
+    deterministic (seeded planes), so the oracle replays it and the
+    result hash-matches."""
     from mapreduce_big_data_processing_spark.operators import similarity as S
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2171,13 +2199,14 @@ def multiprobe_lsh_topk(spark, sf_dir):
     )
 
 
-@query("banded_near_dup")  # LSH candidate recall < 1: rows-only
+@query("banded_near_dup", _near_dup_lsh_sql(_NEAR_DUP_TABLES, 0.45))
 def banded_near_dup(spark, sf_dir):
     """OR-amplified multi-table LSH near-duplicate pairs (4 independent
     4-plane tables): a pair is a candidate if it collides in ANY table.
     One shuffle on (table_id, bucket) — the self-join near-dup scale path
     with a recall knob (subset-of-exact and recall ≥ single-table asserted
-    in tests/test_similarity.py)."""
+    in tests/test_similarity.py). Deterministic planes → the oracle
+    replays the banding, so the pair set hash-matches despite recall<1."""
     from mapreduce_big_data_processing_spark.operators import similarity as S
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2452,11 +2481,51 @@ def nb_predictions_reference_mode(spark, sf_dir):
     return ML.nb_predict(test, model, label_col="lang", reference_semantics=True)
 
 
-@query("ivf_similarity_topk")  # ANN (recall < 1 at n_probe<n): rows-only
+_IVF_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@query(
+    "ivf_similarity_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+             FROM e ORDER BY vec_id LIMIT 16),
+    assign AS (
+      SELECT vec_id, v, cid AS bucket FROM (
+        SELECT e.vec_id, e.v, cent.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_IVF_COS.format(a="e.v", b="cent.c")} DESC, cent.cid) AS rn
+        FROM e CROSS JOIN cent) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qv, cid AS bucket FROM (
+        SELECT q.query_id, q.qv, cent.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_IVF_COS.format(a="q.qv", b="cent.c")} DESC, cent.cid) AS rn
+        FROM q CROSS JOIN cent) WHERE rn <= 4),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             {_IVF_COS.format(a="p.qv", b="a.v")} AS cosine
+      FROM probes p JOIN assign a USING (bucket)
+      WHERE a.vec_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
 def ivf_similarity_topk(spark, sf_dir):
     """IVF ANN top-10 (16 deterministic centroids, 4 probes) — the
     partition-pruning scale path; exactness at full probe + recall
-    monotonicity tested in tests/test_similarity.py."""
+    monotonicity tested in tests/test_similarity.py. Deterministic
+    centroids (lowest-16 vec_ids) and probe order → the oracle replays
+    assignment + probing and the result hash-matches despite recall<1."""
     from mapreduce_big_data_processing_spark.operators import similarity as S
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -3460,13 +3529,42 @@ def embedding_quantization_error(spark, sf_dir):
     )
 
 
-@query("quantized_similarity_topk")
+@query(
+    "quantized_similarity_topk",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             greatest(list_aggregate(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0,
+                      1e-12) AS scale
+      FROM embeddings),
+    c AS (SELECT vec_id,
+                 list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) / scale + 0.5) * scale) AS cv
+          FROM s),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, vec_id,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+      FROM q JOIN c ON vec_id <> query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
 def quantized_similarity_topk(spark, sf_dir):
     """Asymmetric quantized ANN: float queries (vec_id < 10) scored against
     the int8-reconstructed corpus — the search path over the quantized
-    column. Rows-only (reconstruction perturbs cosine in the last decimals,
-    so rank order vs the float oracle is a recall assertion in tests, not a
-    hash match): recall@10 vs exact ≥ 0.9 is tested at sf0.001."""
+    column. The SQ8 code/scale formula is bit-exact across engines (see
+    embedding_quantization_error), so the oracle replays the
+    reconstruction and the ranking hash-matches; recall@10 vs exact ≥ 0.9
+    is additionally tested at sf0.001."""
     from mapreduce_big_data_processing_spark.operators import quantization as QZ
 
     emb = _t(spark, sf_dir, "embeddings")
