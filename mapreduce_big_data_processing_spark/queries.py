@@ -2180,7 +2180,66 @@ def event_time_rollup(spark, sf_dir):
     )
 
 
-@query("multiprobe_lsh_topk")  # ANN (recall < 1 at n_probe < 2^L): rows-only
+def _multiprobe_lsh_sql(planes: list[list[float]], n_probe: int, k: int) -> str:
+    """DuckDB oracle for query-directed multi-probe LSH: replay the seeded
+    planes, enumerate the same ≤3-bit flip sets as a VALUES table with bit
+    incidence flags, rank probes by Σ(flipped margins²) with the identical
+    (cost, enumeration-order) tie-break, and exact-rescore the probed
+    buckets."""
+    from itertools import combinations
+
+    L = len(planes)
+    d_exprs = ", ".join(
+        f"list_dot_product(qv, [{', '.join(repr(x) for x in p)}]) AS d{i}"
+        for i, p in enumerate(planes)
+    )
+    rows = [(0, 0, ())]
+    for r in range(1, min(L, 3) + 1):
+        for comb in combinations(range(L), r):
+            rows.append((len(rows), sum(1 << i for i in comb), comb))
+    values = ", ".join(
+        "(" + ", ".join(
+            [str(fs_id), str(mask)]
+            + ["1" if i in comb else "0" for i in range(L)]
+        ) + ")"
+        for fs_id, mask, comb in rows
+    )
+    fs_cols = ", ".join(f"b{i}" for i in range(L))
+    cost = " + ".join(f"b{i} * d{i} * d{i}" for i in range(L))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v, {_plane_bucket_sql(planes, "v")} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket AS base
+          FROM s WHERE vec_id < 10),
+    m AS (SELECT query_id, qv, base, {d_exprs} FROM q),
+    fs(fs_id, mask, {fs_cols}) AS (VALUES {values}),
+    costs AS (SELECT query_id, qv, base, fs_id, mask, {cost} AS cost
+              FROM m CROSS JOIN fs),
+    probes AS (
+      SELECT query_id, qv, xor(base, mask) AS bucket FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cost, fs_id) AS rn
+        FROM costs) WHERE rn <= {n_probe}),
+    scored AS (
+      SELECT p.query_id, c.vec_id,
+             list_dot_product(p.qv, c.v) /
+               (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+      FROM probes p JOIN s c USING (bucket)
+      WHERE c.vec_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query(
+    "multiprobe_lsh_topk",
+    _multiprobe_lsh_sql(_seeded_planes(n_planes=8), n_probe=8, k=10),
+)
 def multiprobe_lsh_topk(spark, sf_dir):
     """Query-directed multi-probe LSH ANN top-10 (8 hyperplanes, 8 probes):
     each query also probes the buckets reached by flipping its lowest-margin
