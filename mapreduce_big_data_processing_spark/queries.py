@@ -3698,14 +3698,75 @@ def doc_cross_entropy(spark, sf_dir):
     return TS.unigram_cross_entropy(docs)
 
 
-@query("pq_similarity_topk")
+def _pq_topk_sql(
+    m: int = 8, k: int = 16, iters: int = 3, dsub: int = 8,
+    n_queries: int = 10, topk: int = 10,
+) -> str:
+    """DuckDB oracle for the full PQ/ADC chain: unroll the per-subspace
+    k-means (same lowest-id init, same argmin expression c²−2·q·c with
+    lowest-cid ties, empty clusters keep their centroid), encode with the
+    final codebook, and score cosine(query, reconstruction) — which is
+    algebraically what the engine's LUT-gather ADC computes."""
+    d2 = "(list_dot_product(c.c, c.c) - 2 * list_dot_product(s.sv, c.c))"
+    sql = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    subs AS (SELECT unnest(range({m})) AS sub),
+    sv AS (SELECT vec_id, sub, list_slice(v, sub*{dsub}+1, sub*{dsub}+{dsub}) AS sv
+           FROM e CROSS JOIN subs),
+    c0 AS (SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS cid, sv AS c
+           FROM sv WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT {k}))"""
+    prev = "c0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    a{i} AS (SELECT vec_id, sub, sv, cid FROM (
+        SELECT s.vec_id, s.sub, s.sv, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY {d2}, c.cid) AS rn
+        FROM sv s JOIN {prev} c USING (sub)) WHERE rn = 1),
+    m{i} AS (SELECT sub, cid, list(mv ORDER BY dim) AS c FROM (
+        SELECT sub, cid, (u).dim AS dim, avg((u).x) AS mv FROM (
+          SELECT sub, cid, unnest(list_transform(sv, (x, i2) -> {{'dim': i2, 'x': x}})) AS u
+          FROM a{i})
+        GROUP BY sub, cid, (u).dim) GROUP BY sub, cid),
+    c{i} AS (SELECT p.sub, p.cid, coalesce(m.c, p.c) AS c
+             FROM {prev} p LEFT JOIN m{i} m USING (sub, cid))"""
+        prev = f"c{i}"
+    sql += f""",
+    enc AS (SELECT vec_id, sub, cid FROM (
+        SELECT s.vec_id, s.sub, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY {d2}, c.cid) AS rn
+        FROM sv s JOIN {prev} c USING (sub)) WHERE rn = 1),
+    recon AS (SELECT enc.vec_id, flatten(list(c.c ORDER BY enc.sub)) AS rv
+              FROM enc JOIN {prev} c ON enc.sub = c.sub AND enc.cid = c.cid
+              GROUP BY enc.vec_id),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {n_queries}),
+    scored AS (
+      SELECT q.query_id, r.vec_id,
+             list_dot_product(q.qv, r.rv) /
+               (greatest(sqrt(list_dot_product(r.rv, r.rv)), 1e-12)
+                * greatest(sqrt(list_dot_product(q.qv, q.qv)), 1e-12)) AS score
+      FROM q CROSS JOIN recon r WHERE r.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, round(score, 6) AS score, rank
+    FROM ranked WHERE rank <= {topk}
+    """
+    return sql
+
+
+@query("pq_similarity_topk", _pq_topk_sql(m=8, k=16, iters=3, dsub=8))
 def pq_similarity_topk(spark, sf_dir):
     """Product-quantization ANN (Jégou et al. ADC): per-subspace k-means
     codebooks (trained in one driver loop — all m subspaces per pass),
     m-byte codes, and LUT-gather scoring where the float embedding column
     is never scanned at query time — 32× less corpus IO than the float
-    path at m=8,k=16 over 64 dims. Rows-only (approximate by design);
-    recall and an exactness-on-codebook-vectors golden test live in
+    path at m=8,k=16 over 64 dims. The whole chain is deterministic
+    (lowest-id init, lowest-cid ties), so the oracle unrolls the subspace
+    k-means and scores cosine(query, reconstruction) — the same quantity
+    ADC's LUT gathers compute; hash-matched at sf0.001/sf0.01.
+    Recall and an exactness-on-codebook-vectors golden test live in
     test_curation.py."""
     from mapreduce_big_data_processing_spark.operators import quantization as QZ
 
