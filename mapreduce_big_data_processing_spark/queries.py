@@ -4377,13 +4377,72 @@ def multimodal_features(spark, sf_dir):
     )
 
 
-@query("svm_predictions")  # iterative float training loop: rows-only check
+def _svm_sql(lam: float = 0.01, iters: int = 20, d: int = 64) -> str:
+    """DuckDB oracle for the one-vs-rest Pegasos SVM: unroll the full-batch
+    subgradient recurrence (w ← (1−1/t)·w + (η_t/n)·Σ_{y·w·x<1} y·x, bias
+    folded in as a constant-1 feature) as MATERIALIZED CTE pairs — the
+    MATERIALIZED hint is load-bearing: each weight table is referenced
+    twice, and CTE inlining would expand the 20-step chain exponentially.
+    Predict = max score with lowest-class ties, exactly the engine's
+    argmax."""
+    zeros = f"list_transform(range({d + 1}), xx -> 0.0)"
+    idx = "list_transform(x, (xx, ii) -> {'dim': ii, 'x': xx})"
+    widx = "list_transform(w, (xx, ii) -> {'dim': ii, 'x': xx})"
+    sql = f"""
+    WITH train AS MATERIALIZED (
+      SELECT vec_id, label, list_append(CAST(embedding AS DOUBLE[]), 1.0) AS x
+      FROM embeddings WHERE vec_id % 5 <> 0),
+    n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM train),
+    w0 AS MATERIALIZED (SELECT DISTINCT label AS cls, {zeros} AS w FROM train)"""
+    prev = "w0"
+    for t in range(1, iters + 1):
+        eta = f"(1.0 / ({lam} * {t}))"
+        keep = f"(1.0 - 1.0 / {t})"
+        sql += f""",
+    g{t} AS MATERIALIZED (
+        SELECT cls, (u).dim AS dim,
+               sum(CASE WHEN y * sc < 1 THEN y * (u).x ELSE 0 END) AS g
+        FROM (SELECT cls, y, sc, unnest({idx}) AS u FROM (
+            SELECT t.label, w.cls,
+                   CASE WHEN t.label = w.cls THEN 1.0 ELSE -1.0 END AS y,
+                   list_dot_product(t.x, w.w) AS sc, t.x
+            FROM train t CROSS JOIN {prev} w))
+        GROUP BY cls, (u).dim),
+    w{t} AS MATERIALIZED (
+        SELECT cls, list(nv ORDER BY dim) AS w FROM (
+          SELECT g.cls, g.dim,
+                 {keep} * wo.wv + ({eta} / (SELECT n FROM n)) * g.g AS nv
+          FROM g{t} g JOIN (
+            SELECT cls, (u).dim AS dim, (u).x AS wv
+            FROM (SELECT cls, unnest({widx}) AS u FROM {prev})) wo
+            ON g.cls = wo.cls AND g.dim = wo.dim)
+        GROUP BY cls)"""
+        prev = f"w{t}"
+    sql += f""",
+    test AS (SELECT vec_id, list_append(CAST(embedding AS DOUBLE[]), 1.0) AS x
+             FROM embeddings WHERE vec_id % 5 = 0),
+    scored AS (SELECT t.vec_id, w.cls, list_dot_product(t.x, w.w) AS sc
+               FROM test t CROSS JOIN {prev} w),
+    pick AS (SELECT vec_id, cls,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cls) AS rn
+             FROM scored)
+    """
+    return sql
+
+
+@query(
+    "svm_predictions",
+    _svm_sql() + "SELECT vec_id, CAST(cls AS INT) AS pred FROM pick WHERE rn = 1",
+)
 def svm_predictions(spark, sf_dir):
     """M5 — one-vs-rest linear SVM (`ppt/Ch9….pdf p.63-68`): Pegasos
     subgradient training on the embedding labels (train = vec_id % 5 != 0),
     max-margin prediction over the held-out fifth. The weight matrix is the
     only driver state; every training iteration is one scan emitting
-    per-batch partial gradients for all classes at once."""
+    per-batch partial gradients for all classes at once. The training
+    recurrence is deterministic, so the oracle unrolls all 20 iterations
+    as CTEs and the predictions hash-match (verified parallelism-invariant
+    local[8] vs local[32])."""
     from mapreduce_big_data_processing_spark.operators import ml as ML
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4393,7 +4452,14 @@ def svm_predictions(spark, sf_dir):
     return ML.svm_predict(test, classes, W)
 
 
-@query("svm_accuracy")  # rows-only (derived from svm_predictions)
+@query(
+    "svm_accuracy",
+    _svm_sql()
+    + """
+    SELECT round(avg(CASE WHEN p.cls = e.label THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+    FROM pick p JOIN embeddings e ON p.vec_id = e.vec_id WHERE p.rn = 1
+    """,
+)
 def svm_accuracy(spark, sf_dir):
     """M5+A4 — accuracy of the one-vs-rest SVM over the held-out fifth
     (the reference pipeline's closing Accuracy job)."""
