@@ -1158,13 +1158,60 @@ def pagerank_top20(spark, sf_dir):
     return G.top_ranked(ranks, 20).select("node", F.round("pr", 6).alias("pr"))
 
 
-@query("pagerank_converged")
+def _pagerank_converged_sql(
+    max_iter: int = 15, d: float = 0.85, tol: float = 1e-4, k: int = 20
+) -> str:
+    """DuckDB oracle for convergence-mode PageRank: the stopping round is
+    data-dependent but the STOP RULE is not — unroll to the max_iter bound
+    with MATERIALIZED rank CTEs (each is consumed by the next round, its
+    delta, and the final pick; plain inlining would blow up
+    exponentially), compute each round's Σ|Δpr|, and emit the FIRST round
+    whose delta < tol (or the bound), exactly iterate_until's semantics."""
+    sql = (
+        f"WITH {_GRAPH_SQL},\n"
+        "    r0 AS MATERIALIZED (SELECT node, 1::DOUBLE / nn.n AS pr"
+        " FROM verts CROSS JOIN nn)"
+    )
+    for i in range(max_iter):
+        sql += f""",
+    r{i + 1} AS MATERIALIZED (
+      SELECT v.node,
+             (1 - {d}::DOUBLE) / nn.n
+               + {d}::DOUBLE * coalesce(c.contrib, 0::DOUBLE) AS pr
+      FROM verts v
+      LEFT JOIN (SELECT e.dst AS node, sum(r.pr * e.weight) AS contrib
+                 FROM edges e JOIN r{i} r ON e.src = r.node GROUP BY e.dst) c
+        ON v.node = c.node
+      CROSS JOIN nn)"""
+    deltas = " UNION ALL ".join(
+        f"SELECT {i + 1} AS i, (SELECT sum(abs(a.pr - b.pr)) FROM r{i + 1} a "
+        f"JOIN r{i} b USING (node)) AS delta"
+        for i in range(max_iter)
+    )
+    picks = " UNION ALL ".join(
+        f"SELECT node, pr FROM r{i + 1} WHERE (SELECT s FROM stop) = {i + 1}"
+        for i in range(max_iter)
+    )
+    sql += f""",
+    deltas AS MATERIALIZED ({deltas}),
+    stop AS (SELECT coalesce(min(i), {max_iter}) AS s FROM deltas
+             WHERE delta < {tol!r}),
+    final AS ({picks})
+    SELECT node, round(pr, 6) AS pr FROM final
+    ORDER BY pr DESC, node LIMIT {k}"""
+    return sql
+
+
+@query(
+    "pagerank_converged", _pagerank_converged_sql(max_iter=15, d=0.85, tol=1e-4)
+)
 def pagerank_converged(spark, sf_dir):
     """PageRank in convergence mode (`ppt/Ch8….pdf p.26` alternative 2):
     iterate until Σ|Δpr| < tol instead of a fixed count — the
-    iterate_until harness with a driver-side scalar test per round.
-    Rows-only: the stopping round is data-dependent, so there is no fixed
-    unrolled-CTE oracle; closeness to the fixed-iteration result is
+    iterate_until harness with a driver-side scalar test per round. The
+    stopping round is data-dependent but deterministic, so the oracle
+    unrolls to the max_iter bound and selects the first round whose delta
+    clears tol; closeness to the fixed-iteration result is additionally
     golden-tested."""
     from mapreduce_big_data_processing_spark.operators import graph as G
 
