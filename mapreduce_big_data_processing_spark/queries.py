@@ -4591,6 +4591,8 @@ _PRIORITY = [
     "embedding_dup_clusters",
     "simhash_near_dup_pairs",
     "knn_weighted_predictions",
+    "shuffled_shard_manifest",
+    "token_budget_sample",
     "token_stats",
     "doc_fingerprints",
     "ngram_jaccard_pairs",
@@ -4617,6 +4619,92 @@ def _ordered(d: dict) -> dict:
     out = {n: d[n] for n in _PRIORITY if n in d}
     out.update((n, v) for n, v in d.items() if n not in out)
     return out
+
+
+@query(
+    "shuffled_shard_manifest",
+    """
+    WITH sharded AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 8
+               AS shard,
+             length(text) AS n_chars
+      FROM documents)
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM sharded GROUP BY shard
+    """,
+)
+def shuffled_shard_manifest(spark, sf_dir):
+    """Deterministic global shuffle for training-order export: every doc
+    lands in one of 8 shards by a salt-able content-independent hash of
+    its id — the reproducible random order a trainer consumes, expressed
+    as a scan-side projection (zero shuffle to ASSIGN; the partitioned
+    write is the only data movement, exactly `write_partitioned`). The
+    registered result is the shard manifest (docs / chars / languages per
+    shard), the artifact a training job validates before reading."""
+    docs = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 8
+    ).alias("shard")
+    return (
+        docs.select(shard, F.length("text").alias("n_chars"), "lang")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+@query(
+    "token_budget_sample",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             length(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS u
+      FROM documents WHERE length(trim(text)) > 0),
+    cum AS (
+      SELECT lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS running
+      FROM toks)
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM cum WHERE running <= 20000 GROUP BY lang
+    """,
+)
+def token_budget_sample(spark, sf_dir):
+    """Per-language token-budget selection: docs enter in a deterministic
+    pseudo-random order (md5 of id) and are kept while the language's
+    running token total stays under budget — how a data mix hits per-source
+    token quotas. One shuffle (the per-lang running-sum window); the order
+    key is content-independent so the sample is stable under re-runs and
+    text edits."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.select(
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("u"),
+        "doc_id",
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("u", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = toks.withColumn("running", F.sum("n_tokens").over(w)).filter(
+        F.col("running") <= 20000
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
