@@ -391,10 +391,21 @@ def svm_train(
                 G = (Y * viol).T @ V  # (C, d+1): Σ y_i x_i over violations
                 yield pd.DataFrame({"g": [G.reshape(-1)]})
 
-        parts = X.mapInPandas(partial, schema="g array<double>").collect()
+        # treeAggregate shape: per-batch partial vectors fold EXECUTOR-SIDE
+        # (posexplode → hash-agg with map-side combine), so the driver
+        # receives exactly C·(d+1) scalar rows per iteration regardless of
+        # partition count — at thousands of partitions the old
+        # one-row-per-batch collect was model-size × partition-count.
+        parts = (
+            X.mapInPandas(partial, schema="g array<double>")
+            .select(F.posexplode("g").alias("i", "v"))
+            .groupBy("i")
+            .agg(F.sum("v").alias("g"))
+            .collect()
+        )
         G = np.zeros(C * (d + 1))
         for r in parts:
-            G += np.asarray(r["g"])
+            G[r["i"]] = r["g"]
         eta = 1.0 / (lam * t)
         W = (1.0 - eta * lam) * W + (eta / n) * G.reshape(C, d + 1)
         w_bc.destroy()
@@ -410,6 +421,7 @@ def svm_predict(
     out: str = "pred",
     threshold: float | None = None,
     other_label=None,
+    label_type: str | None = None,
 ) -> DataFrame:
     """M5 predict — score all C models in one vectorized pass (X @ Wᵀ),
     take the max-margin class; with ``threshold``, scores below it fall
@@ -445,7 +457,16 @@ def svm_predict(
                 ]
             yield pd.DataFrame({"id": pdf["__id"], "p": preds})
 
-    lbl_type = "string" if isinstance(classes[0], str) else "int"
+    if not classes:
+        raise ValueError("svm_predict: empty class list (was svm_train given rows?)")
+    if label_type is not None:
+        lbl_type = label_type  # caller passes the training label's Spark dtype
+    elif isinstance(classes[0], str):
+        lbl_type = "string"
+    elif isinstance(classes[0], float):
+        lbl_type = "double"
+    else:
+        lbl_type = "bigint"  # never narrow an integral label
     id_type = dict(test.dtypes)[id_col]
     return (
         test.select(

@@ -392,6 +392,7 @@ def embedding_near_dup(
     planes: list[list[float]] | None = None,
     plane_tables: list[list[list[float]]] | None = None,
     block_rows: int = 4096,
+    max_exact_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
 
@@ -446,13 +447,17 @@ def embedding_near_dup(
             ids = pdf["__id"].to_numpy()
             V = np.vstack(pdf["__v"].to_numpy()).astype("float64")
             n = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
-            Vn = V / n[:, None]
             m = len(ids)
             outs = []
             for i0 in range(0, m, blk):
-                A = Vn[i0 : i0 + blk]
+                A = V[i0 : i0 + blk]
                 for j0 in range(i0, m, blk):
-                    G = A @ Vn[j0 : j0 + blk].T
+                    # dot/(na*nb), NOT (a/|a|)·(b/|b|): matches the oracle's
+                    # expression order bit-for-bit so threshold comparisons
+                    # agree at float-ulp boundaries.
+                    G = (A @ V[j0 : j0 + blk].T) / np.outer(
+                        n[i0 : i0 + blk], n[j0 : j0 + blk]
+                    )
                     if j0 == i0:  # diagonal tile: upper triangle only
                         ia, ib = np.triu_indices(len(A), 1)
                     else:
@@ -493,7 +498,16 @@ def embedding_near_dup(
             .select("id_a", "id_b", "cosine")
         )
 
-    rows = corpus.select(id_col, vec_col).collect()
+    # Exact all-pairs fallback: collects the corpus — bounded-size path ONLY.
+    # Guarded so it cannot be reached by accident on a large table (the
+    # registered default is the multi-table LSH path above).
+    rows = corpus.select(id_col, vec_col).limit(max_exact_rows + 1).collect()
+    if len(rows) > max_exact_rows:
+        raise ValueError(
+            f"embedding_near_dup exact path collects the corpus; got more than "
+            f"max_exact_rows={max_exact_rows} rows. Pass plane_tables= (LSH, "
+            f"the scale path) or raise max_exact_rows explicitly."
+        )
     import numpy as np
 
     all_ids = np.array([r[0] for r in rows])

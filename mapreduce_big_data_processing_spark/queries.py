@@ -57,6 +57,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return catalog.load(spark, name, sf_dir)
 
 
+def _work_dir(spark: SparkSession, name: str) -> str:
+    """Stable scratch path per (Spark application, query): queries with
+    filesystem side effects (source/sink round-trips, streaming replays)
+    reuse and overwrite ONE directory per session instead of leaking a
+    fresh mkdtemp per invocation across repeated driver/bench runs."""
+    import os
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"mbdp_work_{spark.sparkContext.applicationId}",
+        name,
+    )
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
 # ===========================================================================
 # Relational core (SURVEY §2.2-2.6) on the star schema
 # ===========================================================================
@@ -4244,7 +4261,7 @@ def hourly_event_stats(spark, sf_dir):
 )
 def keyed_scan_latest(spark, sf_dir):
     """S10 — the HBase read model end-to-end (`ppt/Ch6….pdf p.60-62`):
-    range scan on the row key (user_id 100-200 — a pushed-down predicate,
+    range scan on the row key (user_id 0-10 — a pushed-down predicate,
     so parquet/partition pruning does what the LSM row-key index did), then
     latest-2 cell versions per (rowkey, qualifier) = (user_id, event_type),
     newest first, seqid-style tie-break on event_id. One window over the
@@ -4281,11 +4298,9 @@ def source_roundtrip(spark, sf_dir):
     per language. The oracle replays the same computation on the original
     table — the round-trip must be lossless (tabs/newlines sanitized before
     the line format, exactly as the oracle does)."""
-    import tempfile
-
     from mapreduce_big_data_processing_spark.sources import readers as RD
 
-    base = tempfile.mkdtemp(prefix="mbdp_src_rt_")
+    base = _work_dir(spark, "src_rt")
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -4365,11 +4380,9 @@ def streaming_hourly_counts(spark, sf_dir):
     exactly-once, no dropped or doubled windows. (Production swaps the
     source for Kafka and the sink for foreachBatch; semantics are this
     query's.)"""
-    import tempfile
-
     from mapreduce_big_data_processing_spark.streaming import windows as SW
 
-    src = tempfile.mkdtemp(prefix="mbdp_stream_hourly_")
+    src = _work_dir(spark, "stream_hourly")
     ev = _t(spark, sf_dir, "events")
     ev.select("event_id", "ts", "user_id", "event_type", "value").repartition(
         4
@@ -4496,7 +4509,9 @@ def svm_predictions(spark, sf_dir):
     train = emb.filter(F.col("vec_id") % 5 != 0)
     test = emb.filter(F.col("vec_id") % 5 == 0)
     classes, W = ML.svm_train(train, lam=0.01, iters=20)
-    return ML.svm_predict(test, classes, W)
+    return ML.svm_predict(
+        test, classes, W, label_type=dict(train.dtypes)["label"]
+    )
 
 
 @query(
@@ -4516,7 +4531,9 @@ def svm_accuracy(spark, sf_dir):
     train = emb.filter(F.col("vec_id") % 5 != 0)
     test = emb.filter(F.col("vec_id") % 5 == 0)
     classes, W = ML.svm_train(train, lam=0.01, iters=20)
-    pred = ML.svm_predict(test, classes, W)
+    pred = ML.svm_predict(
+        test, classes, W, label_type=dict(train.dtypes)["label"]
+    )
     joined = pred.join(emb.select("vec_id", "label"), "vec_id")
     return ML.accuracy(joined, "label", "pred")
 

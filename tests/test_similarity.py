@@ -195,3 +195,20 @@ def test_near_dup_tiled_kernel_matches_untiled(spark):
     u = {(r.id_a, r.id_b): round(r.cosine, 9) for r in untiled.collect()}
     assert t == u
     assert len(t) == 30 * 29 // 2  # all pairs are near-dups in this cluster
+
+
+def test_exact_near_dup_guard_raises_over_limit(spark):
+    """The exact all-pairs fallback collects the corpus, so it refuses to
+    run above max_exact_rows — the registered default is the LSH path and
+    accidental exact-path use on a big table must fail loudly."""
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="max_exact_rows"):
+        S.embedding_near_dup(emb, threshold=0.9, max_exact_rows=10).collect()
+    # under the limit the exact path still works
+    small = emb.filter(F.col("vec_id") < 5)
+    assert S.embedding_near_dup(small, threshold=-1.0, max_exact_rows=10).count() > 0
