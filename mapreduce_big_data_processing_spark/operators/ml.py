@@ -206,6 +206,10 @@ def knn_classify(
     label_col: str = "label",
     out: str = "pred",
     weighted: bool = False,
+    method: str = "auto",
+    max_broadcast_queries: int = 100_000,
+    planes: list | None = None,
+    n_probe: int | None = None,
 ) -> DataFrame:
     """M1 — kNN by cosine similarity + majority vote (ties → smallest
     label, then nearest neighbor order). The reference broadcasts the train
@@ -217,15 +221,60 @@ def knn_classify(
     (`ppt/Ch9….pdf p.55-57`): each neighbor votes its cosine similarity
     instead of 1, so a single very-close neighbor can outvote two distant
     ones — same plan shape, only the vote aggregate changes.
+
+    Large test sides: ``method='auto'`` does ONE bounded collect of the
+    test matrix and switches to the LSH-bucketed scorer when it exceeds
+    ``max_broadcast_queries`` — there the test side stays a TABLE end to
+    end (probe expansion is an Arrow stage, scoring a bucket equi-join),
+    so a 100 TB test table never reaches the driver. ``method='lsh'``
+    forces that path with zero driver collects (requires ``planes``).
+    ``n_probe`` defaults to 2**len(planes) — every bucket probed, which
+    makes the LSH route EXACT (same answer as the broadcast path), at the
+    cost of scanning all buckets; pass a smaller n_probe to trade recall
+    for probe pruning.
     """
     from mapreduce_big_data_processing_spark.operators.similarity import (
         _batch_scored_candidates,
+        lsh_topk,
     )
 
+    if method not in ("auto", "broadcast", "lsh"):
+        raise ValueError(f"knn_classify: unknown method {method!r}")
     q = test.select(F.col(id_col).alias("__tid"), F.col(vec_col))
-    cand = _batch_scored_candidates(
-        train, q, k, id_col, vec_col, "__tid"
-    ).withColumnRenamed(id_col, "__nbr")
+    q_rows = None
+    if method == "auto":
+        q_rows = q.limit(max_broadcast_queries + 1).collect()
+        if len(q_rows) <= max_broadcast_queries:
+            method = "broadcast"
+        else:
+            method = "lsh"
+            if planes is None:  # seeded normals — deterministic, d known
+                import numpy as np
+
+                d = len(q_rows[0][1])
+                planes = np.random.default_rng(8191).standard_normal((6, d)).tolist()
+            q_rows = None
+    if method == "lsh":
+        if planes is None:
+            raise ValueError(
+                "knn_classify: the collect-free LSH route needs `planes` "
+                "(deterministic hyperplanes, e.g. seeded normals)"
+            )
+        cand = lsh_topk(
+            train,
+            q,
+            planes,
+            k=k,
+            n_probe=2 ** len(planes) if n_probe is None else n_probe,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col="__tid",
+        ).select("__tid", F.col(id_col).alias("__nbr"), "cosine")
+    else:
+        cand = _batch_scored_candidates(
+            train, q, k, id_col, vec_col, "__tid", q_rows=q_rows,
+            max_broadcast_queries=max_broadcast_queries,
+        ).withColumnRenamed(id_col, "__nbr")
     w = Window.partitionBy("__tid").orderBy(F.desc("cosine"), F.asc("__nbr"))
     top = (
         cand.withColumn("rn", F.row_number().over(w))

@@ -235,14 +235,17 @@ def pq_encode(
     m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Encode vectors to (id, codes array<int> length m): nearest centroid
     per subspace (argmin ties → lowest cid). One narrow Arrow stage — the
     closure-broadcast codebook is probed with a batched matmul; no shuffle,
-    no join."""
+    no join. ``keep_cols`` pass through unchanged (e.g. an IVF ``bucket``
+    column, so index build = one assign stage + one encode stage)."""
     spark = emb.sparkSession
     cb = _cb_matrix(codebook.collect(), m)
     bc = spark.sparkContext.broadcast(cb)
+    keep = list(keep_cols)
 
     def encode(batches):
         import numpy as np
@@ -257,13 +260,15 @@ def pq_encode(
                 np.vstack(pdf[vec_col].to_numpy()).astype("float64"), m_, ds_
             )
             codes = _nearest_cids(sub, cb_).astype("int32")
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
-            )
+            out = {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            for c in keep:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    id_type = dict(emb.dtypes)[id_col]
-    return emb.select(id_col, vec_col).mapInPandas(
-        encode, schema=f"{id_col} {id_type}, codes array<int>"
+    dtypes = dict(emb.dtypes)
+    keep_schema = "".join(f", {c} {dtypes[c]}" for c in keep)
+    return emb.select(id_col, vec_col, *keep).mapInPandas(
+        encode, schema=f"{id_col} {dtypes[id_col]}, codes array<int>{keep_schema}"
     )
 
 
@@ -325,6 +330,20 @@ def pq_topk(
     )
 
     # JVM-side ADC: m gathers from the joined lut column per corpus row
+    score = _adc_score_expr(kk, cent_norm2)
+    scored = (
+        corpus_codes.select(id_col, "codes")
+        .crossJoin(F.broadcast(qlut))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, score.alias("score"))
+    )
+    return _ranked_topk(scored, k, id_col, query_id_col)
+
+
+def _adc_score_expr(kk: int, cent_norm2) -> Column:
+    """ADC cosine(query, PQ-reconstruction) from a joined ``__lut`` column:
+    Σ_m lut[sub, code] / (‖recon‖·‖q‖), all via JVM-side `element_at`
+    gathers — the float corpus vector is never touched."""
     cn2_flat = F.array(*[F.lit(float(x)) for x in cent_norm2.reshape(-1)])
     dots = F.aggregate(
         F.transform(
@@ -342,13 +361,10 @@ def pq_topk(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    score = dots / (F.greatest(F.sqrt(recon2), F.lit(1e-12)) * F.col("__qnorm"))
-    scored = (
-        corpus_codes.select(id_col, "codes")
-        .crossJoin(F.broadcast(qlut))
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .select(query_id_col, id_col, score.alias("score"))
-    )
+    return dots / (F.greatest(F.sqrt(recon2), F.lit(1e-12)) * F.col("__qnorm"))
+
+
+def _ranked_topk(scored: DataFrame, k: int, id_col: str, query_id_col: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
@@ -362,6 +378,105 @@ def pq_topk(
             "rank",
         )
     )
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    centroids: list,
+    codebook: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVF-PQ index table (id, bucket, codes): IVF coarse
+    assignment (nearest centroid) then PQ codes, two narrow Arrow stages —
+    no shuffle. This is the stored layout of the FAISS IVFPQ scale path: at
+    100 TB the float column is scanned ONCE here, and queries touch only
+    (bucket, m-byte codes) — with the bucket as a partition/cluster key,
+    probes prune partitions instead of scanning the corpus."""
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    assigned = S.ivf_assign(corpus, centroids, id_col, vec_col)
+    return pq_encode(assigned, codebook, m, id_col, vec_col, keep_cols=("bucket",))
+
+
+def ivf_pq_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list,
+    codebook_rows: list,
+    k: int = 10,
+    n_probe: int = 4,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ search (Jégou et al., PAMI'11 — the standard composed layout):
+    each query probes its ``n_probe`` nearest coarse centroids and scores
+    ADC only inside those buckets, so the old codes×queries crossJoin
+    becomes a bucket equi-join against the ``ivf_pq_index`` table. ONE
+    Arrow stage over the query table computes probe lists AND LUTs (the
+    centroid matrix and codebook are tiny broadcast state — the query side
+    is never collected, it may itself be a table); scoring is JVM-side
+    `element_at` gathers. Output: (query_id, vec_id, score, rank)."""
+    import numpy as np
+
+    cb = _cb_matrix(codebook_rows, m)  # (m, kk, dsub)
+    _, kk, dsub = cb.shape
+    cent_norm2 = (cb * cb).sum(axis=2)  # (m, kk)
+    cent = np.asarray(centroids, dtype="float64")
+    cn = np.linalg.norm(cent, axis=1)
+    spark = index.sparkSession
+    bc = spark.sparkContext.broadcast((cb, cent, cn, n_probe))
+
+    def probes_and_luts(batches):
+        import numpy as np
+        import pandas as pd  # noqa: F401
+
+        cb_, cm, cnn, np_ = bc.value
+        m_, kk_, ds_ = cb_.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = np.vstack(pdf["__qvec"].to_numpy()).astype("float64")
+            # coarse probes: n_probe nearest centroids by cosine, stable
+            # order (ties → lowest cid) — same argsort as similarity.ivf_topk
+            vn = np.linalg.norm(qm, axis=1)
+            sims = (qm @ cm.T) / np.outer(vn, cnn)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :np_]
+            # ADC LUTs: per-subspace dot of the query against every centroid
+            nq, d = qm.shape
+            pad = m_ * ds_ - d
+            qp = np.concatenate([qm, np.zeros((nq, pad))], axis=1) if pad else qm
+            lut = np.einsum("qmd,mkd->qmk", qp.reshape(nq, m_, ds_), cb_)
+            pdf = pdf.copy()
+            pdf["bucket"] = [row.astype("int32").tolist() for row in order]
+            pdf["__lut"] = list(lut.reshape(nq, m_ * kk_))
+            pdf["__qnorm"] = np.maximum(vn, 1e-12)
+            yield pdf[[query_id_col, "bucket", "__lut", "__qnorm"]]
+
+    qid_type = dict(queries.dtypes)[query_id_col]
+    qlut = (
+        queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+        .mapInPandas(
+            probes_and_luts,
+            schema=(
+                f"`{query_id_col}` {qid_type}, bucket array<int>, "
+                "__lut array<double>, __qnorm double"
+            ),
+        )
+        .withColumn("bucket", F.explode("bucket"))
+    )
+
+    score = _adc_score_expr(kk, cent_norm2)
+    scored = (
+        index.select(id_col, "bucket", "codes")
+        .join(F.broadcast(qlut), "bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, score.alias("score"))
+    )
+    return _ranked_topk(scored, k, id_col, query_id_col)
 
 
 def quantized_topk(

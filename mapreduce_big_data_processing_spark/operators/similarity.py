@@ -53,14 +53,33 @@ def _batch_scored_candidates(
     vec_col: str,
     query_id_col: str,
     exclude_self: bool = True,
+    max_broadcast_queries: int | None = None,
+    q_rows: list | None = None,
 ) -> DataFrame:
     """Per-partition-batch top-k candidates per query, scored with a NumPy
     matmul over Arrow batches (mapInPandas). The query matrix is closure-
     broadcast (small side); the corpus streams — no shuffle, no per-element
     lambda evaluation (the expression-tree cosine is ~50× slower per pair).
     Global top-k over the union of batch-local top-k is exact.
+
+    The query side is COLLECTED: this is the documented small-side
+    contract. ``max_broadcast_queries`` bounds it (raise instead of
+    collecting an unexpectedly large table — route those through
+    :func:`lsh_topk` / :func:`ivf_topk`, whose query side stays a table);
+    ``q_rows`` lets a caller that already did the bounded collect pass the
+    rows in.
     """
-    q_rows = queries.select(query_id_col, vec_col).collect()  # small side
+    if q_rows is None:
+        sel = queries.select(query_id_col, vec_col)
+        if max_broadcast_queries is None:
+            q_rows = sel.collect()  # small side
+        else:
+            q_rows = sel.limit(max_broadcast_queries + 1).collect()
+    if max_broadcast_queries is not None and len(q_rows) > max_broadcast_queries:
+        raise ValueError(
+            f"query side exceeds max_broadcast_queries={max_broadcast_queries}; "
+            "use lsh_topk/ivf_topk (query side stays a table) for large query sets"
+        )
     import numpy as np
 
     q_ids = [r[0] for r in q_rows]

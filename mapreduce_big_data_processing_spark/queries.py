@@ -3024,23 +3024,38 @@ def trailing_hour_user_load(spark, sf_dir):
     )
 
 
-@query("approx_value_percentiles")
+@query(
+    "approx_value_percentiles",
+    """
+    SELECT count(value) AS n_values, TRUE AS ok_p50, TRUE AS ok_p90,
+           TRUE AS ok_p95, TRUE AS ok_p99
+    FROM events
+    """,
+)
 def approx_value_percentiles(spark, sf_dir):
     """Approximate percentiles of event value (Greenwald-Khanna style
-    `percentile_approx`, mergeable per-partition summaries). Rows-only:
-    the approximation is engine-specific by design. The exact twin
-    (`value_percentiles`) needs a global sort at 100 TB; this runs as one
-    partial+final aggregate with bounded memory — the scale path for
-    quantile monitoring. Accuracy 10000 ≈ rank error ≤ 0.01%; asserted
-    against the exact answer in tests/test_properties.py."""
+    `percentile_approx`, mergeable per-partition summaries) under the
+    ERROR-BOUND oracle protocol: the estimate itself is engine-specific,
+    so the hashed output carries the exact row count plus one flag per
+    percentile asserting the estimate's EXACT rank (count(< est)/N ≤
+    p+ε and count(≤ est)/N ≥ p−ε, ε = 10× the sketch's 1e-4 contract)
+    — the oracle answers TRUE, so a drifting sketch hash-mismatches.
+    The exact twin needs a global sort at 100 TB; this runs as one
+    partial+final aggregate with bounded memory. Point-estimate accuracy
+    is additionally asserted in tests/test_properties.py."""
     ev = _t(spark, sf_dir, "events")
     pcts = [0.5, 0.9, 0.95, 0.99]
-    agg = ev.agg(
-        F.percentile_approx("value", pcts, 10000).alias("q")
-    )
-    return agg.select(
-        *[F.round(F.col("q")[i], 6).alias(f"p{int(p * 100)}") for i, p in enumerate(pcts)]
-    )
+    est = ev.agg(F.percentile_approx("value", pcts, 10000).alias("q"))
+    j = ev.crossJoin(F.broadcast(est))
+    eps = 0.001
+    n = F.count("value")
+    aggs = [n.alias("n_values")]
+    for i, p in enumerate(pcts):
+        lt = F.sum((F.col("value") < F.col("q")[i]).cast("long"))
+        le = F.sum((F.col("value") <= F.col("q")[i]).cast("long"))
+        ok = ((lt / n) <= (p + eps)) & ((le / n) >= (p - eps))
+        aggs.append(ok.alias(f"ok_p{int(p * 100)}"))
+    return j.agg(*aggs)
 
 
 # ===========================================================================
@@ -3485,23 +3500,45 @@ def redacted_docs(spark, sf_dir):
     return red.select("doc_id", "redacted")
 
 
-@query("monthly_user_reach_hll")
+@query(
+    "monthly_user_reach_hll",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS exact_reach,
+           TRUE AS within_bounds
+    FROM events GROUP BY event_type
+    """,
+)
 def monthly_user_reach_hll(spark, sf_dir):
     """Sketch once, merge forever: per (event_type, day) HLL sketches of
     user_id (the pre-aggregated cube a 100 TB pipeline materializes once),
-    then the per-type monthly reach by MERGING sketch states — raw events
-    are scanned exactly once, every coarser rollup afterwards is
+    then the per-type reach by MERGING sketch states — raw events are
+    scanned once for the cube, every coarser rollup afterwards is
     sketch-sized. `hll_union_agg` is associative/commutative, so it
     partial-aggregates map-side like a sum; same-lgK merges are lossless
-    (asserted vs the single-pass sketch in tests). Rows-only: the estimate
-    is DataSketches-specific; accuracy vs exact is golden-tested."""
+    (asserted vs the single-pass sketch in tests). ERROR-BOUND oracle
+    protocol: the estimate is DataSketches-specific, so the hashed output
+    is (event_type, exact_reach, within_bounds) where within_bounds pins
+    |est − exact| ≤ 5%·exact (lgK=12 → 1.63% rse, 3σ) and the oracle
+    answers TRUE — a drifting sketch hash-mismatches. The exact pass here
+    is verification apparatus; production reads only the merged sketches."""
     ev = _t(spark, sf_dir, "events")
     daily = SK.sketch_distinct(
         ev.withColumn("day", F.date_trunc("day", "ts")),
         ["event_type", "day"],
         "user_id",
     )
-    return SK.merge_rollup(daily, ["event_type"])
+    est = SK.merge_rollup(daily, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_reach")
+    )
+    return exact.join(F.broadcast(est), "event_type").select(
+        "event_type",
+        "exact_reach",
+        (
+            F.abs(F.col("distinct_est") - F.col("exact_reach"))
+            <= 0.05 * F.col("exact_reach")
+        ).alias("within_bounds"),
+    )
 
 
 # ===========================================================================
@@ -3765,12 +3802,17 @@ def doc_cross_entropy(spark, sf_dir):
 def _pq_topk_sql(
     m: int = 8, k: int = 16, iters: int = 3, dsub: int = 8,
     n_queries: int = 10, topk: int = 10,
+    ivf: tuple[int, int] | None = None,
 ) -> str:
     """DuckDB oracle for the full PQ/ADC chain: unroll the per-subspace
     k-means (same lowest-id init, same argmin expression c²−2·q·c with
     lowest-cid ties, empty clusters keep their centroid), encode with the
     final codebook, and score cosine(query, reconstruction) — which is
-    algebraically what the engine's LUT-gather ADC computes."""
+    algebraically what the engine's LUT-gather ADC computes. With
+    ``ivf=(n_cent, n_probe)``, replay the IVF-PQ composition too: coarse
+    assignment to the lowest-`n_cent`-id centroids (argmax cosine, lowest
+    cid ties — same rule as the ivf_similarity_topk oracle) and per-query
+    n_probe probing, so scoring only touches probed buckets."""
     d2 = "(list_dot_product(c.c, c.c) - 2 * list_dot_product(s.sv, c.c))"
     sql = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -3802,13 +3844,41 @@ def _pq_topk_sql(
     recon AS (SELECT enc.vec_id, flatten(list(c.c ORDER BY enc.sub)) AS rv
               FROM enc JOIN {prev} c ON enc.sub = c.sub AND enc.cid = c.cid
               GROUP BY enc.vec_id),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {n_queries}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {n_queries})"""
+    if ivf is None:
+        sql += """,
     scored AS (
       SELECT q.query_id, r.vec_id,
              list_dot_product(q.qv, r.rv) /
                (greatest(sqrt(list_dot_product(r.rv, r.rv)), 1e-12)
                 * greatest(sqrt(list_dot_product(q.qv, q.qv)), 1e-12)) AS score
-      FROM q CROSS JOIN recon r WHERE r.vec_id <> q.query_id),
+      FROM q CROSS JOIN recon r WHERE r.vec_id <> q.query_id)"""
+    else:
+        n_cent, n_probe = ivf
+        sql += f""",
+    cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+             FROM e ORDER BY vec_id LIMIT {n_cent}),
+    assign AS (
+      SELECT vec_id, cid AS bucket FROM (
+        SELECT e.vec_id, cent.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_IVF_COS.format(a="e.v", b="cent.c")} DESC, cent.cid) AS rn
+        FROM e CROSS JOIN cent) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, qv, cid AS bucket FROM (
+        SELECT q.query_id, q.qv, cent.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_IVF_COS.format(a="q.qv", b="cent.c")} DESC, cent.cid) AS rn
+        FROM q CROSS JOIN cent) WHERE rn <= {n_probe}),
+    scored AS (
+      SELECT p.query_id, r.vec_id,
+             list_dot_product(p.qv, r.rv) /
+               (greatest(sqrt(list_dot_product(r.rv, r.rv)), 1e-12)
+                * greatest(sqrt(list_dot_product(p.qv, p.qv)), 1e-12)) AS score
+      FROM probes p JOIN assign a USING (bucket)
+      JOIN recon r ON a.vec_id = r.vec_id
+      WHERE a.vec_id <> p.query_id)"""
+    sql += f""",
     ranked AS (
       SELECT query_id, vec_id, score,
              CAST(row_number() OVER (PARTITION BY query_id
@@ -3820,28 +3890,32 @@ def _pq_topk_sql(
     return sql
 
 
-@query("pq_similarity_topk", _pq_topk_sql(m=8, k=16, iters=3, dsub=8))
+@query("pq_similarity_topk", _pq_topk_sql(m=8, k=16, iters=3, dsub=8, ivf=(16, 4)))
 def pq_similarity_topk(spark, sf_dir):
-    """Product-quantization ANN (Jégou et al. ADC): per-subspace k-means
-    codebooks (trained in one driver loop — all m subspaces per pass),
-    m-byte codes, and LUT-gather scoring where the float embedding column
-    is never scanned at query time — 32× less corpus IO than the float
-    path at m=8,k=16 over 64 dims. The whole chain is deterministic
-    (lowest-id init, lowest-cid ties), so the oracle unrolls the subspace
-    k-means and scores cosine(query, reconstruction) — the same quantity
-    ADC's LUT gathers compute; hash-matched at sf0.001/sf0.01.
-    Recall and an exactness-on-codebook-vectors golden test live in
-    test_curation.py."""
+    """IVF-PQ ANN (Jégou et al. — the standard composed layout): per-
+    subspace k-means codebooks (trained in one driver loop — all m
+    subspaces per pass), the (bucket, m-byte codes) index table from
+    ivf_pq_index, and per-query n_probe=4 coarse probing so LUT-gather ADC
+    scoring runs as a bucket EQUI-join — the float embedding column is
+    never scanned at query time and no codes×queries product exists (the
+    round-2 crossJoin; plan pinned by test_plan_shapes). The whole chain
+    is deterministic (lowest-id init/centroids, lowest-cid ties), so the
+    oracle unrolls the subspace k-means, replays coarse assignment +
+    probing, and scores cosine(query, reconstruction) — the same quantity
+    ADC's LUT gathers compute; hash-matched at sf0.001/sf0.01. Recall and
+    an exactness-on-codebook-vectors golden test live in test_curation.py;
+    exhaustive (unpruned) ADC stays available as quantization.pq_topk."""
     from mapreduce_big_data_processing_spark.operators import quantization as QZ
 
     emb = _t(spark, sf_dir, "embeddings")
     cb = QZ.pq_train(emb, m=8, k=16, iters=3)
     cb_rows = cb.collect()
-    codes = QZ.pq_encode(emb, cb, m=8)
+    cents = [r.embedding for r in emb.orderBy("vec_id").limit(16).collect()]
+    index = QZ.ivf_pq_index(emb, cents, cb, m=8)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return QZ.pq_topk(codes, q, cb_rows, k=10, m=8)
+    return QZ.ivf_pq_topk(index, q, cents, cb_rows, k=10, n_probe=4, m=8)
 
 
 @query(
@@ -4189,29 +4263,94 @@ def heavy_hitter_users(spark, sf_dir):
     return SK.heavy_hitters(ev, "user_id", min_frac=0.0075)
 
 
-@query("event_type_user_overlap")
+@query(
+    "event_type_user_overlap",
+    """
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT (SELECT count(*) FROM c) AS exact_click,
+           (SELECT count(*) FROM p) AS exact_purchase,
+           (SELECT count(*) FROM c JOIN p USING (user_id)) AS exact_intersection,
+           (SELECT count(*) FROM (SELECT * FROM c UNION SELECT * FROM p))
+             AS exact_union,
+           TRUE AS within_bounds
+    """,
+)
 def event_type_user_overlap(spark, sf_dir):
     """Distinct-user overlap between click and purchase audiences via
     Theta sketches — the set-operation question (|A∩B|, |A∪B|) HLL cannot
     answer. One scan builds per-group sketches; intersections/unions are
-    sketch-sized. Rows-only (DataSketches estimates); accuracy vs exact is
-    golden-tested."""
+    sketch-sized. ERROR-BOUND oracle protocol: the hashed output carries
+    the four exact set sizes plus one flag pinning every Theta estimate
+    within 5% (intersection within 5% of the exact UNION — intersection
+    error scales with union cardinality); the oracle answers TRUE."""
     ev = _t(spark, sf_dir, "events")
-    return SK.theta_distinct_overlap(ev, "event_type", "user_id", ["click", "purchase"])
+    est = SK.theta_distinct_overlap(
+        ev, "event_type", "user_id", ["click", "purchase"]
+    )
+    both = ev.filter(F.col("event_type").isin("click", "purchase"))
+    per_user = both.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("has_c"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("has_p"),
+    )
+    exact = per_user.agg(
+        F.sum("has_c").cast("bigint").alias("exact_click"),
+        F.sum("has_p").cast("bigint").alias("exact_purchase"),
+        F.sum(F.col("has_c") * F.col("has_p")).cast("bigint").alias(
+            "exact_intersection"
+        ),
+        F.count(F.lit(1)).alias("exact_union"),
+    )
+
+    def close(est_col, ref_col, scale_col):
+        return F.abs(F.col(est_col) - F.col(ref_col)) <= 0.05 * F.col(scale_col)
+
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_click",
+        "exact_purchase",
+        "exact_intersection",
+        "exact_union",
+        (
+            close("distinct_0", "exact_click", "exact_click")
+            & close("distinct_1", "exact_purchase", "exact_purchase")
+            & close("intersection_est", "exact_intersection", "exact_union")
+            & close("union_est", "exact_union", "exact_union")
+        ).alias("within_bounds"),
+    )
 
 
-@query("value_quantile_rollup")
+@query(
+    "value_quantile_rollup",
+    """
+    SELECT event_type, count(value) AS n_values,
+           TRUE AS ok_p50, TRUE AS ok_p95, TRUE AS ok_p99
+    FROM events GROUP BY event_type
+    """,
+)
 def value_quantile_rollup(spark, sf_dir):
     """Mergeable quantile rollup: KLL sketch of `value` per (event_type,
     day) cell, rolled up to per-type p50/p95/p99 by MERGING sketch states
     — the percentile twin of the HLL sketch-once-merge-forever pattern.
-    Rows-only; rank-accuracy vs exact percentiles is golden-tested."""
+    ERROR-BOUND oracle protocol: per type, the hashed output is the exact
+    value count plus one flag per quantile pinning the merged sketch's
+    estimate at EXACT rank within ±3% (KLL k=200 ⇒ ~1.65% rank error);
+    the oracle answers TRUE, so a drifting sketch hash-mismatches."""
     ev = _t(spark, sf_dir, "events").withColumn(
         "day", F.date_trunc("day", "ts")
     )
-    return SK.kll_quantile_rollup(
+    est = SK.kll_quantile_rollup(
         ev, ["event_type", "day"], "value", ["event_type"]
     )
+    j = ev.join(F.broadcast(est), "event_type")
+    eps = 0.03
+    n = F.count("value")
+    aggs = [n.alias("n_values")]
+    for q, col in [(0.5, "q_0_5"), (0.95, "q_0_95"), (0.99, "q_0_99")]:
+        lt = F.sum((F.col("value") < F.col(col)).cast("long"))
+        le = F.sum((F.col("value") <= F.col(col)).cast("long"))
+        ok = ((lt / n) <= (q + eps)) & ((le / n) >= (q - eps))
+        aggs.append(ok.alias(f"ok_p{int(q * 100)}"))
+    return j.groupBy("event_type").agg(*aggs)
 
 
 # ===========================================================================
@@ -4416,20 +4555,20 @@ def streaming_hourly_counts(spark, sf_dir):
     return spark.table(name).select("window_start", "window_end", "event_type", "cnt")
 
 
-@query("multimodal_features")  # opaque-binary decode: rows-only by design
+@query("multimodal_features")  # binary media decode: rows-only by design
 def multimodal_features(spark, sf_dir):
-    """Multimodal plumbing end-to-end: 256 synthetic media rows (binary
-    payload + typed metadata; image/audio/video kinds) → Arrow-batched
-    mapInPandas decode/feature-extract (the decode itself is the documented
-    deterministic stub — no media libs in this container; the Spark-side
-    schema, batching and partitioning are the real surface) → per-kind
-    per-dimension feature means. Rows-only: the payload hash feature isn't
-    SQL-expressible, but the result is deterministic (48 rows = 3 kinds ×
-    16 dims)."""
+    """Multimodal decode end-to-end: 256 media rows with REAL binary
+    payloads (P6 PPM images, RIFF/WAVE PCM16 audio, PPM-frame video —
+    generated executor-side, decoded with stdlib-only parsers in an
+    Arrow-batched mapInPandas stage) → per-kind per-dimension means of
+    features computed from the actual decoded pixel/sample values.
+    Rows-only: binary parsing isn't SQL-expressible, but the result is
+    deterministic (48 rows = 3 kinds × 16 dims) and the byte-level decode
+    is pinned by goldens in tests/test_formats.py."""
     from mapreduce_big_data_processing_spark.operators import multimodal as MM
 
-    media = MM.synthetic_media(spark, 256)
-    feats = MM.extract_features(media)
+    media = MM.synthetic_media(spark, 256, real_payloads=True)
+    feats = MM.extract_features(media, decode_stub="real")
     return (
         feats.select("kind", F.posexplode("features").alias("dim", "x"))
         .groupBy("kind", "dim")

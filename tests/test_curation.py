@@ -246,3 +246,33 @@ def test_strip_boilerplate_golden(spark):
         docs, min_doc_frac=0.9, paragraph_regex=r"\n{2,}"
     )
     assert keep_all.filter(F.col("n_kept") != F.col("n_chunks")).count() == 0
+
+
+def test_ivf_pq_full_probe_matches_exhaustive_adc(spark, sf_dir):
+    """IVF pruning must be lossless at full probe: n_probe = n_centroids
+    makes ivf_pq_topk scan every bucket, so its answer must equal the
+    exhaustive pq_topk crossJoin on the same codes/codebook — pruning
+    changes WHICH buckets are scored, never HOW."""
+    from mapreduce_big_data_processing_spark import catalog
+    from mapreduce_big_data_processing_spark.operators import quantization as QZ
+
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = [list(r.embedding) for r in emb.orderBy("vec_id").limit(8).collect()]
+    cb = QZ.pq_train(emb, m=2, k=4, iters=1)
+    cb_rows = cb.collect()
+    codes = QZ.pq_encode(emb, cb, m=2)
+    index = QZ.ivf_pq_index(emb, cents, cb, m=2)
+    exhaustive = {
+        (r.query_id, r.rank): (r.vec_id, round(r.score, 6))
+        for r in QZ.pq_topk(codes, q, cb_rows, k=5, m=2).collect()
+    }
+    full_probe = {
+        (r.query_id, r.rank): (r.vec_id, round(r.score, 6))
+        for r in QZ.ivf_pq_topk(
+            index, q, cents, cb_rows, k=5, n_probe=len(cents), m=2
+        ).collect()
+    }
+    assert full_probe == exhaustive

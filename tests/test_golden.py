@@ -434,3 +434,33 @@ def test_knn_weighted_vote_disagrees_with_majority(spark):
     weighted = ML.knn_classify(train, test, k=3, weighted=True).collect()[0].pred
     assert majority == 1   # two votes beat one
     assert weighted == 0   # 0.9998 beats 0.438 + 0.438
+
+
+def test_knn_lsh_route_matches_broadcast_at_full_probe(spark, sf_dir):
+    """The collect-free LSH route at full probe (every bucket scanned) is
+    EXACT — predictions must equal the broadcast path's on the same
+    train/test split. Also pins the auto threshold: a tiny
+    max_broadcast_queries forces the LSH route through `auto`."""
+    from mapreduce_big_data_processing_spark import catalog
+    from mapreduce_big_data_processing_spark.queries import _seeded_planes
+
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    test = emb.filter(F.col("vec_id") % 5 == 0)
+    broadcast = {
+        r.vec_id: r.pred for r in ML.knn_classify(train, test, k=5).collect()
+    }
+    lsh = {
+        r.vec_id: r.pred
+        for r in ML.knn_classify(
+            train, test, k=5, method="lsh", planes=_seeded_planes()
+        ).collect()
+    }
+    assert lsh == broadcast
+    routed = {
+        r.vec_id: r.pred
+        for r in ML.knn_classify(
+            train, test, k=5, max_broadcast_queries=3
+        ).collect()
+    }
+    assert routed == broadcast

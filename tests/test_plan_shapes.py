@@ -193,6 +193,7 @@ def test_ann_operators_never_collect_query_or_corpus(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from mapreduce_big_data_processing_spark import catalog
+    from mapreduce_big_data_processing_spark.operators import ml as ML
     from mapreduce_big_data_processing_spark.operators import quantization as QZ
     from mapreduce_big_data_processing_spark.operators import similarity as S
     from mapreduce_big_data_processing_spark.queries import _seeded_planes
@@ -205,6 +206,7 @@ def test_ann_operators_never_collect_query_or_corpus(spark, sf_dir):
     cb = QZ.pq_train(emb, m=2, k=4, iters=1)
     cb_rows = cb.collect()  # codebook: driver-held by design (m×k rows)
     codes = QZ.pq_encode(emb, cb, m=2)
+    index = QZ.ivf_pq_index(emb, cents, cb, m=2)  # build collects codebook only
 
     real_collect = DataFrame.collect
 
@@ -217,6 +219,17 @@ def test_ann_operators_never_collect_query_or_corpus(spark, sf_dir):
             S.lsh_topk(emb, q, _seeded_planes(), k=5, n_probe=4),
             S.ivf_topk(emb, q, cents, k=5, n_probe=2),
             QZ.pq_topk(codes, q, cb_rows, k=5, m=2),
+            QZ.ivf_pq_topk(index, q, cents, cb_rows, k=5, n_probe=2, m=2),
+            # kNN's large-test route: the test side stays a table (no
+            # driver collect of the query matrix)
+            ML.knn_classify(
+                emb.filter(F.col("vec_id") % 5 != 0),
+                emb.filter(F.col("vec_id") % 5 == 0),
+                k=3,
+                method="lsh",
+                planes=_seeded_planes(),
+                n_probe=2,
+            ),
             S.embedding_near_dup(
                 emb,
                 threshold=0.45,
@@ -227,6 +240,31 @@ def test_ann_operators_never_collect_query_or_corpus(spark, sf_dir):
             assert df.count() > 0
     finally:
         DataFrame.collect = real_collect
+
+
+def test_ivf_pq_plan_is_bucket_equijoin(spark, sf_dir):
+    """IVF-PQ search must score through a bucket equi-join against the
+    index table — never the round-2 codes×queries CartesianProduct. The
+    float embedding column must not appear in the search-side scan (codes
+    and bucket are the only corpus data read)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_big_data_processing_spark import catalog
+    from mapreduce_big_data_processing_spark.operators import quantization as QZ
+
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = [list(r.embedding) for r in emb.orderBy("vec_id").limit(8).collect()]
+    cb = QZ.pq_train(emb, m=2, k=4, iters=1)
+    index = QZ.ivf_pq_index(emb, cents, cb, m=2)
+    out = QZ.ivf_pq_topk(index, q, cents, cb.collect(), k=5, n_probe=2, m=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the join key is the coarse bucket
+    assert "bucket" in plan and ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan)
 
 
 def test_keyed_scan_range_predicate_reaches_parquet(spark, sf_dir):

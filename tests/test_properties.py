@@ -99,21 +99,25 @@ def test_exact_dedup_canonical_is_member(spark, texts):
 
 def test_approx_percentiles_close_to_exact(spark, sf_dir):
     """percentile_approx at accuracy 10000 must land within a tight
-    neighborhood of the exact percentiles (the rows-only query's accuracy
-    contract)."""
+    neighborhood of the exact percentiles, and the registered error-bound
+    query's rank flags must all come back TRUE (the oracle contract)."""
     from pyspark.sql import functions as F
 
     from mapreduce_big_data_processing_spark import catalog, queries as Q
 
-    approx = Q.QUERIES["approx_value_percentiles"](spark, sf_dir).collect()[0]
+    flags = Q.QUERIES["approx_value_percentiles"](spark, sf_dir).collect()[0]
+    for label in ["ok_p50", "ok_p90", "ok_p95", "ok_p99"]:
+        assert flags[label], label
     ev = catalog.load(spark, "events", sf_dir)
+    approx = ev.agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.95, 0.99], 10000).alias("q")
+    ).collect()[0].q
     exact = ev.agg(
         F.expr("percentile(value, array(0.5, 0.9, 0.95, 0.99))").alias("q")
     ).collect()[0].q
     for i, label in enumerate(["p50", "p90", "p95", "p99"]):
-        e = exact[i]
-        assert abs(approx[label] - e) <= max(0.05 * abs(e), 1e-6), (
-            label, approx[label], e,
+        assert abs(approx[i] - exact[i]) <= max(0.05 * abs(exact[i]), 1e-6), (
+            label, approx[i], exact[i],
         )
 
 

@@ -18,10 +18,12 @@ from mapreduce_big_data_processing_spark.operators import sketches as SK
 
 
 def test_hll_query_smoke(spark, sf_dir):
-    """Registered rows-only query returns one estimate per event type."""
+    """Registered error-bound query: one row per event type, every HLL
+    estimate inside its 5% bound (the oracle's TRUE flag)."""
     rows = Q.QUERIES["monthly_user_reach_hll"](spark, sf_dir).collect()
     assert len(rows) > 0
-    assert all(r["distinct_est"] > 0 for r in rows)
+    assert all(r["exact_reach"] > 0 for r in rows)
+    assert all(r["within_bounds"] for r in rows)
 
 
 def test_hll_rollup_accuracy_and_lossless_merge(spark, sf_dir):

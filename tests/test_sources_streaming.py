@@ -474,3 +474,66 @@ def test_latest_k_versions_cell_semantics(spark):
         (2, "cf:b", 1): "new",
         (2, "cf:b", 2): "old",
     }
+
+
+def test_real_decode_ppm_golden():
+    """Byte-level golden: a hand-built 2x1 P6 PPM decodes to exact
+    grayscale bucket means — pins header parsing and pixel math."""
+    payload = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    feats = MM._decode_real(payload, "image", feature_dim=2)
+    # pixel grayscales: (10+20+30)/3=20, (40+50+60)/3=50; /255 per bucket
+    assert feats == [20.0 / 3 / 255 * 3, 50.0 / 255]
+    assert abs(feats[0] - 20.0 / 255) < 1e-12
+
+
+def test_real_decode_wav_golden():
+    """Byte-level golden: stdlib-written PCM16 WAV decodes to exact
+    |sample|/32768 bucket means."""
+    import io
+    import wave
+
+    import numpy as np
+
+    samples = np.array([0, 16384, -32768, 32767], dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(samples.tobytes())
+    feats = MM._decode_real(buf.getvalue(), "audio", feature_dim=2)
+    assert feats[0] == (0.0 + 0.5) / 2
+    assert abs(feats[1] - (1.0 + 32767 / 32768) / 2) < 1e-12
+
+
+def test_real_generators_roundtrip():
+    """The executor-side generators emit VALID formats: parse(make(x))
+    recovers the deterministic pixels/samples, and the VID0 container
+    yields its declared frame count."""
+    import numpy as np
+
+    arr, used = MM._parse_ppm(MM._make_ppm(7))
+    assert arr.shape == (MM._IMG_H, MM._IMG_W, 3)
+    idx = np.arange(MM._IMG_W * MM._IMG_H * 3)
+    assert (arr.reshape(-1) == ((7 * 31 + idx * 7) % 256)).all()
+    sr, samples = MM._parse_wav(MM._make_wav(7))
+    assert sr == MM._WAV_SR and len(samples) == MM._WAV_N
+    assert samples[0] == ((7 * 131) % 65536) - 32768
+    frames = MM._parse_vid(MM._make_vid(7, 3))
+    assert len(frames) == 3 and frames[0].shape == (MM._VID_H, MM._VID_W, 3)
+
+
+def test_multimodal_real_decode_end_to_end(spark):
+    """decode_stub='real' over real generated payloads: every kind decodes
+    from actual bytes, features are sample-derived (in [0,1]) and
+    deterministic across runs."""
+    media = MM.synthetic_media(spark, 48, real_payloads=True)
+    feats = MM.extract_features(media, decode_stub="real")
+    rows = feats.collect()
+    assert len(rows) == 48
+    assert {r.kind for r in rows} == {"image", "audio", "video"}
+    for r in rows:
+        assert len(r.features) == MM.FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in r.features)
+    again = {r.media_id: r.features for r in feats.collect()}
+    assert again == {r.media_id: r.features for r in rows}
