@@ -4680,12 +4680,17 @@ def svm_accuracy(spark, sf_dir):
 #: Driver-gate ordering. The external driver's correctness window checks the
 #: first ~50 queries in `queries()` iteration order (r1 stopped at 50 of 120,
 #: leaving every later entry driver-unverified), so the registry is returned
-#: with a curated prefix: one PRIMARY query per SURVEY §2 component and per
-#: LLM-pipeline capability, multi-component queries packed first. Positions
-#: 51+ are near-duplicate variants, quirk modes and extra TPC-H surface,
-#: best-first in case the window is wider. Registration order in this file is
-#: thematic; THIS list is the driver-facing contract (pinned by
-#: tests/test_registry.py).
+#: with a curated prefix: every SURVEY §2 component and LLM-pipeline
+#: capability keeps an in-window representative, and the specific
+#: representative ROTATES across rounds so the whole registry is eventually
+#: externally checked, not just a fixed favorite set (r2 advice). Round 3
+#: rotated 17 slots to sibling queries that were previously tail-only (each
+#: verified to hash-match its oracle at the driver's sf0.01 before
+#: promotion); the displaced r2 primaries — already externally green in
+#: CORRECTNESS_r02 — moved to the tail head. Positions 51+ are best-first in
+#: case the window is wider. Registration order in this file is thematic;
+#: THIS list is the driver-facing contract (pinned by tests/test_registry.py,
+#: which asserts per-component window coverage rather than fixed names).
 _PRIORITY = [
     # flagship first — the end-to-end curation pipeline must have a row
     "curated_training_set",
@@ -4693,33 +4698,36 @@ _PRIORITY = [
     "pricing_summary",        # P1 P2 A2 (TPC-H Q1)
     "revenue_by_nation",      # J1 J4
     "brand_volume",           # J2
-    "customers_with_orders",  # J3
+    "customers_with_orders",  # J3 (the anti-join sibling returns 0 rows at
+                              # sf0.01 — a vacuous external check; stays out)
     "top_customers",          # O1 O4
     "order_count_histogram",  # A8
     "distinct_users_per_type",  # A11
     "nation_market_share",    # A14
-    "segment_set_ops",        # U3
+    "segment_except",         # U3 (r3 rotation; was segment_set_ops)
     "status_rollup",          # §2.7 scalar surface
-    "finished_order_ratio",   # A4
+    "asof_click_before_purchase",  # temporal-join family's first external
+                              # check (r3; A4's slot — ratio-of-totals stays
+                              # in-window via nb_accuracy / svm_accuracy)
     "orders_per_year_priority",  # A3
     "supplier_rank_in_nation",  # O5
     "hourly_event_stats",     # A15 + A16 fused
     "forecast_rmse",          # A17 M7
-    "word_count",             # A1 P3
-    "tfidf",                  # A5 A6 A7
-    "cooccurrence_pairs",     # A12 (A13 moot)
+    "wordcount_sans_stopwords",  # A1 P2 P3 (r3 rotation; was word_count)
+    "sparse_tfidf_vectors",   # A5 A6 A7 + codec (r3 rotation; was tfidf)
+    "cooccurrence_window2",   # A12 (r3 rotation; was cooccurrence_pairs)
     "inverted_index",         # A9 A10
     "user_event_timeline",    # P4 O2
     "tagged_union_counts",    # P5 U1
     "hive_style_sql_join",    # J5 S11
     # graph / ML (G*, M*)
-    "pagerank_top20",         # G1 G2 G3 G5
+    "pagerank_converged",     # G1 G2 G3 G5 + stop rule (r3; was _top20)
     "label_propagation",      # G4
-    "knn_predictions",        # M1 (+J6 shape)
-    "nb_predictions",         # M2 M3
-    "son_frequent_itemsets",  # M6
+    "knn_weighted_predictions",  # M1 weighted vote (r3; was knn_predictions)
+    "nb_accuracy",            # M2 M3 A4 (r3 rotation; was nb_predictions)
+    "frequent_itemsets",      # M6 (r3 rotation; was son_frequent_itemsets)
     "kmeans_clusters",        # M4 (unrolled-CTE oracle)
-    "svm_predictions",        # M5
+    "svm_accuracy",           # M5 A4 (r3 rotation; was svm_predictions)
     # sources / sinks / streaming / UDx (S*, §2.10, §2.11)
     "source_roundtrip",       # S1 S2 S3 S4 S6 S7 S8
     "jdbc_roundtrip",         # S5 S9
@@ -4727,47 +4735,57 @@ _PRIORITY = [
     "streaming_hourly_counts",  # §2.10
     "priority_geomean_price",  # §2.11 UDAF
     # LLM-pipeline capabilities
-    "exact_dedup",
+    "dedup_survivors",        # exact-dedup family (r3; was exact_dedup)
     "minhash_lsh_pairs",
-    "near_dup_clusters",
-    "simhash_fingerprints",
-    "similarity_topk",        # brute-force ANN baseline + J6
+    "embedding_dup_clusters",  # closure family (r3; was near_dup_clusters)
+    "simhash_near_dup_pairs",  # SimHash family (r3; was simhash_fingerprints)
+    "lsh_similarity_topk",    # ANN family (r3; was similarity_topk)
     "quality_scores",
-    "language_id",
+    "token_stats",            # text-stats family (r3; was language_id)
     "embedding_near_dup",     # multi-table LSH default
-    "heavy_hitter_users",     # mergeable-sketch family
-    "corpus_split_counts",    # split / sampling family
+    "monthly_user_reach_hll",  # sketch family, new error-bound oracle (r3;
+                              # was heavy_hitter_users)
+    "shuffled_shard_manifest",  # sampling family (r3; was corpus_split_counts)
     "multimodal_features",
     "bm25_ranked_docs",
     "chunk_dedup_docs",
     "benchmark_contamination",
     "boilerplate_stripped_docs",
     # ---- end of the 50-entry driver window ----
-    "doc_token_chunks",       # §2.11 UDTF
-    "embedding_dup_clusters",
-    "simhash_near_dup_pairs",
-    "knn_weighted_predictions",
-    "shuffled_shard_manifest",
-    "token_budget_sample",
-    "token_stats",
-    "doc_fingerprints",
-    "ngram_jaccard_pairs",
-    "dedup_survivors",
-    "asof_click_before_purchase",
-    "lsh_similarity_topk",
-    "embedding_quantization_error",
+    # tail head: the displaced r2 primaries (externally green in r2)
+    "segment_set_ops",
+    "finished_order_ratio",
+    "word_count",
+    "tfidf",
+    "cooccurrence_pairs",
+    "pagerank_top20",
+    "knn_predictions",
+    "nb_predictions",
+    "son_frequent_itemsets",
+    "svm_predictions",
+    "exact_dedup",
+    "near_dup_clusters",
+    "simhash_fingerprints",
+    "similarity_topk",
+    "language_id",
+    "heavy_hitter_users",
+    "corpus_split_counts",
+    # round-4 rotation queue: never externally checked yet
     "hourly_event_counts",
     "hourly_avg_value",
-    "svm_accuracy",
-    "wordcount_sans_stopwords",
-    "knn_accuracy",
-    "nb_accuracy",
-    "frequent_itemsets",
-    "customers_without_orders",
-    "segment_except",
+    "doc_cross_entropy",
+    "doc_token_chunks",       # §2.11 UDTF
+    "token_budget_sample",
+    "ngram_jaccard_pairs",
+    "event_type_user_overlap",
+    "value_quantile_rollup",
+    "approx_value_percentiles",
+    "doc_fingerprints",
+    "embedding_quantization_error",
     "event_props_histogram",
     "per_user_daily_counts",
-    "pagerank_converged",
+    "knn_accuracy",
+    "customers_without_orders",
 ]
 
 

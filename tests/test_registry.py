@@ -11,32 +11,69 @@ from __future__ import annotations
 import __spark_entry__ as entrymod
 from mapreduce_big_data_processing_spark.queries import _PRIORITY, ORACLE, QUERIES
 
-#: one primary query per SURVEY §2 component / LLM capability that MUST
-#: have a driver-gate row (VERDICT r1 "Next round" item 1)
-_REQUIRED_IN_WINDOW = {
-    "curated_training_set",  # flagship
-    # relational & aggregation core
-    "pricing_summary", "revenue_by_nation", "brand_volume",
-    "customers_with_orders", "top_customers", "order_count_histogram",
-    "distinct_users_per_type", "nation_market_share", "segment_set_ops",
-    "status_rollup", "finished_order_ratio", "orders_per_year_priority",
-    "supplier_rank_in_nation", "hourly_event_stats", "forecast_rmse",
-    "word_count", "tfidf", "cooccurrence_pairs", "inverted_index",
-    "user_event_timeline", "tagged_union_counts", "hive_style_sql_join",
-    # graph / ML
-    "pagerank_top20", "label_propagation", "knn_predictions",
-    "nb_predictions", "son_frequent_itemsets", "kmeans_clusters",
-    "svm_predictions",
-    # sources / streaming / UDx
-    "source_roundtrip", "jdbc_roundtrip", "keyed_scan_latest",
-    "streaming_hourly_counts", "priority_geomean_price",
-    # LLM pipeline
-    "exact_dedup", "minhash_lsh_pairs", "near_dup_clusters",
-    "simhash_fingerprints", "similarity_topk", "quality_scores",
-    "language_id", "embedding_near_dup", "heavy_hitter_users",
-    "corpus_split_counts", "multimodal_features", "bm25_ranked_docs",
-    "chunk_dedup_docs", "benchmark_contamination",
-    "boilerplate_stripped_docs",
+#: SURVEY §2 component / LLM capability -> queries acceptable as its
+#: in-window representative. The window representative ROTATES across
+#: rounds (r2 advice: everything should eventually be externally checked);
+#: this map is what makes rotation safe — each component must keep AT
+#: LEAST ONE member inside the 50-entry driver window, whichever one it is.
+_COMPONENT_REPS = {
+    "flagship": {"curated_training_set"},
+    "P1/P2/A2": {"pricing_summary"},
+    "J1/J4": {"revenue_by_nation"},
+    "J2": {"brand_volume"},
+    "J3": {"customers_with_orders", "customers_without_orders"},
+    "O1/O4": {"top_customers", "top_words"},
+    "A8": {"order_count_histogram"},
+    "A11": {"distinct_users_per_type"},
+    "A14": {"nation_market_share"},
+    "U3": {"segment_set_ops", "segment_except"},
+    "scalar §2.7": {"status_rollup", "event_props_histogram"},
+    "A4 ratio": {"finished_order_ratio", "nb_accuracy", "svm_accuracy",
+                 "knn_accuracy"},
+    "A3": {"orders_per_year_priority"},
+    "O5": {"supplier_rank_in_nation"},
+    "A15/A16": {"hourly_event_stats"},  # the fused primary covers both;
+    # the single-sided variants are valid reps only together — keep simple
+    "A17/M7": {"forecast_rmse"},
+    "A1/P3": {"word_count", "wordcount_sans_stopwords", "top_words"},
+    "A5-A7": {"tfidf", "sparse_tfidf_vectors"},
+    "A12": {"cooccurrence_pairs", "cooccurrence_window2"},
+    "A9/A10": {"inverted_index"},
+    "P4/O2": {"user_event_timeline"},
+    "P5/U1": {"tagged_union_counts"},
+    "J5/S11": {"hive_style_sql_join"},
+    "G1-G3/G5": {"pagerank_top20", "pagerank_converged"},
+    "G4": {"label_propagation"},
+    "M1/J6": {"knn_predictions", "knn_weighted_predictions"},
+    "M2/M3": {"nb_predictions", "nb_accuracy"},
+    "M6": {"son_frequent_itemsets", "frequent_itemsets"},
+    "M4": {"kmeans_clusters"},
+    "M5": {"svm_predictions", "svm_accuracy"},
+    "S1-S4/S6-S8": {"source_roundtrip"},
+    "S5/S9": {"jdbc_roundtrip"},
+    "S10": {"keyed_scan_latest"},
+    "§2.10 streaming": {"streaming_hourly_counts"},
+    "§2.11 UDx": {"priority_geomean_price", "doc_token_chunks"},
+    "exact dedup": {"exact_dedup", "dedup_survivors"},
+    "minhash lsh": {"minhash_lsh_pairs"},
+    "dup clusters": {"near_dup_clusters", "embedding_dup_clusters"},
+    "simhash": {"simhash_fingerprints", "simhash_near_dup_pairs"},
+    "ann": {"similarity_topk", "lsh_similarity_topk", "multiprobe_lsh_topk",
+            "ivf_similarity_topk", "pq_similarity_topk"},
+    "quality": {"quality_scores"},
+    "textstats": {"language_id", "token_stats", "doc_fingerprints"},
+    "embedding near-dup": {"embedding_near_dup"},
+    "sketches": {"heavy_hitter_users", "monthly_user_reach_hll",
+                 "event_type_user_overlap", "value_quantile_rollup",
+                 "approx_value_percentiles"},
+    "sampling": {"corpus_split_counts", "shuffled_shard_manifest",
+                 "token_budget_sample"},
+    "multimodal": {"multimodal_features"},
+    "bm25": {"bm25_ranked_docs"},
+    "chunk dedup": {"chunk_dedup_docs"},
+    "decontamination": {"benchmark_contamination"},
+    "boilerplate": {"boilerplate_stripped_docs"},
+    "temporal joins": {"asof_click_before_purchase", "value_band_counts"},
 }
 
 
@@ -49,11 +86,24 @@ def test_priority_has_no_duplicates():
     assert len(_PRIORITY) == len(set(_PRIORITY))
 
 
-def test_driver_window_covers_all_primary_queries():
+def test_driver_window_covers_every_component():
+    window = set(list(entrymod.queries())[:50])
+    missing = {
+        comp: sorted(reps)
+        for comp, reps in _COMPONENT_REPS.items()
+        if not (reps & window)
+    }
+    assert not missing, f"components with no in-window representative: {missing}"
+
+
+def test_window_entries_all_have_oracles():
+    """Every window slot must be a checkable row — a rotated-in query
+    without an oracle would burn an external-verification slot on a
+    rows-only check (multimodal_features is the one deliberate exception:
+    binary decode is not SQL-expressible)."""
     window = list(entrymod.queries())[:50]
-    assert len(_REQUIRED_IN_WINDOW) == 50
-    missing = _REQUIRED_IN_WINDOW - set(window)
-    assert not missing, f"primary queries outside the 50-entry window: {missing}"
+    missing = [n for n in window if n not in ORACLE and n != "multimodal_features"]
+    assert not missing, f"window entries without oracles: {missing}"
 
 
 def test_ordered_registry_is_complete():
