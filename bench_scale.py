@@ -32,6 +32,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
 def _time_query(spark, fn, sf_dir: str) -> float:
+    # untimed warm-up: whole-stage-codegen compiles per physical plan and
+    # parquet footers populate caches; without it the FIRST sf dir measured
+    # carries ~0.3-0.5 s/query of one-time cost the later dirs don't
+    spark.catalog.clearCache()
+    fn(spark, sf_dir).toPandas()
     samples = []
     for _ in range(SAMPLES):
         spark.catalog.clearCache()
@@ -118,9 +123,17 @@ def main() -> None:
     for sf_dir in sys.argv[1:]:
         sf_dir = os.path.abspath(sf_dir)
         names = [n for n in HEADLINE if n in Q.QUERIES]
+        skip = {
+            s for s in os.environ.get("SPARK_GRAFT_SCALE_SKIP", "").split(",") if s
+        }
         times: dict[str, float] = {}
         for name in names:
+            if name in skip:
+                continue
             times[name] = _time_query(spark, Q.QUERIES[name], sf_dir)
+            # stream progress to stderr: a 100x run can take an hour, and a
+            # killed run should still leave per-query evidence
+            print(f"# {sf_dir} {name} {times[name]}", file=sys.stderr, flush=True)
         out = {
             "sf_dir": sf_dir,
             "total_sec": round(sum(times.values()), 3),

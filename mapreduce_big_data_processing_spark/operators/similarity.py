@@ -88,33 +88,68 @@ def _batch_scored_candidates(
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
 
+    #: query-side tile width — bounds the per-batch score matrix at
+    #: arrow_batch(10k) × 2048 × 8 B ≈ 160 MB regardless of query count
+    #: (round-3 scale run found the untiled matrix goes multi-GB at 40k
+    #: queries, and the per-query argsort loop serialized a 10-minute task)
+    q_tile = 2048
+
     def score(batches):
         import numpy as np
         import pandas as pd
 
         ids, qm, qn = bc.value
+        ids_arr = np.asarray(ids)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             c = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
             cn = np.linalg.norm(c, axis=1)
-            sims = (c @ qm.T) / np.outer(cn, qn)  # (batch, q)
-            out = {"qid": [], "cid": [], "cosine": []}
             cids = pdf[id_col].to_numpy()
-            for j, qid in enumerate(ids):
-                col = sims[:, j]
-                mask = cids != qid if exclude_self else np.ones(len(cids), bool)
-                idx = np.nonzero(mask)[0]
-                if len(idx) == 0:
-                    continue
-                top = idx[np.argsort(-col[idx], kind="stable")[:k]]
-                out["qid"].extend([qid] * len(top))
-                out["cid"].extend(cids[top])
-                out["cosine"].extend(col[top])
-            yield pd.DataFrame(out)
+            frames = []
+            for j0 in range(0, len(ids_arr), q_tile):
+                j1 = min(j0 + q_tile, len(ids_arr))
+                sims = (c @ qm[j0:j1].T) / np.outer(cn, qn[j0:j1])
+                if exclude_self:
+                    sims[cids[:, None] == ids_arr[None, j0:j1]] = -np.inf
+                kk = min(k, sims.shape[0])
+                if kk < sims.shape[0]:
+                    # per-column kth-largest boundary, then keep EVERYTHING
+                    # >= it: boundary ties all survive to the global window,
+                    # so the composite (cosine desc, id asc) order stays
+                    # exact; only the window discards them
+                    part = np.partition(-sims, kk - 1, axis=0)
+                    boundary = -part[kk - 1]
+                    # & isfinite: a -inf boundary (column with < k finite
+                    # scores) must not resurrect masked self-matches
+                    keep = (sims >= boundary[None, :]) & np.isfinite(sims)
+                else:
+                    keep = np.isfinite(sims)
+                rows, cols = np.nonzero(keep)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "qid": ids_arr[cols + j0],
+                            "cid": cids[rows],
+                            "cosine": sims[rows, cols],
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"qid": [], "cid": [], "cosine": []}
+            )
 
+    src = corpus.select(id_col, vec_col)
+    # compute here is O(corpus × queries) while the corpus bytes may be one
+    # input split (200k embeddings ≈ 51 MB < maxPartitionBytes): for large
+    # query sets, fan the corpus out so the matmul parallelizes — the
+    # round-3 100× run showed a single-split corpus pinning one core
+    if len(q_ids) >= 1024:
+        dp = spark.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < dp:
+            src = src.repartition(dp)
     id_type = dict(corpus.dtypes)[id_col]
-    cand = corpus.select(id_col, vec_col).mapInPandas(
+    cand = src.mapInPandas(
         score, schema=f"qid {id_type}, cid {id_type}, cosine double"
     )
     return cand.select(

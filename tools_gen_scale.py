@@ -87,10 +87,12 @@ def _ts_between(lo: str, hi: str, seed: int, *cols: Column) -> Column:
 
 
 def _range(spark: SparkSession, n: int) -> DataFrame:
-    # partition count keeps generation parallel AND output files ~64-128 MB
-    parts = max(1, min(256, n // 2_000_000 + 1, os.cpu_count() or 8))
-    if n >= 1_000_000:
-        parts = max(parts, os.cpu_count() or 8)
+    # ROW-based partitioning, not byte-based: narrow tables (embeddings,
+    # documents) are compute-heavy per row downstream, and a single <128 MB
+    # parquet file would hand Spark ONE input split — the r3 100× run
+    # showed that serializing every Arrow stage over them. ~25k rows/file
+    # keeps both generation and downstream scans parallel.
+    parts = max(1, min(256, n // 25_000))
     return spark.range(0, n, 1, parts)
 
 
@@ -221,7 +223,7 @@ def gen_tables(spark: SparkSession, mult: float) -> dict[str, DataFrame]:
         F.format_string("src%d", F.pmod(F.xxhash64(base, F.lit(177)), F.lit(20))).alias(
             "source"
         ),
-        F.length(text).alias("n_chars"),
+        F.length(text).cast("bigint").alias("n_chars"),
     )
 
     # embeddings: 64-d, weakly label-clustered (centroid comps U(-.125,.125)
