@@ -212,3 +212,52 @@ def test_exact_near_dup_guard_raises_over_limit(spark):
     # under the limit the exact path still works
     small = emb.filter(F.col("vec_id") < 5)
     assert S.embedding_near_dup(small, threshold=-1.0, max_exact_rows=10).count() > 0
+
+
+def test_batch_scorer_tiling_boundary_ties_exact(spark):
+    """r3 scorer rewrite: the per-tile kth-largest boundary cut keeps ALL
+    boundary ties, so the global (cosine desc, id asc) window stays exact
+    even when the k-th score is shared — exercised with many duplicated
+    vectors (cosine exactly 1.0 ties) across several partitions and a tile
+    width smaller than the query count."""
+    import numpy as np
+
+    from mapreduce_big_data_processing_spark.operators import similarity as Smod
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((8, 4))
+    # 40 corpus vectors = each base repeated 5x -> cosine-1.0 tie groups
+    rows = [(i, [float(x) for x in base[i % 8]]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").repartition(7)
+    queries = spark.createDataFrame(rows[:12], "query_id bigint, embedding array<double>")
+
+    got = Smod.brute_force_topk(corpus, queries, k=6)
+    out = {(r.query_id, r.rank): r.vec_id for r in got.collect()}
+
+    M = np.array([r[1] for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn[:12] @ Mn.T
+    for qi in range(12):
+        order = sorted(
+            (i for i in range(40) if i != qi),
+            key=lambda i: (-round(sims[qi, i], 12), i),
+        )[:6]
+        want = [rows[i][0] for i in order]
+        assert [out[(qi, r + 1)] for r in range(6)] == want, f"query {qi}"
+
+
+def test_batch_scorer_k_exceeds_partition_rows(spark):
+    """k larger than any single Arrow batch: every candidate must surface
+    (the kk==rows branch) and self-matches must stay excluded."""
+    from mapreduce_big_data_processing_spark.operators import similarity as Smod
+
+    rows = [(i, [1.0, float(i)]) for i in range(6)]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").repartition(5)
+    queries = spark.createDataFrame(rows[:2], "query_id bigint, embedding array<double>")
+    got = Smod.brute_force_topk(corpus, queries, k=5).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r.vec_id)
+    assert sorted(per_q) == [0, 1]
+    for qid, cids in per_q.items():
+        assert len(cids) == 5 and qid not in cids
