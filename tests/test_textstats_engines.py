@@ -1,0 +1,84 @@
+"""Arrow-vs-expression parity for the multi-regex text stats.
+
+quality_score/language_id default to one Arrow stage of precompiled
+Python-ASCII regexes (see textstats._append_regex_counts for the measured
+JVM multi-pattern JIT pathology that motivated it). These tests pin the
+contract that made the switch safe: both engines produce IDENTICAL rows,
+including on inputs chosen to expose regex-dialect drift — CJK word
+chars, accented letters (non-word under both ASCII dialects), case,
+digits, punctuation runs, empty and whitespace-only strings.
+"""
+
+from __future__ import annotations
+
+from mapreduce_big_data_processing_spark.operators import textstats as TS
+
+ADVERSARIAL = [
+    (0, "the cat and the hat, of course!"),
+    (1, "UPPER CASE AND the lower"),
+    (2, "汉字的测试 是 的 mixed with english the"),
+    (3, "éàç accents are not ascii words the the"),
+    (4, ""),
+    (5, "   \t  "),
+    (6, "!!! ??? ... ;;; %%% $$$"),
+    (7, "der die und das ist ein test"),
+    (8, "le la de et les des est une phrase"),
+    (9, "a1b2c3 4d5e6f under_score-dash.dot"),
+    (10, "word " * 50),
+    # spaced: the marker heuristic needs word boundaries, and CJK chars
+    # are word chars in _W, so a contiguous run has none (both engines)
+    (11, "的 是 了 在 我 有 和 不"),
+    (12, "的是了在我有和不"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(ADVERSARIAL, "doc_id bigint, text string")
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()])
+
+
+def test_quality_score_engines_identical(spark):
+    docs = _df(spark)
+    arrow = TS.quality_score(docs, engine="arrow")
+    expr = TS.quality_score(docs, engine="expr")
+    assert arrow.columns == expr.columns
+    assert _rows(arrow) == _rows(expr)
+
+
+def test_language_id_engines_identical(spark):
+    docs = _df(spark)
+    arrow = TS.language_id(docs, engine="arrow")
+    expr = TS.language_id(docs, engine="expr")
+    assert arrow.columns == expr.columns
+    assert _rows(arrow) == _rows(expr)
+
+
+def test_language_id_detects_planted_languages(spark):
+    docs = _df(spark)
+    got = {r.doc_id: r.lang_pred for r in TS.language_id(docs).collect()}
+    assert got[0] == "en" and got[7] == "de" and got[8] == "fr"
+    assert got[11] == "zh" and got[12] == "und"
+    assert got[4] == "und" and got[6] == "und"
+
+
+def test_append_regex_counts_matches_regexp_count(spark):
+    from pyspark.sql import functions as F
+
+    docs = _df(spark)
+    specs = {
+        "c_words": (f"[{TS._W}]+", "lower"),
+        "c_punct": (r"[^\w\s]", "text"),
+        "c_stop": (TS._marker_pattern(TS.LANG_MARKERS["en"]), "lower"),
+    }
+    got = TS._append_regex_counts(docs, specs).select("doc_id", *specs)
+    low = F.lower(F.col("text"))
+    want = docs.select(
+        "doc_id",
+        F.regexp_count(low, F.lit(specs["c_words"][0])).alias("c_words"),
+        F.regexp_count(F.col("text"), F.lit(specs["c_punct"][0])).alias("c_punct"),
+        F.regexp_count(low, F.lit(specs["c_stop"][0])).alias("c_stop"),
+    )
+    assert _rows(got) == _rows(want)
