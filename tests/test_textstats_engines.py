@@ -82,3 +82,57 @@ def test_append_regex_counts_matches_regexp_count(spark):
         F.regexp_count(low, F.lit(specs["c_stop"][0])).alias("c_stop"),
     )
     assert _rows(got) == _rows(want)
+
+
+# -- property-based dialect equivalence ----------------------------------
+# The Arrow stage's whole safety argument is "Python re.ASCII counts ==
+# Java regexp_count over our pattern family". The fixture cases above pin
+# known hazards; this drives the same claim over generated text mixing
+# every character class the patterns mention (ASCII words, digits,
+# punctuation, whitespace, CJK, accented letters).
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ALPHABET = st.sampled_from(
+    list("abcXYZ019 _-.,!?;:'\"$%\t\n") + ["é", "ß", "的", "是", "汉", "и"]
+)
+_TEXTS = st.lists(
+    st.text(_ALPHABET, min_size=0, max_size=40), min_size=1, max_size=6
+)
+
+_prop = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(texts=_TEXTS)
+@_prop
+def test_append_regex_counts_dialect_equivalence(spark, texts):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    specs = {
+        "c_words": (f"[{TS._W}]+", "lower"),
+        "c_wchars": (f"[{TS._W}]", "lower"),
+        "c_punct": (r"[^\w\s]", "text"),
+        "c_stop": (TS._marker_pattern(TS.LANG_MARKERS["en"]), "lower"),
+    }
+    got = _rows(TS._append_regex_counts(docs, specs).select("doc_id", *specs))
+    low = F.lower(F.col("text"))
+    want = _rows(
+        docs.select(
+            "doc_id",
+            *[
+                F.regexp_count(low if src == "lower" else F.col("text"), F.lit(pat))
+                .cast("int")
+                .alias(name)
+                for name, (pat, src) in specs.items()
+            ],
+        )
+    )
+    assert got == want
