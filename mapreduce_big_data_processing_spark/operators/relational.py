@@ -145,13 +145,19 @@ def inverted_list(
 
 
 def count_distinct_per_group(
-    df: DataFrame, key: str, value: str, out: str = "n_distinct", approx: bool = False
+    df: DataFrame,
+    key: str,
+    value: str,
+    out: str = "n_distinct",
+    approx: bool = False,
+    rsd: float = 0.05,
 ) -> DataFrame:
     """A11 — countries-per-year shape (`ppt/Ch5….pdf p.88-89`). ``approx``
     switches to HLL (`approx_count_distinct`) for the 100 TB path where the
-    exact dedup shuffle is the bottleneck."""
+    exact dedup shuffle is the bottleneck; ``rsd`` is its target relative
+    standard deviation (smaller = bigger sketch, tighter estimate)."""
     agg = (
-        F.approx_count_distinct(value) if approx else F.countDistinct(value)
+        F.approx_count_distinct(value, rsd) if approx else F.countDistinct(value)
     ).alias(out)
     return df.groupBy(key).agg(agg)
 

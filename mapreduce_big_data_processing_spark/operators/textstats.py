@@ -263,6 +263,82 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def repetition_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+) -> DataFrame:
+    """Intra-document repetition metrics — the Gopher/MassiveText "repetition
+    removal" family of quality filters (Rae et al. 2021 §A1.1), adapted to
+    word granularity:
+
+    - ``dup_word_frac``   — 1 − distinct/total words (inverse type-token
+      ratio; boilerplate-ish docs repeat vocabulary),
+    - ``dup_5gram_frac``  — fraction of word ``ngram``-grams that are
+      repeats of an earlier gram in the same doc,
+    - ``top_2gram_frac``  — share of all 2-grams taken by the single most
+      frequent 2-gram (modal-gram coverage; loops/templates spike this).
+
+    Everything is per-document array math on the tokenized text: ZERO
+    shuffle at any corpus size — the metrics ride the same scan projection
+    as `quality_score`. The modal-2-gram count uses sort + run-length
+    (`array_sort` + `aggregate`), O(n log n) per doc rather than the
+    O(distinct·n) nested-filter shape, so multi-thousand-word docs stay
+    cheap. Whitespace tokenization matches `curation.chunk_dedup`'s
+    convention (and the DuckDB oracle's `string_split_regex`)."""
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    n = F.size(ws)
+
+    def _grams(k: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
+        )
+
+    g5 = _grams(ngram)
+    g5n = F.size(g5)
+    dup5 = F.when(
+        n >= ngram,
+        F.lit(1.0) - F.size(F.array_distinct(g5)) / g5n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    # modal 2-gram count: sort the grams, then one fold tracking the
+    # longest equal run — (prev, current run, best run)
+    def _run(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    modal2 = F.aggregate(
+        F.array_sort(_grams(2)),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        _run,
+        lambda acc: acc["best"],
+    )
+    top2 = F.when(
+        n >= 2, modal2 / (n - F.lit(1)).cast("double")
+    ).otherwise(F.lit(0.0))
+
+    dupw = F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(ws)) / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    return docs.select(
+        id_col,
+        n.alias("n_words"),
+        F.round(dupw, 6).alias("dup_word_frac"),
+        F.round(dup5, 6).alias("dup_5gram_frac"),
+        F.round(top2, 6).alias("top_2gram_frac"),
+    )
+
+
 #: PII patterns chosen for regex-dialect parity (Java regex and RE2 agree
 #: on these constructs — char classes, bounded repetition, \b, \d).
 PII_PATTERNS: list[tuple[str, str]] = [

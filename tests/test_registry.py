@@ -99,10 +99,10 @@ def test_driver_window_covers_every_component():
 def test_window_entries_all_have_oracles():
     """Every window slot must be a checkable row — a rotated-in query
     without an oracle would burn an external-verification slot on a
-    rows-only check (multimodal_features is the one deliberate exception:
-    binary decode is not SQL-expressible)."""
+    rows-only check. (Since r3 even multimodal_features carries an oracle:
+    DuckDB replays the deterministic generate→decode→feature arithmetic.)"""
     window = list(entrymod.queries())[:50]
-    missing = [n for n in window if n not in ORACLE and n != "multimodal_features"]
+    missing = [n for n in window if n not in ORACLE]
     assert not missing, f"window entries without oracles: {missing}"
 
 

@@ -537,3 +537,23 @@ def test_multimodal_real_decode_end_to_end(spark):
         assert all(0.0 <= x <= 1.0 for x in r.features)
     again = {r.media_id: r.features for r in feats.collect()}
     assert again == {r.media_id: r.features for r in rows}
+
+
+def test_multimodal_oracle_rounding_margin():
+    """The multimodal_features oracle hashes per-kind feature averages
+    rounded at 5 decimals. Cross-engine float noise is ~1e-13 (double sums
+    over ~85 values); assert every unrounded average keeps ≥1e-8 of margin
+    from the nearest round-half boundary so summation-order divergence can
+    never flip a rounded digit. (Data is fixed — 256 seeded media rows — so
+    this check is exhaustive, not probabilistic.)"""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    sql = entrymod.oracle_sql()["multimodal_features"].replace(
+        "round(avg(CAST(feat AS DOUBLE)), 5)", "avg(CAST(feat AS DOUBLE))"
+    )
+    rows = duckdb.sql(sql).fetchall()
+    assert len(rows) == 48
+    worst = min(abs((v * 1e5) % 1 - 0.5) for _, _, v in rows)
+    assert worst * 1e-5 > 1e-8, f"rounding margin too small: {worst * 1e-5}"

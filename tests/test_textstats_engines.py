@@ -136,3 +136,38 @@ def test_append_regex_counts_dialect_equivalence(spark, texts):
         )
     )
     assert got == want
+
+
+def test_repetition_scores_hand_worked(spark):
+    """Hand-computed repetition metrics on constructed docs.
+
+    doc 1: "a b a b a b" — n=6, 2 distinct words -> dup_word_frac = 4/6;
+      5-grams: "a b a b a", "b a b a b" (2 distinct of 2) -> dup5 = 0;
+      2-grams: [ab, ba, ab, ba, ab] -> modal "a b" x3 of 5 -> top2 = 0.6.
+    doc 2: "x x x x x x" — 1 distinct word -> dupw = 5/6; both 5-grams
+      identical -> dup5 = 0.5; modal 2-gram 5/5 -> top2 = 1.0.
+    doc 3: "p q r s" — shorter than the 5-gram window -> dup5 = 0.0,
+      all words and 2-grams unique -> dupw 0, top2 = 1/3.
+    doc 4: "solo" — single word: no 2-grams at all -> top2 = 0.0.
+    """
+    from mapreduce_big_data_processing_spark.operators import textstats as TS
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "x x x x x x"),
+            (3, "p q r s"),
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.dup_word_frac, r.dup_5gram_frac, r.top_2gram_frac)
+        for r in TS.repetition_scores(docs).collect()
+    }
+    assert got == {
+        1: (6, round(4 / 6, 6), 0.0, 0.6),
+        2: (6, round(5 / 6, 6), 0.5, 1.0),
+        3: (4, 0.0, 0.0, round(1 / 3, 6)),
+        4: (1, 0.0, 0.0, 0.0),
+    }
