@@ -268,6 +268,7 @@ def repetition_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 5,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Intra-document repetition metrics — the Gopher/MassiveText "repetition
     removal" family of quality filters (Rae et al. 2021 §A1.1), adapted to
@@ -280,13 +281,20 @@ def repetition_scores(
     - ``top_2gram_frac``  — share of all 2-grams taken by the single most
       frequent 2-gram (modal-gram coverage; loops/templates spike this).
 
-    Everything is per-document array math on the tokenized text: ZERO
-    shuffle at any corpus size — the metrics ride the same scan projection
-    as `quality_score`. The modal-2-gram count uses sort + run-length
-    (`array_sort` + `aggregate`), O(n log n) per doc rather than the
-    O(distinct·n) nested-filter shape, so multi-thousand-word docs stay
-    cheap. Whitespace tokenization matches `curation.chunk_dedup`'s
-    convention (and the DuckDB oracle's `string_split_regex`)."""
+    Both engines are ZERO shuffle — the metrics ride the documents scan.
+    ``engine="arrow"`` (default) computes them in one mapInPandas stage
+    (set/Counter per doc): measured ~20× cheaper than the expression
+    formulation at the 100× corpus (1.3 s vs 26.6 s for 500 k docs —
+    interpreted per-element HOF lambdas are this module's other measured
+    case, after the multi-regex one, where "UDFs are the slow path"
+    inverts). ``engine="expr"`` keeps the pure-expression plan (array
+    HOFs; modal count via sort + run-length fold, O(n log n)/doc) —
+    results bit-identical (differentially tested; rounding replicated via
+    Decimal HALF_UP on the binary double, exactly Spark's F.round).
+    Whitespace tokenization matches `curation.chunk_dedup`'s convention
+    (and the DuckDB oracle's `string_split_regex`)."""
+    if engine == "arrow":
+        return _repetition_scores_arrow(docs, text_col, id_col, ngram)
     ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     n = F.size(ws)
 
@@ -337,6 +345,73 @@ def repetition_scores(
         F.round(dup5, 6).alias("dup_5gram_frac"),
         F.round(top2, 6).alias("top_2gram_frac"),
     )
+
+
+def _repetition_scores_arrow(
+    docs: DataFrame, text_col: str, id_col: str, ngram: int
+) -> DataFrame:
+    """One-Arrow-stage engine for :func:`repetition_scores` (see there).
+    Tokenization uses ``re.ASCII`` so ``\\s`` means exactly Java's ASCII
+    whitespace class (the JVM split the expression engine uses)."""
+    from pyspark.sql import types as T
+
+    id_field = docs.schema[id_col]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("n_words", T.IntegerType()),
+            T.StructField("dup_word_frac", T.DoubleType()),
+            T.StructField("dup_5gram_frac", T.DoubleType()),
+            T.StructField("top_2gram_frac", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        import re
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        split = re.compile(r"\s+", re.ASCII).split
+        q6 = Decimal("0.000001")
+
+        def r6(x: float) -> float:
+            # Spark F.round = BigDecimal(double).setScale(6, HALF_UP):
+            # HALF_UP on the decimal expansion of the BINARY double —
+            # Decimal(float) is that exact expansion
+            return float(Decimal(x).quantize(q6, rounding=ROUND_HALF_UP))
+
+        for pdf in batches:
+            out = {
+                id_col: pdf[id_col],
+                "n_words": [],
+                "dup_word_frac": [],
+                "dup_5gram_frac": [],
+                "top_2gram_frac": [],
+            }
+            for text in pdf[text_col]:
+                ws = [w for w in split(text or "") if w]
+                n = len(ws)
+                dupw = 1.0 - len(set(ws)) / n if n else 0.0
+                n5 = n - (ngram - 1)
+                dup5 = (
+                    1.0 - len({tuple(ws[i : i + ngram]) for i in range(n5)}) / n5
+                    if n5 > 0
+                    else 0.0
+                )
+                top2 = (
+                    max(Counter(zip(ws, ws[1:])).values()) / (n - 1)
+                    if n >= 2
+                    else 0.0
+                )
+                out["n_words"].append(n)
+                out["dup_word_frac"].append(r6(dupw))
+                out["dup_5gram_frac"].append(r6(dup5))
+                out["top_2gram_frac"].append(r6(top2))
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)
 
 
 #: PII patterns chosen for regex-dialect parity (Java regex and RE2 agree

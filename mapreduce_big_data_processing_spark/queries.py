@@ -1135,11 +1135,13 @@ def doc_ngram_repetition(spark, sf_dir):
     """Gopher-style intra-document N-GRAM repetition filters (Rae et al.
     2021 §A1.1) — the word-level companion (`doc_repetition_scores`) flags
     repeated vocabulary; these flag repeated PHRASES: duplicate-5-gram
-    fraction and modal-2-gram coverage (loops/templates spike both; the
-    modal count is sort+run-length, O(n log n) per doc). Engine side is pure
-    per-row array math (zero shuffle — rides the documents scan); the oracle
-    replays it as plain SQL unnest + GROUP BY, so the per-doc numbers are
-    cross-checked by a completely different physical strategy."""
+    fraction and modal-2-gram coverage (loops/templates spike both). Engine
+    side is one zero-shuffle Arrow stage riding the documents scan (20×
+    cheaper than the expression formulation at the 100× corpus — see
+    `repetition_scores`; the `engine="expr"` plan is kept and differentially
+    tested); the oracle replays it as plain SQL unnest + GROUP BY, so the
+    per-doc numbers are cross-checked by a completely different physical
+    strategy."""
     from mapreduce_big_data_processing_spark.operators import textstats as TS
 
     return TS.repetition_scores(_t(spark, sf_dir, "documents"))

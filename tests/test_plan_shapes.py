@@ -55,6 +55,14 @@ def test_repetition_score_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_ngram_repetition_is_shuffle_free(spark, sf_dir):
+    """The n-gram repetition metrics (dup-5-gram frac, modal-2-gram
+    coverage) are per-row array math — they must ride the documents scan
+    with no exchange, like the word-level score."""
+    plan = _plan(spark, sf_dir, "doc_ngram_repetition")
+    assert "Exchange" not in plan
+
+
 def test_q19_disjunction_derives_per_side_pushdown(spark, sf_dir):
     """OR-of-ANDs mixing both join sides: Catalyst must derive the per-side
     implications — quantity bounds reach the lineitem scan, brand/size reach

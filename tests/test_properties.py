@@ -185,3 +185,32 @@ def test_bm25_partition_invariance(spark):
         for r in bm25_search(docs.repartition(8), ["spark", "hash"]).collect()
     }
     assert a == b
+
+
+@given(docs=DOCS)
+@_slow
+def test_repetition_scores_match_python_model(spark, docs):
+    """Differential: the array-expression repetition metrics equal a direct
+    Python computation of the same definitions (distinct/total words,
+    distinct/total 5-grams, modal-2-gram share) on arbitrary word lists —
+    including the n<5 / n<2 / empty-doc edge cases."""
+    from collections import Counter
+
+    from mapreduce_big_data_processing_spark.operators import textstats as TS
+
+    def model(ws):
+        n = len(ws)
+        dupw = 1.0 - len(set(ws)) / n if n else 0.0
+        g5 = [" ".join(ws[i : i + 5]) for i in range(n - 4)]
+        dup5 = 1.0 - len(set(g5)) / len(g5) if g5 else 0.0
+        g2 = [" ".join(ws[i : i + 2]) for i in range(n - 1)]
+        top2 = max(Counter(g2).values()) / len(g2) if g2 else 0.0
+        return (n, round(dupw, 6), round(dup5, 6), round(top2, 6))
+
+    df = _mkdocs(spark, docs)
+    got = {
+        r.doc_id: (r.n_words, r.dup_word_frac, r.dup_5gram_frac, r.top_2gram_frac)
+        for r in TS.repetition_scores(df).collect()
+    }
+    want = {i: model(ws) for i, ws in enumerate(docs)}
+    assert got == want

@@ -138,6 +138,27 @@ def test_append_regex_counts_dialect_equivalence(spark, texts):
     assert got == want
 
 
+def test_repetition_scores_engines_identical(spark):
+    """Arrow and expression engines must agree bit-for-bit on the fixture
+    corpus — including the Decimal-HALF_UP rounding replication (the
+    1/128 = 0.0078125-style values where banker's rounding would differ)."""
+    import __spark_entry__  # noqa: F401  (path for catalog)
+    from mapreduce_big_data_processing_spark import catalog
+
+    docs = catalog.load(spark, "documents", "/root/testdata/sf0.001")
+    edge = spark.createDataFrame(
+        # 129 words => 128 2-grams: modal 1/128 = 0.0078125 exercises the
+        # HALF_UP-vs-banker's boundary; plus empty-ish docs
+        [(9001, " ".join(f"w{i}" for i in range(129))), (9002, ""), (9003, "  ")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(edge)
+    arrow = TS.repetition_scores(both, engine="arrow")
+    expr = TS.repetition_scores(both, engine="expr")
+    assert arrow.columns == expr.columns
+    assert _rows(arrow) == _rows(expr)
+
+
 def test_repetition_scores_hand_worked(spark):
     """Hand-computed repetition metrics on constructed docs.
 
