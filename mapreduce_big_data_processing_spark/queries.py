@@ -1918,6 +1918,33 @@ def embedding_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+#: the measured scale config (BENCH_SCALE.md): 8 planes/table = 256
+#: buckets/table — 6.3× faster than 4 planes at the 100× corpus with
+#: recall 1.0 on the planted near-duplicates (the extra planes prune only
+#: the irreducible low-cosine random tail)
+_NEAR_DUP_TABLES_SCALED = [_seeded_planes(n_planes=8, seed=s) for s in (42, 43, 44, 45)]
+
+
+@query(
+    "embedding_near_dup_scaled",
+    _near_dup_lsh_sql(_NEAR_DUP_TABLES_SCALED, 0.45),
+)
+def embedding_near_dup_scaled(spark, sf_dir):
+    """`embedding_near_dup` at the production plane count: same operator,
+    8 planes per table (the bucket-size knob BENCH_SCALE.md measured — 6.3×
+    faster at 200 k vectors, recall 1.0 on actual near-duplicates). Registered
+    separately so the SCALE-TUNED config is oracle-checked too, not just the
+    small-fixture one: the oracle replays this bucketing's candidate set
+    exactly from the same plane literals."""
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.embedding_near_dup(
+        emb, threshold=0.45, plane_tables=_NEAR_DUP_TABLES_SCALED
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 @query(
     "embedding_dup_clusters",
     f"""
