@@ -4605,6 +4605,79 @@ def jdbc_roundtrip(spark, sf_dir):
 
 
 @query(
+    "streaming_session_counts",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id, count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_session_counts(spark, sf_dir):
+    """§2.10 — stateful SESSIONIZATION run through Structured Streaming:
+    events replayed as a bounded file stream, per-user `session_window`
+    with a 30-minute gap (windows merge while successive events are < gap
+    apart; the session ends gap after its last event), driven to completion
+    into a memory sink. The oracle replays Spark's exact merge rule in
+    batch SQL — new session when the inter-event delta >= gap (session
+    windows are end-exclusive), session_end = last event + gap — so the
+    stream's incremental state machine is checked against an independent
+    lag/cumsum formulation. Complements `streaming_hourly_counts` (tumbling
+    windows): this is the window kind whose extent is DATA-dependent, the
+    case that actually needs streaming state."""
+    from pyspark.sql import types as T
+
+    from mapreduce_big_data_processing_spark.streaming import windows as SW
+
+    src = _work_dir(spark, "stream_sessions")
+    ev = _t(spark, sf_dir, "events")
+    # Session-window state DROPS watermark-late rows in every output mode
+    # (unlike tumbling windows under `complete`), so the replay must arrive
+    # in (file-wise) event-time order: range-partition by ts — file N+1's
+    # events are never behind file N's watermark. An unordered replay
+    # silently loses whole sessions (measured: 486 of 946).
+    ev.select("event_id", "ts", "user_id", "event_type", "value").repartitionByRange(
+        4, "ts"
+    ).write.mode("overwrite").parquet(src)
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    stream = SW.read_event_stream(
+        spark, src, schema=T.StructType.fromDDL(schema), max_files_per_trigger=1
+    )
+    # watermark=None: on a bounded replay, exactness wins — session state
+    # late-drops rows in every output mode, and the file stream's
+    # micro-batch order isn't time-ordered (see session_window_stream)
+    agg = SW.session_window_stream(stream, gap="30 minutes", watermark=None)
+    name = "mbdp_stream_sessions_tbl"
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        SW.run_to_memory(agg, name, output_mode="complete")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+    return spark.table(name).select(
+        "session_start", "session_end", "user_id", "n_events"
+    )
+
+
+@query(
     "streaming_hourly_counts",
     """
     SELECT date_trunc('hour', ts) AS window_start,

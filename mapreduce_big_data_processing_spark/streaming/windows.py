@@ -80,13 +80,23 @@ def windowed_avg_stream(
 
 
 def session_window_stream(
-    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours",
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = "2 hours",
     user_col: str = "user_id",
 ) -> DataFrame:
     """Streaming sessionization via `session_window` — the stateful twin of
-    operators.windows.sessionize."""
+    operators.windows.sessionize.
+
+    ``watermark=None`` skips the watermark: session state then never
+    expires AND no row is ever dropped as late — required for exact
+    batch-equivalence on bounded replays in `complete` mode, because
+    session-window state drops watermark-late rows in EVERY output mode
+    (unlike tumbling windows under `complete`; measured: an unordered
+    4-file replay lost 227 of 946 sessions). Production streams keep the
+    watermark (bounded state) and accept the documented late-data drop."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
     return (
-        events.withWatermark("ts", watermark)
+        events
         .groupBy(F.session_window("ts", gap).alias("w"), user_col)
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
