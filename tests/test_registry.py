@@ -52,7 +52,7 @@ _COMPONENT_REPS = {
     "S1-S4/S6-S8": {"source_roundtrip"},
     "S5/S9": {"jdbc_roundtrip"},
     "S10": {"keyed_scan_latest"},
-    "§2.10 streaming": {"streaming_hourly_counts"},
+    "§2.10 streaming": {"streaming_hourly_counts", "streaming_session_counts"},
     "§2.11 UDx": {"priority_geomean_price", "doc_token_chunks"},
     "exact dedup": {"exact_dedup", "dedup_survivors"},
     "minhash lsh": {"minhash_lsh_pairs"},
@@ -60,9 +60,9 @@ _COMPONENT_REPS = {
     "simhash": {"simhash_fingerprints", "simhash_near_dup_pairs"},
     "ann": {"similarity_topk", "lsh_similarity_topk", "multiprobe_lsh_topk",
             "ivf_similarity_topk", "pq_similarity_topk"},
-    "quality": {"quality_scores"},
+    "quality": {"quality_scores", "doc_repetition_scores", "doc_ngram_repetition"},
     "textstats": {"language_id", "token_stats", "doc_fingerprints"},
-    "embedding near-dup": {"embedding_near_dup"},
+    "embedding near-dup": {"embedding_near_dup", "embedding_near_dup_scaled"},
     "sketches": {"heavy_hitter_users", "monthly_user_reach_hll",
                  "event_type_user_overlap", "value_quantile_rollup",
                  "approx_value_percentiles"},

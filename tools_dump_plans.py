@@ -23,6 +23,7 @@ PICKS = {
     "heavy_hitter_users": "sketch+verify: narrow MG stage, broadcast candidate semi-join",
     "embedding_near_dup": "multi-table LSH self-join: one (table,bucket) shuffle into the tiled in-kernel matmul verify; only surviving pairs leave",
     "keyed_scan_latest": "HBase-style versioned read: row-key range pushed to the scan, one window for newest-k cells",
+    "doc_ngram_repetition": "Gopher n-gram repetition filters: one zero-shuffle Arrow stage riding the documents scan",
 }
 
 
