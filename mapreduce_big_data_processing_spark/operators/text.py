@@ -357,3 +357,91 @@ def bm25_search(
         .groupBy(id_col)
         .agg(F.round(F.sum("sc"), 6).alias("bm25"))
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+) -> DataFrame:
+    """Distributed BPE vocabulary induction (Sennrich et al. ACL'16) — the
+    tokenizer-training step of an LLM data pipeline, in its standard
+    scalable shape: ONE corpus-sized pass builds the (word, freq) table,
+    then every merge step runs on that vocab-sized table (Zipf-bounded,
+    MBs at 100 TB — this is how production tokenizer trainers scale, the
+    corpus is never re-scanned).
+
+    Per step: adjacent symbol-pair counts weighted by word frequency (one
+    grouped aggregate), deterministic argmax (count DESC, then lexicographic
+    pair — ties never depend on partitioning), then the pair is merged
+    leftmost-non-overlapping in every word (an Arrow stage; the scan rule
+    equals the run-parity rule the SQL oracle uses, and only matters for
+    self-pairs like 'a a' — overlapping matches require left==right).
+    `localCheckpoint` per step keeps the 2·n_merges-job lineage flat.
+    Driver state is one (pair, count) row per step — model-sized.
+
+    Output: (step, lhs, rhs, merged, pair_count) — the learned merge table.
+    Raises if the corpus exhausts mergeable pairs before ``n_merges``.
+    """
+    from pyspark.sql import types as T
+
+    toks = tokenize(docs.select(text_col), text_col, out="word")
+    wf = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    seqs = wf.select(
+        "freq", F.filter(F.split("word", "(?!^)"), lambda x: x != "").alias("s")
+    ).localCheckpoint()
+    seq_schema = T.StructType(
+        [
+            T.StructField("freq", T.LongType()),
+            T.StructField("s", T.ArrayType(T.StringType())),
+        ]
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            seqs.filter(F.size("s") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("s") - 1),
+                        lambda i: F.struct(
+                            F.element_at("s", i).alias("a"),
+                            F.element_at("s", i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        )
+        best = pairs.first()
+        if best is None:
+            raise ValueError(f"bpe_train: pairs exhausted at step {step}")
+        a, b, cnt = best.a, best.b, best.cnt
+        merges.append((step, a, b, a + b, cnt))
+
+        def merge(batches, a=a, b=b):
+            import pandas as pd
+
+            for pdf in batches:
+                ns = []
+                for s in pdf["s"]:
+                    s = list(s)
+                    o, i, n = [], 0, len(s)
+                    while i < n:
+                        if i + 1 < n and s[i] == a and s[i + 1] == b:
+                            o.append(a + b)
+                            i += 2
+                        else:
+                            o.append(s[i])
+                            i += 1
+                    ns.append(o)
+                yield pd.DataFrame({"freq": pdf["freq"], "s": ns})
+
+        seqs = seqs.mapInPandas(merge, schema=seq_schema).localCheckpoint()
+    return docs.sparkSession.createDataFrame(
+        merges,
+        "step int, lhs string, rhs string, merged string, pair_count bigint",
+    )

@@ -1147,6 +1147,71 @@ def doc_ngram_repetition(spark, sf_dir):
     return TS.repetition_scores(_t(spark, sf_dir, "documents"))
 
 
+def _bpe_sql(n_merges: int = 10) -> str:
+    """DuckDB oracle for BPE vocab induction: unroll every merge step.
+    Pair counts replay the engine's weighted adjacent-pair aggregate; the
+    leftmost-non-overlapping merge is replayed with the run-parity rule —
+    overlapping matches require lhs==rhs, and within each run of
+    consecutive match positions exactly the even-offset ones merge
+    (gaps-and-islands window), with a lag() filter dropping the consumed
+    right halves. MATERIALIZED is load-bearing: each step's seq table is
+    referenced by the next step's three CTEs."""
+    sql = f"""
+    WITH wf AS MATERIALIZED (
+      SELECT word, count(*) AS freq FROM ({_TOKS_SQL}) GROUP BY word),
+    s0 AS MATERIALIZED (
+      SELECT word, freq,
+             list_transform(generate_series(1, length(word)),
+                            i -> substr(word, i, 1)) AS s
+      FROM wf)"""
+    for t in range(1, n_merges + 1):
+        prev = f"s{t-1}"
+        sql += f""",
+    p{t} AS (
+      SELECT s[i] AS a, s[i + 1] AS b, sum(freq) AS cnt
+      FROM {prev}, unnest(generate_series(1, len(s) - 1)) AS u(i)
+      GROUP BY 1, 2),
+    b{t} AS MATERIALIZED (SELECT a, b, cnt FROM p{t} ORDER BY cnt DESC, a, b LIMIT 1),
+    m{t} AS (
+      SELECT word, freq, i AS p, s[i] AS sym,
+             CASE WHEN s[i] = (SELECT a FROM b{t}) AND s[i + 1] = (SELECT b FROM b{t})
+                  THEN 1 ELSE 0 END AS m
+      FROM {prev}, unnest(generate_series(1, len(s))) AS u(i)),
+    g{t} AS (
+      SELECT *, p - ROW_NUMBER() OVER (PARTITION BY word, m ORDER BY p) AS grp
+      FROM m{t}),
+    k{t} AS (
+      SELECT word, freq, p, sym, m,
+             CASE WHEN m = 1 AND (p - min(p) OVER (PARTITION BY word, m, grp)) % 2 = 0
+                  THEN 1 ELSE 0 END AS kept
+      FROM g{t}),
+    s{t} AS MATERIALIZED (
+      SELECT word, freq,
+             list(CASE WHEN kept = 1 THEN sym || (SELECT b FROM b{t}) ELSE sym END
+                  ORDER BY p) AS s
+      FROM (SELECT *, coalesce(lag(kept) OVER (PARTITION BY word ORDER BY p), 0)
+                        AS consumed FROM k{t})
+      WHERE consumed = 0
+      GROUP BY word, freq)"""
+    sql += "\n    " + "\n    UNION ALL ".join(
+        f"SELECT {t} AS step, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count"
+        f" FROM b{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return sql
+
+
+@query("bpe_vocab_merges", _bpe_sql(10))
+def bpe_vocab_merges(spark, sf_dir):
+    """Tokenizer induction: 10 BPE merges learned from the documents corpus
+    (`text.bpe_train` — one corpus pass for word freqs, then vocab-sized
+    merge steps; deterministic count-then-lexicographic argmax). The oracle
+    unrolls all 10 merge steps in SQL, replaying the weighted pair counts
+    and the leftmost-non-overlapping merge via the run-parity rule."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bpe_train(docs, n_merges=10)
+
+
 # ===========================================================================
 # Graph (SURVEY §2.8) — word co-occurrence graph from documents
 # ===========================================================================

@@ -464,3 +464,50 @@ def test_knn_lsh_route_matches_broadcast_at_full_probe(spark, sf_dir):
         ).collect()
     }
     assert routed == broadcast
+
+
+def test_bpe_classic_merges(spark):
+    """Sennrich ACL'16 worked example (no end-of-word marker): corpus
+    low×5 lower×2 newest×6 widest×3. Pair counts: (e,s)=9 ties (s,t)=9 ->
+    lexicographic tie-break picks (e,s); then (es,t)=9; then (l,o)=7 ties
+    (o,w) -> (l,o)."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3))],
+        "doc_id long, text string",
+    )
+    got = [tuple(r) for r in TX.bpe_train(docs, n_merges=3).collect()]
+    assert got == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),
+    ]
+
+
+def test_bpe_self_pair_merges_leftmost_nonoverlapping(spark):
+    """Overlapping matches only exist for lhs==rhs: 'aaaa' has three (a,a)
+    occurrences but merging is leftmost-non-overlapping -> [aa, aa], and
+    the next round merges (aa, aa)."""
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in TX.bpe_train(docs, n_merges=2).collect()]
+    assert got == [
+        (1, "a", "a", "aa", 6),
+        (2, "aa", "aa", "aaaa", 2),
+    ]
+
+
+def test_bpe_oracle_replays_self_pair_rule():
+    """The SQL oracle's run-parity merge (gaps-and-islands windows) must
+    reproduce the leftmost-non-overlapping scan on the self-pair corpus —
+    the only case where matches overlap and the rules could diverge."""
+    import duckdb
+    import pandas as pd
+
+    from mapreduce_big_data_processing_spark.queries import _bpe_sql
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame({"doc_id": [1], "text": ["aaaa aaaa"]})
+    con.register("documents", pdf)
+    rows = sorted(map(tuple, con.sql(_bpe_sql(2)).fetchall()))
+    assert rows == [(1, "a", "a", "aa", 6), (2, "aa", "aa", "aaaa", 2)]
