@@ -445,3 +445,51 @@ def bpe_train(
         merges,
         "step int, lhs string, rhs string, merged string, pair_count bigint",
     )
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge list: distinct corpus words → token arrays
+    (word, freq, tokens). Applying the merges IN LEARNED ORDER to the char
+    sequence reproduces the trainer's final symbol state exactly on the
+    training corpus (training applied merge t once and never revisited it).
+    One corpus pass for the word-freq table, then one Arrow stage over the
+    vocab-sized table — the corpus is never re-scanned per merge."""
+    from pyspark.sql import types as T
+
+    toks = tokenize(docs.select(text_col), text_col, out="word")
+    wf = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    out_schema = T.StructType(
+        [
+            T.StructField("word", T.StringType()),
+            T.StructField("freq", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def seg(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            toks_out = []
+            for w in pdf["word"]:
+                s = list(w)
+                for a, b in merges:
+                    o, i, n = [], 0, len(s)
+                    while i < n:
+                        if i + 1 < n and s[i] == a and s[i + 1] == b:
+                            o.append(a + b)
+                            i += 2
+                        else:
+                            o.append(s[i])
+                            i += 1
+                    s = o
+                toks_out.append(s)
+            yield pd.DataFrame(
+                {"word": pdf["word"], "freq": pdf["freq"], "tokens": toks_out}
+            )
+
+    return wf.mapInPandas(seg, schema=out_schema)

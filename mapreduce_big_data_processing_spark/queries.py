@@ -1147,8 +1147,10 @@ def doc_ngram_repetition(spark, sf_dir):
     return TS.repetition_scores(_t(spark, sf_dir, "documents"))
 
 
-def _bpe_sql(n_merges: int = 10) -> str:
+def _bpe_sql(n_merges: int = 10, final_select: str | None = None) -> str:
     """DuckDB oracle for BPE vocab induction: unroll every merge step.
+    ``final_select`` overrides the tail (default: the merge table) — e.g.
+    the encode-side query reads the FINAL symbol state s{n} instead.
     Pair counts replay the engine's weighted adjacent-pair aggregate; the
     leftmost-non-overlapping merge is replayed with the run-parity rule —
     overlapping matches require lhs==rhs, and within each run of
@@ -1193,11 +1195,13 @@ def _bpe_sql(n_merges: int = 10) -> str:
                         AS consumed FROM k{t})
       WHERE consumed = 0
       GROUP BY word, freq)"""
-    sql += "\n    " + "\n    UNION ALL ".join(
-        f"SELECT {t} AS step, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count"
-        f" FROM b{t}"
-        for t in range(1, n_merges + 1)
-    )
+    if final_select is None:
+        final_select = "\n    UNION ALL ".join(
+            f"SELECT {t} AS step, a AS lhs, b AS rhs, a || b AS merged,"
+            f" cnt AS pair_count FROM b{t}"
+            for t in range(1, n_merges + 1)
+        )
+    sql += "\n    " + final_select
     return sql
 
 
@@ -1210,6 +1214,42 @@ def bpe_vocab_merges(spark, sf_dir):
     and the leftmost-non-overlapping merge via the run-parity rule."""
     docs = _t(spark, sf_dir, "documents")
     return TX.bpe_train(docs, n_merges=10)
+
+
+@query(
+    "bpe_token_lengths",
+    _bpe_sql(
+        10,
+        final_select=(
+            "SELECT CAST(len(s) AS INT) AS n_tokens, count(*) AS n_words,\n"
+            "           CAST(sum(freq) AS BIGINT) AS n_occurrences\n"
+            "    FROM s10 GROUP BY 1"
+        ),
+    ),
+)
+def bpe_token_lengths(spark, sf_dir):
+    """Tokenizer APPLY side: encode the corpus vocabulary with the 10
+    learned merges (`text.bpe_segment` — merges applied in learned order
+    reproduce the trainer's final symbol state) and report the
+    tokens-per-word distribution, by distinct words and by corpus
+    occurrences. The oracle reads the SAME unrolled merge chain's final
+    symbol table s10 — engine and oracle arrive at the distribution via
+    entirely different routes (sequential re-application vs step-unrolled
+    state)."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r.lhs, r.rhs)
+        for r in TX.bpe_train(docs, n_merges=10).orderBy("step").collect()
+    ]
+    seg = TX.bpe_segment(docs, merges)
+    return (
+        seg.select(F.size("tokens").alias("n_tokens"), "freq")
+        .groupBy("n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("freq").alias("n_occurrences"),
+        )
+    )
 
 
 # ===========================================================================

@@ -511,3 +511,12 @@ def test_bpe_oracle_replays_self_pair_rule():
     con.register("documents", pdf)
     rows = sorted(map(tuple, con.sql(_bpe_sql(2)).fetchall()))
     assert rows == [(1, "a", "a", "aa", 6), (2, "aa", "aa", "aaaa", 2)]
+
+
+def test_bpe_segment_applies_merges_in_order(spark):
+    docs = spark.createDataFrame([(1, "lower lower")], "doc_id long, text string")
+    seg = {
+        r.word: (r.freq, r.tokens)
+        for r in TX.bpe_segment(docs, [("l", "o"), ("lo", "w")]).collect()
+    }
+    assert seg == {"lower": (2, ["low", "e", "r"])}
