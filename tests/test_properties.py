@@ -214,3 +214,55 @@ def test_repetition_scores_match_python_model(spark, docs):
     }
     want = {i: model(ws) for i, ws in enumerate(docs)}
     assert got == want
+
+
+@given(docs=DOCS)
+@_slow
+def test_bpe_train_matches_python_model(spark, docs):
+    """Differential: the distributed BPE trainer equals a direct Python
+    implementation (freq-weighted adjacent pair counts, count-then-
+    lexicographic argmax, leftmost-non-overlapping merge) on arbitrary
+    small corpora — including self-pair chains and pair exhaustion."""
+    from collections import Counter
+
+    words = [w for ws in docs for w in ws]
+    if not words:
+        return
+
+    def model(words, n_merges):
+        wf = Counter(words)
+        seqs = {w: list(w) for w in wf}
+        out = []
+        for step in range(1, n_merges + 1):
+            pc = Counter()
+            for w, f in wf.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += f
+            if not pc:
+                return out, True
+            (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((step, a, b, a + b, cnt))
+            for w in seqs:
+                s = seqs[w]
+                o, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        o.append(a + b)
+                        i += 2
+                    else:
+                        o.append(s[i])
+                        i += 1
+                seqs[w] = o
+        return out, False
+
+    want, exhausted = model(words, 3)
+    df = _mkdocs(spark, docs)
+    if exhausted:
+        import pytest
+
+        with pytest.raises(ValueError, match="pairs exhausted"):
+            TX.bpe_train(df, n_merges=3).collect()
+        return
+    got = [tuple(r) for r in TX.bpe_train(df, n_merges=3).collect()]
+    assert got == want
