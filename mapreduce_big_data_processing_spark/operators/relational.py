@@ -252,3 +252,56 @@ def secondary_sorted_list(
     result without touching the shuffle."""
     struct = F.struct(order_col, *value_cols)
     return df.groupBy(*keys).agg(F.sort_array(F.collect_list(struct)).alias(out))
+
+
+def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """Single-pass table profiling (ANALYZE-style data-quality summary) —
+    the first thing a pipeline runs against a new 100 TB ingest: per column,
+    row count, null count, exact distinct count, and typed min/max
+    (numerics rounded to 6 as ``min_num``/``max_num``, timestamps as
+    ``min_ts``/``max_ts``, strings as ``min_str``/``max_str`` — typed
+    columns sidestep cross-engine float/timestamp formatting entirely).
+
+    ONE aggregation over one scan: Catalyst plans the N distinct
+    aggregates as a single Expand (rows × N-way duplication map-side, each
+    stream partially aggregated) — no per-column re-scan; output is
+    unpivoted to long form driver-side from the 1-row aggregate.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    dtypes = dict(df.dtypes)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"__nn_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"__nd_{c}"))
+        t = dtypes[c]
+        if t in ("timestamp", "timestamp_ntz", "date"):
+            aggs.append(F.min(c).cast("timestamp").alias(f"__mints_{c}"))
+            aggs.append(F.max(c).cast("timestamp").alias(f"__maxts_{c}"))
+        elif t == "string":
+            aggs.append(F.min(c).alias(f"__minstr_{c}"))
+            aggs.append(F.max(c).alias(f"__maxstr_{c}"))
+        else:  # numeric
+            aggs.append(F.round(F.min(c).cast("double"), 6).alias(f"__minnum_{c}"))
+            aggs.append(F.round(F.max(c).cast("double"), 6).alias(f"__maxnum_{c}"))
+    row = df.agg(*aggs)
+
+    def _get(prefix: str, c: str) -> Column:
+        name = f"__{prefix}_{c}"
+        return F.col(name) if name in row.columns else F.lit(None)
+
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            _get("minnum", c).cast("double").alias("min_num"),
+            _get("maxnum", c).cast("double").alias("max_num"),
+            _get("minstr", c).cast("string").alias("min_str"),
+            _get("maxstr", c).cast("string").alias("max_str"),
+            _get("mints", c).cast("timestamp").alias("min_ts"),
+            _get("maxts", c).cast("timestamp").alias("max_ts"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")

@@ -1147,6 +1147,61 @@ def doc_ngram_repetition(spark, sf_dir):
     return TS.repetition_scores(_t(spark, sf_dir, "documents"))
 
 
+def _profile_col_sql(table: str, col: str, kind: str) -> str:
+    """One column's profile row for the `profile_table` oracle. Typed
+    min/max slots (num/str/ts) sidestep cross-engine float and timestamp
+    FORMATTING differences; the ts CAST truncates DuckDB's nanos to the
+    same micros Spark reads."""
+    null_num = "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num"
+    null_str = "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+    null_ts = "CAST(NULL AS TIMESTAMP) AS min_ts, CAST(NULL AS TIMESTAMP) AS max_ts"
+    slots = {
+        "num": (
+            f"round(CAST(min({col}) AS DOUBLE), 6) AS min_num,"
+            f" round(CAST(max({col}) AS DOUBLE), 6) AS max_num",
+            null_str,
+            null_ts,
+        ),
+        "str": (null_num, f"min({col}) AS min_str, max({col}) AS max_str", null_ts),
+        "ts": (
+            null_num,
+            null_str,
+            f"CAST(min({col}) AS TIMESTAMP) AS min_ts,"
+            f" CAST(max({col}) AS TIMESTAMP) AS max_ts",
+        ),
+    }[kind]
+    return f"""
+    SELECT '{col}' AS col_name, count(*) AS n_rows,
+           count(*) - count({col}) AS n_nulls,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           {slots[0]}, {slots[1]}, {slots[2]}
+    FROM {table}"""
+
+
+@query(
+    "events_profile",
+    "\n    UNION ALL".join(
+        _profile_col_sql("events", c, k)
+        for c, k in [
+            ("event_id", "num"),
+            ("ts", "ts"),
+            ("user_id", "num"),
+            ("event_type", "str"),
+            ("value", "num"),
+            ("props", "str"),
+        ]
+    ),
+)
+def events_profile(spark, sf_dir):
+    """ANALYZE-style single-pass table profiling (`relational.profile_table`)
+    — per column: rows, nulls, exact distincts, typed min/max. The engine
+    computes ALL columns' stats in ONE aggregation over one scan (the N
+    distinct aggregates become a single Expand); the oracle computes each
+    column independently — six scans checking one."""
+    ev = _t(spark, sf_dir, "events")
+    return R.profile_table(ev)
+
+
 def _bpe_sql(n_merges: int = 10, final_select: str | None = None) -> str:
     """DuckDB oracle for BPE vocab induction: unroll every merge step.
     ``final_select`` overrides the tail (default: the merge table) — e.g.

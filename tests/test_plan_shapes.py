@@ -297,3 +297,12 @@ def test_keyed_scan_range_predicate_reaches_parquet(spark, sf_dir):
     ][0]
     assert "GreaterThanOrEqual(user_id" in pushed and "LessThanOrEqual(user_id" in pushed
     assert plan.count("Exchange") <= 2  # one hashpartitioning for the window
+
+
+def test_profile_is_one_scan(spark, sf_dir):
+    """profile_table computes every column's stats (incl. N exact
+    distincts) from ONE scan: the distinct aggregates must plan as Expand
+    over a single parquet scan, never one scan per column."""
+    plan = _plan(spark, sf_dir, "events_profile")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
