@@ -143,3 +143,94 @@ def sessionize(
     gap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
     new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     return df.withColumn("session_id", F.sum(new_sess).over(w))
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: list[str],
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users reached stage k, where
+    reaching stage k means an event of ``stages[k]`` occurred strictly
+    AFTER the user's stage-(k-1) time (first-touch semantics: each stage
+    time is the EARLIEST qualifying event).
+
+    One shuffle total: every per-stage time is a window aggregate over the
+    same ``user_col`` partitioning, so Catalyst chains all k Window nodes
+    behind a single Exchange (pinned in the plan tests); the final tiny
+    per-stage rollup aggregates k booleans per user.
+
+    Output: (stage int 1-based, stage_name, n_users).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col)
+    df = events
+    prev: Column | None = None
+    flags = []
+    for k, stage in enumerate(stages, start=1):
+        cond = F.col(type_col) == stage
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > prev)
+        df = df.withColumn(f"__t{k}", F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = F.col(f"__t{k}")
+        flags.append(f"__t{k}")
+    per_user = df.groupBy(user_col).agg(
+        *[F.max(F.col(f).isNotNull().cast("int")).alias(f"r{k}")
+          for k, f in enumerate(flags, start=1)]
+    )
+    rows = [
+        F.struct(
+            F.lit(k).alias("stage"),
+            F.lit(stage).alias("stage_name"),
+            F.sum(F.col(f"r{k}")).cast("bigint").alias("n_users"),
+        )
+        for k, stage in enumerate(stages, start=1)
+    ]
+    return per_user.agg(F.array(*rows).alias("a")).select(
+        F.explode("a").alias("s")
+    ).select("s.*")
+
+
+def cohort_retention(
+    events: DataFrame,
+    signup_type: str = "signup",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the week of their
+    FIRST ``signup_type`` event; for each (cohort_week, week_offset ≥ 0)
+    count the distinct cohort users with ANY event that week.
+
+    Shuffle inventory: the per-user first-signup aggregate, its join back
+    onto the event stream (user-cardinality side — NOT hinted broadcast:
+    at 100 TB the cohort table is user-sized and may exceed broadcast
+    range, so the planner/AQE picks broadcast when it fits and a shuffle
+    join on ``user_col`` otherwise), and the final (cohort, offset)
+    distinct-count. Week = `date_trunc('week')` (ISO Monday in both
+    engines); offset in whole weeks via epoch arithmetic.
+
+    Output: (cohort_week timestamp, week_offset int, n_active bigint).
+    """
+    first = (
+        events.filter(F.col(type_col) == signup_type)
+        .groupBy(user_col)
+        .agg(F.date_trunc("week", F.min(ts_col)).alias("cohort_week"))
+    )
+    joined = events.join(first, user_col)
+    offset = (
+        (
+            F.date_trunc("week", F.col(ts_col)).cast("long")
+            - F.col("cohort_week").cast("long")
+        )
+        / 604800
+    ).cast("int")
+    return (
+        joined.withColumn("week_offset", offset)
+        .filter(F.col("week_offset") >= 0)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct(user_col).alias("n_active"))
+    )

@@ -1147,6 +1147,70 @@ def doc_ngram_repetition(spark, sf_dir):
     return TS.repetition_scores(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM s),
+    s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM s2),
+    u AS (
+      SELECT user_id, max(t1 IS NOT NULL) AS r1, max(t2 IS NOT NULL) AS r2,
+             max(t3 IS NOT NULL) AS r3
+      FROM s3 GROUP BY user_id)
+    SELECT 1 AS stage, 'view' AS stage_name,
+           CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n_users FROM u
+    UNION ALL
+    SELECT 2, 'click', CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) FROM u
+    UNION ALL
+    SELECT 3, 'purchase', CAST(sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) FROM u
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel (first-touch): users whose first view precedes a
+    click precedes a purchase (`windows.funnel_stages`). All stage times
+    are windows over ONE user partitioning — a single exchange carries the
+    whole funnel (pinned); the oracle chains the same windows in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    return WIN.funnel_stages(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "weekly_cohort_retention",
+    """
+    WITH first AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    j AS (
+      SELECT f.cohort_week,
+             CAST((epoch(date_trunc('week', e.ts)) - epoch(f.cohort_week))
+                  / 604800 AS INT) AS week_offset,
+             e.user_id
+      FROM events e JOIN first f USING (user_id))
+    SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM j WHERE week_offset >= 0
+    GROUP BY 1, 2
+    """,
+)
+def weekly_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention (`windows.cohort_retention`): cohort by the
+    week of first signup, count distinct cohort users active in each
+    subsequent week. ISO-Monday week truncation and epoch arithmetic match
+    across engines."""
+    ev = _t(spark, sf_dir, "events")
+    return WIN.cohort_retention(ev)
+
+
 def _profile_col_sql(table: str, col: str, kind: str) -> str:
     """One column's profile row for the `profile_table` oracle. Typed
     min/max slots (num/str/ts) sidestep cross-engine float and timestamp

@@ -306,3 +306,12 @@ def test_profile_is_one_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_profile")
     assert plan.count("Scan parquet") == 1
     assert "Expand" in plan
+
+
+def test_funnel_single_exchange(spark, sf_dir):
+    """All k funnel-stage window minima partition by user_id — Catalyst
+    must chain the Window nodes behind ONE hash exchange (plus the final
+    1-row rollup); a per-stage re-shuffle would k-multiply the funnel's
+    cost."""
+    plan = _plan(spark, sf_dir, "funnel_view_click_purchase")
+    assert plan.count("Exchange hashpartitioning") == 1
