@@ -1185,6 +1185,41 @@ def funnel_view_click_purchase(spark, sf_dir):
 
 
 @query(
+    "event_transition_counts",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM o WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transition_counts(spark, sf_dir):
+    """Markov transition matrix of per-user event streams: count
+    (current → next) event-type pairs over each user's time-ordered
+    stream. One window exchange on user_id (tie-broken by event_id so the
+    ordering — and therefore the oracle hash — is deterministic), then the
+    pair rollup."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
     "weekly_cohort_retention",
     """
     WITH first AS (
