@@ -1272,7 +1272,8 @@ def _profile_col_sql(table: str, col: str, kind: str) -> str:
     return f"""
     SELECT '{col}' AS col_name, count(*) AS n_rows,
            count(*) - count({col}) AS n_nulls,
-           CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct_exact,
+           TRUE AS within_bounds,
            {slots[0]}, {slots[1]}, {slots[2]}
     FROM {table}"""
 
@@ -1293,12 +1294,36 @@ def _profile_col_sql(table: str, col: str, kind: str) -> str:
 )
 def events_profile(spark, sf_dir):
     """ANALYZE-style single-pass table profiling (`relational.profile_table`)
-    — per column: rows, nulls, exact distincts, typed min/max. The engine
-    computes ALL columns' stats in ONE aggregation over one scan (the N
-    distinct aggregates become a single Expand); the oracle computes each
-    column independently — six scans checking one."""
+    — per column: rows, nulls, distincts, typed min/max, ALL columns in ONE
+    aggregation over one scan. The production path estimates distincts with
+    HLL (constant memory per column; the exact N-way Expand formulation is
+    measured 4× slower at 10 M rows and its dedup state grows with column
+    cardinality, BENCH_SCALE.md), so distincts hash under the ERROR-BOUND
+    protocol: the row carries the
+    exact count (verification apparatus, computed at the gate's small SF)
+    plus within_bounds pinning |est − exact| ≤ 5% (rsd=0.015 ≈ 3σ); the
+    oracle answers the exact count and TRUE from six independent scans."""
     ev = _t(spark, sf_dir, "events")
-    return R.profile_table(ev)
+    prod = R.profile_table(ev, distinct_mode="approx", rsd=0.015)
+    exact = R.profile_table(ev, distinct_mode="exact").select(
+        "col_name", F.col("n_distinct").alias("n_distinct_exact")
+    )
+    return prod.join(exact, "col_name").select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct_exact",
+        (
+            F.abs(F.col("n_distinct") - F.col("n_distinct_exact"))
+            <= 0.05 * F.col("n_distinct_exact")
+        ).alias("within_bounds"),
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+        "min_ts",
+        "max_ts",
+    )
 
 
 def _bpe_sql(n_merges: int = 10, final_select: str | None = None) -> str:

@@ -300,12 +300,25 @@ def test_keyed_scan_range_predicate_reaches_parquet(spark, sf_dir):
 
 
 def test_profile_is_one_scan(spark, sf_dir):
-    """profile_table computes every column's stats (incl. N exact
-    distincts) from ONE scan: the distinct aggregates must plan as Expand
-    over a single parquet scan, never one scan per column."""
-    plan = _plan(spark, sf_dir, "events_profile")
-    assert plan.count("Scan parquet") == 1
-    assert "Expand" in plan
+    """profile_table computes every column's stats from ONE scan in both
+    distinct modes — approx (production: HLL aggregates, no Expand, no
+    per-column re-scan) and exact (verification: the N distincts plan as
+    a single Expand over the same one scan)."""
+    from mapreduce_big_data_processing_spark import catalog
+    from mapreduce_big_data_processing_spark.operators import relational as R
+
+    ev = catalog.load(spark, "events", sf_dir)
+    approx = R.profile_table(ev)._jdf.queryExecution().executedPlan().toString()
+    assert approx.count("Scan parquet") == 1
+    assert "Expand" not in approx
+    exact = (
+        R.profile_table(ev, distinct_mode="exact")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert exact.count("Scan parquet") == 1
+    assert "Expand" in exact
 
 
 def test_funnel_single_exchange(spark, sf_dir):
