@@ -266,3 +266,91 @@ def test_bpe_train_matches_python_model(spark, docs):
         return
     got = [tuple(r) for r in TX.bpe_train(df, n_merges=3).collect()]
     assert got == want
+
+
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),             # user_id
+        st.integers(min_value=0, max_value=20),            # ts (seconds)
+        st.sampled_from(["view", "click", "purchase"]),    # event_type
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(evs=EVENTS)
+@_slow
+def test_funnel_matches_python_model(spark, evs):
+    """Differential: funnel_stages equals a direct Python computation of
+    first-touch stage times (strictly-after semantics) on arbitrary small
+    event streams — including ts ties, repeated stages, and users who
+    skip stages."""
+    import datetime
+
+    from mapreduce_big_data_processing_spark.operators import windows as W
+
+    stages = ["view", "click", "purchase"]
+
+    def model(evs):
+        by_user: dict[int, list[tuple[int, str]]] = {}
+        for u, t, ty in evs:
+            by_user.setdefault(u, []).append((t, ty))
+        reached = [0] * len(stages)
+        for rows in by_user.values():
+            prev_t = None
+            for k, stage in enumerate(stages):
+                cand = [
+                    t for t, ty in rows
+                    if ty == stage and (prev_t is None or t > prev_t)
+                ]
+                if not cand:
+                    break
+                prev_t = min(cand)
+                reached[k] += 1
+        return {k + 1: n for k, n in enumerate(reached)}
+
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, u, base + datetime.timedelta(seconds=t), ty)
+            for i, (u, t, ty) in enumerate(evs)
+        ]
+        or [(0, 1, base, "error")],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    got = {r.stage: r.n_users for r in W.funnel_stages(df, stages).collect()}
+    want = model(evs) if evs else {1: 0, 2: 0, 3: 0}
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+            st.one_of(st.none(), st.sampled_from(["a", "b", ""])),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_slow
+def test_profile_matches_pandas_model(spark, rows):
+    """Differential: profile_table(exact) equals direct Python stats —
+    null counts, distincts, typed min/max — on random nullable data."""
+    from mapreduce_big_data_processing_spark.operators import relational as R
+
+    df = spark.createDataFrame(rows, "x int, s string")
+    got = {r.col_name: r for r in R.profile_table(df, distinct_mode="exact").collect()}
+    xs = [x for x, _ in rows if x is not None]
+    ss = [s for _, s in rows if s is not None]
+    n = len(rows)
+    assert got["x"].n_rows == n and got["s"].n_rows == n
+    assert got["x"].n_nulls == n - len(xs)
+    assert got["s"].n_nulls == n - len(ss)
+    assert got["x"].n_distinct == len(set(xs))
+    assert got["s"].n_distinct == len(set(ss))
+    assert got["x"].min_num == (round(float(min(xs)), 6) if xs else None)
+    assert got["x"].max_num == (round(float(max(xs)), 6) if xs else None)
+    assert got["s"].min_str == (min(ss) if ss else None)
+    assert got["s"].max_str == (max(ss) if ss else None)
