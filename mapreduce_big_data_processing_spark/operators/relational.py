@@ -286,6 +286,8 @@ def profile_table(
     if distinct_mode not in ("approx", "exact"):
         raise ValueError(f"distinct_mode must be approx|exact, got {distinct_mode!r}")
     cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_table: no columns to profile")
     dtypes = dict(df.dtypes)
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c in cols:

@@ -166,6 +166,8 @@ def funnel_stages(
     """
     from pyspark.sql import Window
 
+    if not stages:
+        raise ValueError("funnel_stages: empty stage list")
     w = Window.partitionBy(user_col)
     df = events
     prev: Column | None = None

@@ -50,3 +50,16 @@ def test_hash60_flavors(spark):
         "SELECT CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) FROM (VALUES ('abc'), ('abd')) t(s)"
     ).fetchall()
     assert [r[0] for r in d] == port
+
+
+def test_funnel_and_profile_reject_empty_inputs(spark):
+    import pytest
+
+    from mapreduce_big_data_processing_spark.operators import relational as R
+    from mapreduce_big_data_processing_spark.operators import windows as W
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="empty stage list"):
+        W.funnel_stages(df, [])
+    with pytest.raises(ValueError, match="no columns"):
+        R.profile_table(df, columns=[])
