@@ -330,3 +330,41 @@ def profile_table(
         for c in cols
     ]
     return row.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+def check_constraints(df: DataFrame, rules: Sequence[tuple[str, Column]]) -> DataFrame:
+    """Data-validation gate (Deequ-style expectations): evaluate named row
+    predicates in ONE aggregation over one scan — each rule contributes a
+    conditional count of violating rows; the pipeline gates on
+    ``sum(violations) == 0``.
+
+    ``rules``: (rule_name, boolean Column that is TRUE when the row
+    SATISFIES the rule). NULL predicate results count as violations (SQL
+    three-valued logic would otherwise let NULLs slip through a CHECK).
+
+    Output: (rule, n_rows, violations, passed). Set-level rules that need
+    state beyond a row predicate (uniqueness, referential integrity) don't
+    fit a row predicate — compose them from `profile_table` distincts or
+    an anti-join and union the result; keeping this operator single-pass
+    row-predicate-only is what makes it free to run on every ingest.
+    """
+    if not rules:
+        raise ValueError("check_constraints: no rules")
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for name, pred in rules:
+        aggs.append(
+            F.sum(F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)).alias(
+                f"__v_{name}"
+            )
+        )
+    row = df.agg(*aggs)
+    per_rule = [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__v_{name}").alias("violations"),
+            (F.col(f"__v_{name}") == 0).alias("passed"),
+        )
+        for name, _ in rules
+    ]
+    return row.select(F.explode(F.array(*per_rule)).alias("r")).select("r.*")

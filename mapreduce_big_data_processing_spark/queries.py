@@ -1246,6 +1246,59 @@ def weekly_cohort_retention(spark, sf_dir):
     return WIN.cohort_retention(ev)
 
 
+@query(
+    "events_quality_checks",
+    """
+    WITH a AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN event_id IS NOT NULL THEN 0 ELSE 1 END) AS v_id_not_null,
+             sum(CASE WHEN coalesce(event_type IN
+                   ('view','click','purchase','signup','error'), FALSE)
+                 THEN 0 ELSE 1 END) AS v_type_in_domain,
+             sum(CASE WHEN coalesce(value >= 0, FALSE) THEN 0 ELSE 1 END)
+               AS v_value_nonneg,
+             sum(CASE WHEN coalesce(ts >= TIMESTAMP '2024-01-01'
+                   AND ts < TIMESTAMP '2025-01-01', FALSE) THEN 0 ELSE 1 END)
+               AS v_ts_in_2024,
+             sum(CASE WHEN coalesce(user_id >= 0, FALSE) THEN 0 ELSE 1 END)
+               AS v_user_nonneg
+      FROM events)
+    SELECT 'id_not_null' AS rule, n AS n_rows, v_id_not_null AS violations,
+           v_id_not_null = 0 AS passed FROM a
+    UNION ALL SELECT 'type_in_domain', n, v_type_in_domain,
+           v_type_in_domain = 0 FROM a
+    UNION ALL SELECT 'value_nonneg', n, v_value_nonneg, v_value_nonneg = 0 FROM a
+    UNION ALL SELECT 'ts_in_2024', n, v_ts_in_2024, v_ts_in_2024 = 0 FROM a
+    UNION ALL SELECT 'user_nonneg', n, v_user_nonneg, v_user_nonneg = 0 FROM a
+    """,
+)
+def events_quality_checks(spark, sf_dir):
+    """Data-validation gate (`relational.check_constraints`, Deequ-style):
+    five named row-predicate rules evaluated as conditional counts in ONE
+    aggregation over one scan (NULL predicate results count as violations);
+    the oracle evaluates the same predicates per rule from a shared CTE."""
+    ev = _t(spark, sf_dir, "events")
+    return R.check_constraints(
+        ev,
+        [
+            ("id_not_null", F.col("event_id").isNotNull()),
+            (
+                "type_in_domain",
+                F.col("event_type").isin(
+                    "view", "click", "purchase", "signup", "error"
+                ),
+            ),
+            ("value_nonneg", F.col("value") >= 0),
+            (
+                "ts_in_2024",
+                (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+                & (F.col("ts") < F.lit("2025-01-01").cast("timestamp")),
+            ),
+            ("user_nonneg", F.col("user_id") >= 0),
+        ],
+    )
+
+
 def _profile_col_sql(table: str, col: str, kind: str) -> str:
     """One column's profile row for the `profile_table` oracle. Typed
     min/max slots (num/str/ts) sidestep cross-engine float and timestamp

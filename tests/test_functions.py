@@ -63,3 +63,25 @@ def test_funnel_and_profile_reject_empty_inputs(spark):
         W.funnel_stages(df, [])
     with pytest.raises(ValueError, match="no columns"):
         R.profile_table(df, columns=[])
+
+
+def test_check_constraints_nulls_are_violations(spark):
+    """Three-valued logic must not let NULLs slip through a CHECK: a NULL
+    predicate result counts as a violation, and an all-pass rule reports
+    passed=True."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_big_data_processing_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -1.0)], "id long, v double"
+    )
+    got = {
+        r.rule: (r.n_rows, r.violations, r.passed)
+        for r in R.check_constraints(
+            df,
+            [("v_nonneg", F.col("v") >= 0), ("id_pos", F.col("id") > 0)],
+        ).collect()
+    }
+    # v >= 0: row 2 is NULL (violation), row 3 is -1 (violation)
+    assert got == {"v_nonneg": (3, 2, False), "id_pos": (3, 0, True)}
