@@ -1299,6 +1299,67 @@ def events_quality_checks(spark, sf_dir):
     )
 
 
+@query(
+    "integrity_checks",
+    """
+    WITH u AS (
+      SELECT count(*) - count(DISTINCT event_id) AS v FROM events),
+    fk1 AS (
+      SELECT count(*) AS v FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)),
+    fk2 AS (
+      SELECT count(*) AS v FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey))
+    SELECT 'event_id_unique' AS rule, CAST(v AS BIGINT) AS violations,
+           v = 0 AS passed FROM u
+    UNION ALL SELECT 'orders_custkey_fk', CAST(v AS BIGINT), v = 0 FROM fk1
+    UNION ALL SELECT 'lineitem_orderkey_fk', CAST(v AS BIGINT), v = 0 FROM fk2
+    """,
+)
+def integrity_checks(spark, sf_dir):
+    """Set-level data-integrity rules — the checks a row predicate can't
+    express (see `relational.check_constraints`): key uniqueness as
+    count − distinct, referential integrity as broadcast/shuffled
+    LEFT ANTI join counts (the FK probe shape that scales: the violating
+    side streams, the referenced keys dedup once). Output matches the
+    validation gate: (rule, violations, passed)."""
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+
+    uniq = ev.agg(
+        (F.count(F.lit(1)) - F.count_distinct("event_id")).alias("violations")
+    )
+    fk1 = (
+        orders.join(
+            cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti"
+        ).agg(F.count(F.lit(1)).alias("violations"))
+    )
+    fk2 = (
+        li.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("violations"))
+    )
+    out = None
+    for rule, src in (
+        ("event_id_unique", uniq),
+        ("orders_custkey_fk", fk1),
+        ("lineitem_orderkey_fk", fk2),
+    ):
+        row = src.select(
+            F.lit(rule).alias("rule"),
+            F.col("violations"),
+            (F.col("violations") == 0).alias("passed"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def _profile_col_sql(table: str, col: str, kind: str) -> str:
     """One column's profile row for the `profile_table` oracle. Typed
     min/max slots (num/str/ts) sidestep cross-engine float and timestamp
