@@ -3278,7 +3278,7 @@ def daily_revenue_moving_avg(spark, sf_dir):
       FROM events)
     SELECT user_id,
            CAST(count(d) AS BIGINT) AS n_deltas,
-           round(round(sum(abs(d)), 3) / count(d), 6) AS mean_abs_delta
+           round(sum(abs(d)), 3) AS total_abs_delta
     FROM x GROUP BY user_id
     """,
 )
@@ -3288,7 +3288,15 @@ def user_value_deltas(spark, sf_dir):
     deterministic on both engines, and immune to the nanosecond-vs-
     microsecond timestamp precision gap between the parquet file and
     Spark's converted column. One shuffle on user_id serves both the
-    window and the final groupBy (same key, exchange reused)."""
+    window and the final groupBy (same key, exchange reused).
+
+    The hashed metric is the rounded TOTAL, not the mean: dividing a
+    3-decimal sum by a power-of-two count lands EXACTLY on round-half
+    boundaries (e.g. 2136.74/64 = 33.3865625), where each engine's
+    last-ulp representation decides the rounded digit — a structural
+    coin flip the 10× sweep caught on 3 of 15 k users (BENCH_SCALE.md).
+    Sums of 2-decimal data sit on the rounding GRID, never on halves,
+    so the total is boundary-free by construction."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("event_id")
     d = F.col("value") - F.lag("value").over(w)
@@ -3297,11 +3305,7 @@ def user_value_deltas(spark, sf_dir):
         .groupBy("user_id")
         .agg(
             F.count("d").alias("n_deltas"),
-            # round-sum-then-divide: cross-engine sum-order divergence is
-            # absorbed before the mean lands near a round-6 boundary
-            F.round(F.round(F.sum(F.abs("d")), 3) / F.count("d"), 6).alias(
-                "mean_abs_delta"
-            ),
+            F.round(F.sum(F.abs("d")), 3).alias("total_abs_delta"),
         )
     )
 
