@@ -438,23 +438,31 @@ def hourly_event_counts(spark, sf_dir):
     "hourly_avg_value",
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
-           round(round(sum(value), 3) / count(*), 6) AS avg_value
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(value), 3) AS total_value
     FROM events GROUP BY window_start, event_type
     """,
 )
 def hourly_avg_value(spark, sf_dir):
-    """A16 — avg response time per URL per hour (task 4). The mean is
-    computed as round(sum, 3)/count: summation order differs between
-    engines by ~1e-10, and with thousands of output cells a raw avg
-    rounded to 6 decimals lands on a rounding boundary often enough to
-    flip hashes (seen at sf0.1) — rounding the sum first absorbs the
-    divergence, then the division is exact on identical doubles."""
+    """A16 — avg response time per URL per hour (task 4), hashed as
+    (count, rounded sum) with the mean derivable as total/cnt. Hashing the
+    QUOTIENT was a structural boundary trap: round(sum,3)/count with a
+    power-of-two count lands exactly on round-half values where engines'
+    last-ulp doubles disagree (the 10× sweep caught this mechanism on
+    `user_value_deltas`; see its docstring). Sums of 2-decimal data round
+    onto the grid, never onto halves — boundary-free by construction."""
     ev = _t(spark, sf_dir, "events")
-    avg_det = F.round(F.round(F.sum("value"), 3) / F.count(F.lit(1)), 6)
     out = WIN.windowed_agg(
-        ev, "ts", "1 hour", ["event_type"], [avg_det.alias("avg_value")]
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        ],
     )
-    return out.select("window_start", "event_type", "avg_value")
+    return out.select("window_start", "event_type", "cnt", "total_value")
 
 
 @query(
@@ -4870,25 +4878,29 @@ def value_quantile_rollup(spark, sf_dir):
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS cnt,
-           round(round(sum(value), 3) / count(*), 6) AS avg_value
+           round(sum(value), 3) AS total_value
     FROM events GROUP BY window_start, event_type
     """,
 )
 def hourly_event_stats(spark, sf_dir):
-    """A15+A16 in one pass — hourly count AND average per event type
+    """A15+A16 in one pass — hourly count AND value total per event type
     (log-analysis tasks 1 and 4, `…课程设计1….pdf p.2`, fused: at 100 TB
     two scans for two aggregates over the same keys is a wasted pass; one
-    grouped aggregate computes both). avg is round(sum,3)/count — see
-    hourly_avg_value for why the sum is rounded first."""
+    grouped aggregate computes both; the mean is total/cnt, derivable).
+    The hashed float is the rounded SUM, not the quotient — see
+    hourly_avg_value / user_value_deltas for the power-of-two-count
+    round-half trap the 10× sweep demonstrated."""
     ev = _t(spark, sf_dir, "events")
-    avg_det = F.round(F.round(F.sum("value"), 3) / F.count(F.lit(1)), 6)
     return WIN.windowed_agg(
         ev,
         "ts",
         "1 hour",
         ["event_type"],
-        [F.count(F.lit(1)).alias("cnt"), avg_det.alias("avg_value")],
-    ).select("window_start", "event_type", "cnt", "avg_value")
+        [
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        ],
+    ).select("window_start", "event_type", "cnt", "total_value")
 
 
 @query(
