@@ -465,3 +465,89 @@ def unigram_cross_entropy(
             F.round(F.avg(neg_logp), 6).alias("cross_entropy"),
         )
     )
+
+
+def bigram_lm_cross_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    train_frac: float = 0.75,
+    alpha: float = 0.5,
+    salt: str = "lm",
+) -> DataFrame:
+    """Per-document cross-entropy under an add-α-smoothed bigram LM trained
+    on a deterministic hash-split of the corpus — the CCNet-style LM
+    quality filter (Wenzek et al. LREC'20 train KenLM offline; here the LM
+    is induced distributedly from the corpus itself, so the whole filter is
+    one engine job and oracle-checkable).
+
+    Plan shape (the 100 TB path):
+      1. ONE tokenize scan → per-doc adjacent (w1, w2) pairs via a
+         doc-partitioned window ``lead`` (one shuffle on the id — the same
+         sliding-window engine as ``dedup.shingles``, which measured 5×
+         faster than interpreted array lambdas);
+      2. the model is ONLY the bigram count table from the train split
+         (Zipf-bounded, ≪ corpus); context counts c(w1) and the vocab size
+         V are derived from it vocab-side, never rescanning the corpus;
+      3. score ALL docs: left-join doc bigrams to the count tables
+         (unseen → 0) and average −ln p, p = (c12 + α) / (c1 + α·(V+1))
+         (V+1 = one OOV slot).
+
+    ``train_frac`` should be an exact binary fraction (default 0.75) so the
+    md5-range split compares bit-identically in any engine. Docs with < 2
+    tokens have no bigrams and drop out (same in the oracle).
+
+    Output: (id, is_train, n_bigrams, cross_entropy) — high CE = unlikely
+    under the corpus LM (garble/noise candidates for filtering; held-out
+    rows (is_train=0) give the honest generalization read).
+    """
+    from pyspark.sql import Window
+
+    from mapreduce_big_data_processing_spark.operators.curation import _unit_hash
+
+    is_train = (
+        _unit_hash(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+        < F.lit(train_frac)
+    ).cast("int")
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda w: w != ""
+    )
+    toks = docs.select(
+        F.col(id_col), is_train.alias("is_train"), F.posexplode(words).alias("pos", "w1")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    # cached: trains the count table AND feeds scoring (two consumers of the
+    # same window stage); at 100 TB persist to disk or materialize instead
+    big = (
+        toks.withColumn("w2", F.lead("w1").over(win))
+        .filter(F.col("w2").isNotNull())
+        .select(id_col, "is_train", "w1", "w2")
+        .cache()
+    )
+    # cached: c1, V, and the scoring broadcast all derive from this one
+    # vocab-sized table — without it the train-split agg runs three times
+    c12 = (
+        big.filter(F.col("is_train") == 1)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .cache()
+    )
+    # context counts and vocab derived from the MODEL table, not the corpus
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = c12.select("w2").union(c12.select("w1")).distinct().agg(
+        F.count("*").alias("v")
+    )
+    p = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha)) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * (F.col("v") + F.lit(1))
+    )
+    return (
+        big.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col, "is_train")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 6).alias("cross_entropy"),
+        )
+    )

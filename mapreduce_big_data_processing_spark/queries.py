@@ -4312,6 +4312,47 @@ def doc_cross_entropy(spark, sf_dir):
     return TS.unigram_cross_entropy(docs)
 
 
+@query(
+    "bigram_lm_cross_entropy",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'lm'),
+                                            1, 15)) AS BIGINT)
+                       / 1152921504606846976.0 < 0.75 THEN 1 ELSE 0 END AS is_train,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS ws
+      FROM documents),
+    bigrams AS (
+      SELECT doc_id, is_train,
+             ws[CAST(i AS INT)] AS w1, ws[CAST(i + 1 AS INT)] AS w2
+      FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws))) AS i) u),
+    c12 AS (SELECT w1, w2, count(*) AS c12
+            FROM bigrams WHERE is_train = 1 GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+    vocab AS (SELECT count(*) AS v
+              FROM (SELECT w2 FROM c12 UNION SELECT w1 FROM c12) t)
+    SELECT b.doc_id, b.is_train, count(*) AS n_bigrams,
+           round(avg(-ln((coalesce(c12.c12, 0) + 0.5) /
+                         (coalesce(c1.c1, 0) + 0.5 * (v + 1)))), 6) AS cross_entropy
+    FROM bigrams b
+    LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+    LEFT JOIN c1 ON b.w1 = c1.w1
+    CROSS JOIN vocab
+    GROUP BY b.doc_id, b.is_train
+    """,
+)
+def bigram_lm_cross_entropy(spark, sf_dir):
+    """CCNet-style LM quality filter, engine-native: train an add-0.5
+    bigram LM on a deterministic 75% hash-split of the corpus, score every
+    doc's avg -ln p(w2|w1) against it (held-out rows are the honest read).
+    One tokenize scan feeds both training counts and scoring; the model
+    tables are vocab-sized. See operators/textstats.py
+    bigram_lm_cross_entropy for the 100 TB plan shape."""
+    docs = _t(spark, sf_dir, "documents")
+    return TS.bigram_lm_cross_entropy(docs)
+
+
 def _pq_topk_sql(
     m: int = 8, k: int = 16, iters: int = 3, dsub: int = 8,
     n_queries: int = 10, topk: int = 10,
@@ -5419,6 +5460,7 @@ _PRIORITY = [
     "hourly_event_counts",
     "hourly_avg_value",
     "doc_cross_entropy",
+    "bigram_lm_cross_entropy",
     "doc_token_chunks",       # §2.11 UDTF
     "token_budget_sample",
     "ngram_jaccard_pairs",

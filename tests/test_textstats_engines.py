@@ -192,3 +192,84 @@ def test_repetition_scores_hand_worked(spark):
         3: (4, 0.0, 0.0, round(1 / 3, 6)),
         4: (1, 0.0, 0.0, 0.0),
     }
+
+
+def test_bigram_lm_semantics(spark):
+    """Hand-checkable bigram LM: train split pinned by md5 arithmetic,
+    p(w2|w1) = (c12+0.5)/(c1+0.5*(V+1)), docs with <2 tokens drop out."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),
+            (2, "a b"),
+            (3, "b a"),
+            (4, "solo"),
+            (5, "zz qq"),
+        ],
+        "doc_id long, text string",
+    )
+    out = TS.bigram_lm_cross_entropy(docs).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert set(by_id) == {1, 2, 3, 5}  # doc 4 has no bigram
+    assert all(r.is_train in (0, 1) for r in out)
+    # replicate the model in Python: recompute each doc's split flag with
+    # the operator's own md5 arithmetic, then count train-split bigrams
+    import hashlib
+
+    def is_train(doc_id: int) -> bool:
+        h = hashlib.md5(f"{doc_id}lm".encode()).hexdigest()
+        return int(h[:15], 16) / float(1 << 60) < 0.75
+
+    c12: dict[tuple[str, str], int] = {}
+    for i, text in {1: "a b a b", 2: "a b", 3: "b a", 4: "solo", 5: "zz qq"}.items():
+        ws = text.split()
+        if is_train(i):
+            for a, b in zip(ws, ws[1:]):
+                c12[(a, b)] = c12.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    vocab = set()
+    for (a, b), c in c12.items():
+        c1[a] = c1.get(a, 0) + c
+        vocab.update((a, b))
+    V = len(vocab)
+    for r in out:
+        assert r.is_train == int(is_train(r.doc_id))
+        text = {1: "a b a b", 2: "a b", 3: "b a", 5: "zz qq"}[r.doc_id]
+        ws = text.split()
+        ce = sum(
+            -math.log(
+                (c12.get((a, b), 0) + 0.5) / (c1.get(a, 0) + 0.5 * (V + 1))
+            )
+            for a, b in zip(ws, ws[1:])
+        ) / (len(ws) - 1)
+        assert r.n_bigrams == len(ws) - 1
+        assert abs(r.cross_entropy - round(ce, 6)) < 1e-9, (r, ce)
+
+
+def test_bigram_lm_oracle_rounding_margin():
+    """bigram_lm_cross_entropy hashes per-doc avg(-ln p) rounded at 6
+    decimals. The min distance-to-round-half over D docs is a uniform
+    lottery (~0.5e-6/D — measured 6.5e-10 at the gate SF's ~500 docs,
+    exactly the expectation); what must NEVER happen is a margin at the
+    summation-noise scale (~1e-13 absolute for these ~7-magnitude avgs
+    of ~100 terms). Assert >=2e-11 (100x above worst-case noise) at the
+    gate SF, and that both split classes are populated."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    sql = entrymod.oracle_sql()["bigram_lm_cross_entropy"]
+    unrounded = sql.replace("round(avg(", "avg(").replace(", 6) AS cross_entropy",
+                                                          " AS cross_entropy")
+    assert unrounded != sql
+    con = duckdb.connect()
+    for t in "documents".split():
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.01/{t}.parquet'"
+        )
+    rows = con.sql(unrounded).fetchall()
+    assert len(rows) > 100
+    assert {r[1] for r in rows} == {0, 1}
+    worst = min(abs((r[3] * 1e6) % 1 - 0.5) for r in rows)
+    assert worst * 1e-6 > 2e-11, f"rounding margin too small: {worst * 1e-6}"
