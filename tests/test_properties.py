@@ -354,3 +354,51 @@ def test_profile_matches_pandas_model(spark, rows):
     assert got["x"].max_num == (round(float(max(xs)), 6) if xs else None)
     assert got["s"].min_str == (min(ss) if ss else None)
     assert got["s"].max_str == (max(ss) if ss else None)
+
+
+@given(docs=DOCS)
+@_slow
+def test_bigram_lm_matches_python_model(spark, docs):
+    """Differential: the distributed bigram-LM filter equals a direct
+    Python train-and-score of the same definitions (md5 hash-split,
+    add-0.5 smoothing, V+1 OOV slot) on arbitrary word lists — including
+    docs with <2 tokens (no rows) and an empty train split (all-smoothing
+    scores)."""
+    import hashlib
+    import math
+
+    from mapreduce_big_data_processing_spark.operators import textstats as TS
+
+    def is_train(doc_id: int) -> bool:
+        h = hashlib.md5(f"{doc_id}lm".encode()).hexdigest()
+        return int(h[:15], 16) / float(1 << 60) < 0.75
+
+    c12: dict[tuple[str, str], int] = {}
+    for i, ws in enumerate(docs):
+        if is_train(i):
+            for a, b in zip(ws, ws[1:]):
+                c12[(a, b)] = c12.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    vocab = set()
+    for (a, b), c in c12.items():
+        c1[a] = c1.get(a, 0) + c
+        vocab.update((a, b))
+    V = len(vocab)
+
+    def model(i, ws):
+        bg = list(zip(ws, ws[1:]))
+        if not bg:
+            return None
+        ce = sum(
+            -math.log((c12.get(p, 0) + 0.5) / (c1.get(p[0], 0) + 0.5 * (V + 1)))
+            for p in bg
+        ) / len(bg)
+        return (int(is_train(i)), len(bg), round(ce, 6))
+
+    df = _mkdocs(spark, docs)
+    got = {
+        r.doc_id: (r.is_train, r.n_bigrams, r.cross_entropy)
+        for r in TS.bigram_lm_cross_entropy(df).collect()
+    }
+    want = {i: m for i, ws in enumerate(docs) if (m := model(i, ws)) is not None}
+    assert got == want
