@@ -236,3 +236,68 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct(user_col).alias("n_active"))
     )
+
+
+def gap_fill_resample(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: int = 86400,
+) -> DataFrame:
+    """Regularize an event stream into a per-key time series on a fixed
+    ``step``-second grid, materializing missing buckets and forward-filling
+    the last observed value — the resample + ffill primitive every
+    time-series feature pipeline needs before windowed models (the
+    reference's forecast chapter assumes dense hourly series; real logs
+    are not).
+
+    Plan shape (the 100 TB path): ONE data-sized aggregation buckets the
+    raw events to (key, bucket) — everything after operates on the
+    bucket-count-sized table: the per-key span agg, the grid explode
+    (`sequence(min,max,step)` — rows ∝ key-span, not events), the
+    co-keyed left join, and the ffill window. Buckets are BIGINT epoch
+    seconds (engine-neutral — no timestamp-zone semantics in the hashed
+    output). The per-bucket total is rounded at 3 decimals BEFORE the
+    ffill copies it (2-decimal source data sums onto the rounding grid —
+    boundary-free; see hourly_avg_value for the quotient-hash trap this
+    protocol avoids).
+
+    Output: (key, bucket, n_events, total_value, filled_total, is_gap) —
+    gap rows have n_events=0, total_value NULL, filled_total carried
+    forward from the last observed bucket.
+    """
+    from pyspark.sql import Window
+
+    bucket = (F.unix_timestamp(F.col(ts_col)) / step).cast("bigint") * step
+    per_bucket = (
+        df.select(F.col(key_col), bucket.alias("bucket"), F.col(value_col))
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 3).alias("total_value"),
+        )
+    )
+    spans = per_bucket.groupBy(key_col).agg(
+        F.min("bucket").alias("__mn"), F.max("bucket").alias("__mx")
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(
+            F.sequence("__mn", "__mx", F.lit(step).cast("bigint"))
+        ).alias("bucket"),
+    )
+    joined = grid.join(per_bucket, [key_col, "bucket"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key_col,
+        "bucket",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        "total_value",
+        F.last("total_value", ignorenulls=True).over(w).alias("filled_total"),
+        F.col("total_value").isNull().cast("int").alias("is_gap"),
+    )

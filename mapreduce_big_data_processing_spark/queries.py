@@ -4353,6 +4353,42 @@ def bigram_lm_cross_entropy(spark, sf_dir):
     return TS.bigram_lm_cross_entropy(docs)
 
 
+@query(
+    "user_daily_series_filled",
+    """
+    WITH b AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS bucket,
+             count(*) AS n_events,
+             round(sum(value), 3) AS total_value
+      FROM events GROUP BY user_id, bucket),
+    spans AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+              FROM b GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(mn, mx, 86400)) AS bucket
+             FROM spans)
+    SELECT g.user_id, g.bucket,
+           coalesce(b.n_events, 0) AS n_events,
+           b.total_value AS total_value,
+           last_value(b.total_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total,
+           CAST(b.total_value IS NULL AS INT) AS is_gap
+    FROM grid g
+    LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket
+    """,
+)
+def user_daily_series_filled(spark, sf_dir):
+    """Resample + forward-fill: every user's event stream regularized to a
+    daily grid — missing days materialized (n_events=0, is_gap=1) with the
+    last observed daily total carried forward. One data-sized aggregation;
+    the grid/join/ffill all run on the bucket-count-sized table. Buckets
+    are engine-neutral BIGINT epoch seconds; the hashed float is the
+    rounded per-day SUM (grid-aligned), copied — not recomputed — by the
+    fill. See operators/windows.py gap_fill_resample."""
+    ev = _t(spark, sf_dir, "events")
+    return WIN.gap_fill_resample(ev, "user_id", "ts", "value", step=86400)
+
+
 def _pq_topk_sql(
     m: int = 8, k: int = 16, iters: int = 3, dsub: int = 8,
     n_queries: int = 10, topk: int = 10,
@@ -5461,6 +5497,7 @@ _PRIORITY = [
     "hourly_avg_value",
     "doc_cross_entropy",
     "bigram_lm_cross_entropy",
+    "user_daily_series_filled",
     "doc_token_chunks",       # §2.11 UDTF
     "token_budget_sample",
     "ngram_jaccard_pairs",

@@ -109,3 +109,34 @@ def test_range_join_closed_both(spark):
     assert [r.id for r in half.collect()] == [1]
     both = TP.range_join(left, right, "v", "lo", "hi", bin_width=4.0, closed="both")
     assert sorted(r.id for r in both.collect()) == [1, 2]
+
+
+def test_gap_fill_resample_hand_worked(spark):
+    """Hand-checkable grid + ffill: key A has a 2-bucket hole (both filled
+    with A's last observed total), key B spans one bucket (no gap rows),
+    grids never cross keys, and totals round at 3 decimals pre-fill."""
+    from datetime import datetime
+
+    from mapreduce_big_data_processing_spark.operators import windows as WIN
+
+    rows = [
+        # key A: buckets 0 and 3 observed (step=10s) -> gaps at 1, 2
+        ("A", datetime(2024, 1, 1, 0, 0, 1), 1.111),
+        ("A", datetime(2024, 1, 1, 0, 0, 9), 2.222),
+        ("A", datetime(2024, 1, 1, 0, 0, 35), 7.0),
+        # key B: single bucket
+        ("B", datetime(2024, 1, 1, 0, 0, 59), 5.5),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {
+        (r.k, r.bucket): (r.n_events, r.total_value, r.filled_total, r.is_gap)
+        for r in WIN.gap_fill_resample(df, "k", "ts", "value", step=10).collect()
+    }
+    base = 1704067200  # 2024-01-01T00:00:00Z epoch
+    assert out == {
+        ("A", base + 0): (2, 3.333, 3.333, 0),
+        ("A", base + 10): (0, None, 3.333, 1),
+        ("A", base + 20): (0, None, 3.333, 1),
+        ("A", base + 30): (1, 7.0, 7.0, 0),
+        ("B", base + 50): (1, 5.5, 5.5, 0),
+    }
