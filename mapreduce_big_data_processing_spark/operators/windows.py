@@ -301,3 +301,63 @@ def gap_fill_resample(
         F.last("total_value", ignorenulls=True).over(w).alias("filled_total"),
         F.col("total_value").isNull().cast("int").alias("is_gap"),
     )
+
+
+def rolling_count_anomalies(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    step: int = 3600,
+    lookback: int = 24,
+    z: int = 3,
+    min_baseline: int = 12,
+) -> DataFrame:
+    """Rolling z-score anomaly detection over per-key bucket COUNTS —
+    spike/drop flagging on event-rate series (ops dashboards, data-quality
+    monitors), kept ENTIRELY in integer arithmetic so the flag is exact in
+    any engine: with S=Σc, Q=Σc², n over the trailing ``lookback`` buckets
+    (current excluded), |x−S/n| ≥ z·σ  ⇔  (n·x−S)² ≥ z²·(n·Q−S²)
+    (population σ; both sides BIGINT — no float, no rounding boundary, no
+    cross-engine summation order; Spark runs ANSI so a would-be overflow
+    is loud, and at bucket counts ≤ ~10⁶ with lookback ≤ 10³ the terms sit
+    ~10⁴ below the int64 ceiling).
+
+    One data-sized aggregation buckets the stream; the rolling window runs
+    on the bucket-count-sized series. Buckets with fewer than
+    ``min_baseline`` prior observations report is_anomaly=0 (cold start).
+    Missing buckets are NOT materialized here — compose with
+    ``gap_fill_resample`` first when absence itself should alarm.
+
+    Output: (key, bucket, cnt, n_prior, sum_prior, sumsq_prior,
+    is_anomaly) — all integers.
+    """
+    from pyspark.sql import Window
+
+    bucket = (F.unix_timestamp(F.col(ts_col)) / step).cast("bigint") * step
+    series = (
+        df.select(F.col(key_col), bucket.alias("bucket"))
+        .groupBy(key_col, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(-lookback, -1)
+    )
+    n = F.count("cnt").over(w)
+    s = F.sum("cnt").over(w)
+    q = F.sum(F.col("cnt") * F.col("cnt")).over(w)
+    lhs = (n * F.col("cnt") - s)
+    flag = (
+        (n >= min_baseline)
+        & (lhs * lhs >= F.lit(int(z * z)) * (n * q - s * s))
+    ).cast("int")
+    return series.select(
+        key_col,
+        "bucket",
+        "cnt",
+        F.coalesce(n, F.lit(0)).alias("n_prior"),
+        F.coalesce(s, F.lit(0)).alias("sum_prior"),
+        F.coalesce(q, F.lit(0)).alias("sumsq_prior"),
+        F.coalesce(flag, F.lit(0)).alias("is_anomaly"),
+    )

@@ -4389,6 +4389,43 @@ def user_daily_series_filled(spark, sf_dir):
     return WIN.gap_fill_resample(ev, "user_id", "ts", "value", step=86400)
 
 
+@query(
+    "hourly_count_anomalies",
+    """
+    WITH series AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, bucket),
+    roll AS (
+      SELECT event_type, bucket, cnt,
+             CAST(count(cnt) OVER w AS BIGINT) AS n_prior,
+             CAST(coalesce(sum(cnt) OVER w, 0) AS BIGINT) AS sum_prior,
+             CAST(coalesce(sum(cnt * cnt) OVER w, 0) AS BIGINT) AS sumsq_prior
+      FROM series
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, bucket, cnt, n_prior, sum_prior, sumsq_prior,
+           CASE WHEN n_prior >= 12
+                 AND (n_prior * cnt - sum_prior) * (n_prior * cnt - sum_prior)
+                     >= 9 * (n_prior * sumsq_prior - sum_prior * sum_prior)
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM roll
+    """,
+)
+def hourly_count_anomalies(spark, sf_dir):
+    """Rolling z-score spike/drop detection on per-type hourly event
+    counts, z=3 over the trailing 24 buckets — the flag is computed in
+    EXACT integer algebra ((n·x−S)² ≥ 9·(n·Q−S²), population σ), so
+    unlike float-threshold anomaly rules it is bit-identical in any
+    engine with no rounding protocol at all. See operators/windows.py
+    rolling_count_anomalies."""
+    ev = _t(spark, sf_dir, "events")
+    return WIN.rolling_count_anomalies(
+        ev, "event_type", "ts", step=3600, lookback=24, z=3, min_baseline=12
+    )
+
+
 def _pq_topk_sql(
     m: int = 8, k: int = 16, iters: int = 3, dsub: int = 8,
     n_queries: int = 10, topk: int = 10,
@@ -5498,6 +5535,7 @@ _PRIORITY = [
     "doc_cross_entropy",
     "bigram_lm_cross_entropy",
     "user_daily_series_filled",
+    "hourly_count_anomalies",
     "doc_token_chunks",       # §2.11 UDTF
     "token_budget_sample",
     "ngram_jaccard_pairs",

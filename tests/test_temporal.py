@@ -140,3 +140,40 @@ def test_gap_fill_resample_hand_worked(spark):
         ("A", base + 30): (1, 7.0, 7.0, 0),
         ("B", base + 50): (1, 5.5, 5.5, 0),
     }
+
+
+def test_rolling_count_anomalies_planted_spike(spark):
+    """A flat count series with one planted spike: the spike bucket (and
+    only it) flags once the baseline window is warm; cold-start buckets
+    (n_prior < min_baseline) never flag; the integer sums are exact."""
+    from datetime import datetime, timedelta
+
+    from mapreduce_big_data_processing_spark.operators import windows as WIN
+
+    rows = []
+    t0 = datetime(2024, 1, 1)
+    for h in range(12):           # 12 warm-up buckets, 2 events each
+        for i in range(2):
+            rows.append(("a", t0 + timedelta(hours=h, minutes=i)))
+    for i in range(50):           # hour 12: spike of 50
+        rows.append(("a", t0 + timedelta(hours=12, minutes=i)))
+    for i in range(2):            # hour 13: back to normal
+        rows.append(("a", t0 + timedelta(hours=13, minutes=i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = sorted(
+        WIN.rolling_count_anomalies(
+            df, "event_type", "ts", step=3600, lookback=24, z=3, min_baseline=12
+        ).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.cnt for r in out] == [2] * 12 + [50, 2]
+    # buckets 0-11: cold start (n_prior < 12) -> never anomalous
+    assert all(r.is_anomaly == 0 for r in out[:12])
+    spike = out[12]
+    assert (spike.n_prior, spike.sum_prior, spike.sumsq_prior) == (12, 24, 48)
+    # flat baseline => sigma 0 => any deviation flags; the spike flags
+    assert spike.is_anomaly == 1
+    # hour 13: baseline now contains the spike; 2 is within 3 sigma
+    post = out[13]
+    assert post.n_prior == 13 and post.sum_prior == 74
+    assert post.is_anomaly == 0
