@@ -328,3 +328,42 @@ def test_funnel_single_exchange(spark, sf_dir):
     cost."""
     plan = _plan(spark, sf_dir, "funnel_view_click_purchase")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bigram_lm_bigrams_are_shuffle_free(spark, sf_dir):
+    """The bigram build must stay scan-side (arrays_zip/slice/explode —
+    no Window sort, no doc-keyed exchange): the only exchanges allowed are
+    the model-table aggregations (vocab-sized) and the final per-doc agg.
+    No SortMergeJoin anywhere — model joins broadcast at any vocab that
+    fits; the vocab scalar rides a BroadcastNestedLoopJoin cross."""
+    plan = _plan(spark, sf_dir, "bigram_lm_cross_entropy")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    # a Sort anywhere would mean the window/lead formulation crept back
+    assert "+- Sort" not in plan and "- *(1) Sort" not in plan
+    # aggregation exchanges only (per-doc agg + model tables + cached-
+    # subtree repeats in the flattened string); a raw token-stream
+    # exchange on top would raise this
+    assert _count(plan, "Exchange hashpartitioning") <= 7
+
+
+def test_gap_fill_single_data_sized_exchange(spark, sf_dir):
+    """Everything after the (key, bucket) aggregation must be
+    bucket-count-sized: one data-sized exchange total (the bucket agg);
+    the span agg, grid join, and ffill window operate on its output."""
+    plan = _plan(spark, sf_dir, "user_daily_series_filled")
+    # raw events are exchanged exactly once: for the (user_id, bucket) agg
+    assert _count(plan, "Exchange hashpartitioning(user_id#") <= 4
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+    assert _count(plan, "Window") == 1
+
+
+def test_anomaly_series_is_bucket_sized(spark, sf_dir):
+    """The rolling window must run on the aggregated series — a Window
+    whose input is the bucket agg, never the raw event stream — and the
+    whole plan carries exactly one aggregation of the raw data."""
+    plan = _plan(spark, sf_dir, "hourly_count_anomalies")
+    assert _count(plan, "Window") == 1
+    # one partial+final agg pair over the events scan, nothing else
+    # touches the raw stream
+    assert _count(plan, "Scan parquet") == 1
