@@ -55,6 +55,7 @@ def _batch_scored_candidates(
     exclude_self: bool = True,
     max_broadcast_queries: int | None = None,
     q_rows: list | None = None,
+    max_cosine: float | None = None,
 ) -> DataFrame:
     """Per-partition-batch top-k candidates per query, scored with a NumPy
     matmul over Arrow batches (mapInPandas). The query matrix is closure-
@@ -94,7 +95,7 @@ def _batch_scored_candidates(
     #: queries, and the per-query argsort loop serialized a 10-minute task)
     q_tile = 2048
 
-    def score(batches):
+    def score(batches, mc=max_cosine):
         import numpy as np
         import pandas as pd
 
@@ -112,6 +113,11 @@ def _batch_scored_candidates(
                 sims = (c @ qm[j0:j1].T) / np.outer(cn, qn[j0:j1])
                 if exclude_self:
                     sims[cids[:, None] == ids_arr[None, j0:j1]] = -np.inf
+                if mc is not None:
+                    # ceiling mask BEFORE batch-local top-k: a batch whose
+                    # best scores are all above the ceiling must still
+                    # surface its best qualifying candidates
+                    sims[sims >= mc] = -np.inf
                 kk = min(k, sims.shape[0])
                 if kk < sims.shape[0]:
                     # per-column kth-largest boundary, then keep EVERYTHING
@@ -175,6 +181,41 @@ def brute_force_topk(
     """
     scored = _batch_scored_candidates(
         corpus, queries, k, id_col, vec_col, query_id_col
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    max_cosine: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the k
+    MOST similar corpus vectors strictly BELOW the near-duplicate ceiling
+    — similar enough to be informative negatives, not so similar they are
+    positives in disguise (the standard ANN-mined-negatives construction,
+    e.g. DPR, Karpukhin et al. EMNLP'20).
+
+    Exactness under the ceiling is preserved by masking INSIDE the scoring
+    kernel before batch-local top-k (a batch whose best matches are all
+    near-dups still surfaces its best qualifying candidates); plan shape
+    is identical to :func:`brute_force_topk` — queries broadcast, corpus
+    streams, no shuffle before the per-query top-k window.
+    """
+    scored = _batch_scored_candidates(
+        corpus, queries, k, id_col, vec_col, query_id_col,
+        max_cosine=max_cosine,
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col)

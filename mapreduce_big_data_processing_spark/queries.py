@@ -973,6 +973,45 @@ def similarity_topk(spark, sf_dir):
 
 
 @query(
+    "hard_negative_pairs",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, vec_id,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+      FROM q JOIN c ON vec_id <> query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM scored WHERE cosine < 0.95)
+    SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def hard_negative_pairs(spark, sf_dir):
+    """Hard-negative mining for contrastive training (DPR-style): per
+    query, the 10 most-similar corpus vectors strictly BELOW the 0.95
+    near-dup ceiling. The ceiling is applied INSIDE the scoring kernel
+    before batch-local top-k, so the result is exact; plan shape matches
+    similarity_topk (queries broadcast, corpus streams, no shuffle before
+    the per-query window)."""
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.hard_negative_topk(emb, q, k=10, max_cosine=0.95)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+@query(
     "token_stats",
     """
     SELECT doc_id,
@@ -5536,6 +5575,7 @@ _PRIORITY = [
     "bigram_lm_cross_entropy",
     "user_daily_series_filled",
     "hourly_count_anomalies",
+    "hard_negative_pairs",
     "doc_token_chunks",       # §2.11 UDTF
     "token_budget_sample",
     "ngram_jaccard_pairs",

@@ -261,3 +261,30 @@ def test_batch_scorer_k_exceeds_partition_rows(spark):
     assert sorted(per_q) == [0, 1]
     for qid, cids in per_q.items():
         assert len(cids) == 5 and qid not in cids
+
+
+def test_hard_negative_ceiling_masks_before_topk(spark):
+    """A corpus whose TOP matches are all near-duplicates: if the ceiling
+    were applied after batch-local top-k, the dups would crowd out every
+    qualifying negative and the result would be empty. The kernel masks
+    first, so the best sub-ceiling vectors surface with exact ranks."""
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0])],
+                              "query_id long, embedding array<double>")
+    rows = [(0, [1.0, 0.0, 0.0, 0.0])]
+    # 20 near-duplicates of the query (tiny jitter in dim 1): cosine ~1
+    for i in range(1, 21):
+        rows.append((i, [1.0, 0.001 * i, 0.0, 0.0]))
+    # 3 moderate neighbours: cos = cos(theta) well below 0.95
+    rows.append((100, [1.0, 1.0, 0.0, 0.0]))   # cos ≈ 0.7071
+    rows.append((101, [1.0, 2.0, 0.0, 0.0]))   # cos ≈ 0.4472
+    rows.append((102, [0.0, 1.0, 0.0, 0.0]))   # cos = 0
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        (r.vec_id, r.rank)
+        for r in S.hard_negative_topk(
+            corpus.coalesce(1), q, k=2, max_cosine=0.95
+        ).orderBy("rank").collect()
+    ]
+    assert got == [(100, 1), (101, 2)]
