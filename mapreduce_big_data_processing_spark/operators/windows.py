@@ -361,3 +361,46 @@ def rolling_count_anomalies(
         F.coalesce(q, F.lit(0)).alias("sumsq_prior"),
         F.coalesce(flag, F.lit(0)).alias("is_anomaly"),
     )
+
+
+def count_trend(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    step: int = 86400,
+) -> DataFrame:
+    """Per-key activity trend: the OLS slope of bucket counts over time,
+    reported as its EXACT INTEGER components — slope = (n·Σxy − Σx·Σy) /
+    (n·Σxx − (Σx)²) with x the bucket index (bucket/step, small ints) and
+    y the bucket count. Every hashed column is an integer sum (no float
+    protocol); the slope and its sign are derivable, and trend_sign is
+    emitted as sign(numerator) since the denominator is ≥ 0.
+
+    Two aggregations, both reducing: events → (key, bucket) counts
+    (data-sized, one shuffle), then (key) trend sums (bucket-sized).
+    """
+    bucket = (F.unix_timestamp(F.col(ts_col)) / step).cast("bigint") * step
+    series = (
+        df.select(F.col(key_col), bucket.alias("bucket"))
+        .groupBy(key_col, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    x = (F.col("bucket") / step).cast("bigint")
+    y = F.col("cnt")
+    per_key = series.groupBy(key_col).agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(x).alias("sum_x"),
+        F.sum(y).alias("sum_y"),
+        F.sum(x * y).alias("sum_xy"),
+        F.sum(x * x).alias("sum_xx"),
+    )
+    num = F.col("n_buckets") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")
+    return per_key.select(
+        key_col,
+        "n_buckets",
+        "sum_x",
+        "sum_y",
+        "sum_xy",
+        "sum_xx",
+        F.signum(num).cast("int").alias("trend_sign"),
+    )

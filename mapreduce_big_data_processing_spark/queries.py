@@ -4465,6 +4465,34 @@ def hourly_count_anomalies(spark, sf_dir):
     )
 
 
+@query(
+    "event_type_daily_trend",
+    """
+    WITH series AS (
+      SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, x)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(x * y) AS BIGINT) AS sum_xy,
+           CAST(sum(x * x) AS BIGINT) AS sum_xx,
+           CAST(sign(count(*) * sum(x * y) - sum(x) * sum(y)) AS INT)
+             AS trend_sign
+    FROM series GROUP BY event_type
+    """,
+)
+def event_type_daily_trend(spark, sf_dir):
+    """Per-type activity trend: OLS slope of daily counts over day index,
+    emitted as EXACT INTEGER regression sums (slope = (n·Σxy − Σx·Σy) /
+    (n·Σxx − (Σx)²), derivable; trend_sign = sign of the numerator since
+    the denominator is non-negative). Like hourly_count_anomalies, zero
+    float protocol. See operators/windows.py count_trend."""
+    ev = _t(spark, sf_dir, "events")
+    return WIN.count_trend(ev, "event_type", "ts", step=86400)
+
+
 def _pq_topk_sql(
     m: int = 8, k: int = 16, iters: int = 3, dsub: int = 8,
     n_queries: int = 10, topk: int = 10,
@@ -5576,6 +5604,7 @@ _PRIORITY = [
     "user_daily_series_filled",
     "hourly_count_anomalies",
     "hard_negative_pairs",
+    "event_type_daily_trend",
     "doc_token_chunks",       # §2.11 UDTF
     "token_budget_sample",
     "ngram_jaccard_pairs",

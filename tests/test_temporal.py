@@ -177,3 +177,29 @@ def test_rolling_count_anomalies_planted_spike(spark):
     post = out[13]
     assert post.n_prior == 13 and post.sum_prior == 74
     assert post.is_anomaly == 0
+
+
+def test_count_trend_hand_worked(spark):
+    """Rising vs falling synthetic series: exact regression sums and the
+    numerator sign; a single-bucket key reports trend_sign 0 (numerator
+    n*xy - x*y = 0 when n=1)."""
+    from datetime import datetime, timedelta
+
+    from mapreduce_big_data_processing_spark.operators import windows as WIN
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for d, cnt in enumerate([1, 2, 3]):        # rising
+        rows += [("up", t0 + timedelta(days=d, minutes=i)) for i in range(cnt)]
+    for d, cnt in enumerate([3, 2, 1]):        # falling
+        rows += [("down", t0 + timedelta(days=d, minutes=i)) for i in range(cnt)]
+    rows += [("flat1", t0)]                    # one bucket
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r.event_type: r for r in WIN.count_trend(df, "event_type", "ts").collect()}
+    x0 = (datetime(2024, 1, 1) - datetime(1970, 1, 1)).days
+    up = out["up"]
+    assert (up.n_buckets, up.sum_y, up.trend_sign) == (3, 6, 1)
+    assert up.sum_x == 3 * x0 + 3
+    assert up.sum_xy == 1 * x0 + 2 * (x0 + 1) + 3 * (x0 + 2)
+    assert out["down"].trend_sign == -1
+    assert out["flat1"].trend_sign == 0
