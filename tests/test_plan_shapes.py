@@ -336,6 +336,10 @@ def test_bigram_lm_bigrams_are_shuffle_free(spark, sf_dir):
     the model-table aggregations (vocab-sized) and the final per-doc agg.
     No SortMergeJoin anywhere — model joins broadcast at any vocab that
     fits; the vocab scalar rides a BroadcastNestedLoopJoin cross."""
+    # cache state changes how many times InMemoryRelation subplans print
+    # in the flattened tree (seen: 7 exchanges cold, 11 with the parity
+    # run's caches warm) — clear so the count below is deterministic
+    spark.catalog.clearCache()
     plan = _plan(spark, sf_dir, "bigram_lm_cross_entropy")
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
