@@ -672,3 +672,53 @@ def accuracy(pred: DataFrame, truth_col: str, pred_col: str, out: str = "accurac
             F.avg(F.when(F.col(truth_col) == F.col(pred_col), 1.0).otherwise(0.0)), 6
         ).alias(out)
     )
+
+
+def rank_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    positive,
+) -> DataFrame:
+    """ROC-AUC as exact integer rank sums (Mann-Whitney U): the evaluation
+    metric for "does this scalar signal separate the positive class",
+    extending the reference's closing Accuracy job (A4,
+    `…/AccuracyReducer.java:26-29`) to threshold-free evaluation.
+
+    AUC = U / (n_pos·n_neg) with U = Σ_pos midrank − n_pos(n_pos+1)/2 and
+    midrank = avg rank within a score-tie group. Midranks are
+    half-integers, so the emitted statistic is 2U — an exact integer —
+    alongside n_pos and n_neg (the zero-float protocol: the caller divides
+    2U / (2·n_pos·n_neg); the hash compares only integers).
+
+    Physical shape (the bucket-sized-series doctrine, not a global rank
+    window — rank() over a full ORDER BY plans as a single-partition
+    window over EVERY row): one hash shuffle groups rows by score value,
+    and only the per-score aggregate (distinct scores — histogram-sized)
+    flows through the ordered cumulative pass and final fold. For a tie
+    group of size c starting after cum_before rows, each member's
+    2·midrank is 2·cum_before + c + 1, so the positive contribution is
+    pos_c·(2·cum_before + c + 1) — computed from counts alone.
+    """
+    per_score = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum((F.col(label_col) == F.lit(positive)).cast("long")).alias("pos_c"),
+    )
+    wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_score.select(
+        "c",
+        "pos_c",
+        F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("cum_before"),
+    )
+    agg = cum.agg(
+        F.sum(
+            F.col("pos_c") * (2 * F.col("cum_before") + F.col("c") + 1)
+        ).alias("spos"),
+        F.sum("pos_c").alias("n_pos"),
+        F.sum(F.col("c") - F.col("pos_c")).alias("n_neg"),
+    )
+    return agg.select(
+        (F.col("spos") - F.col("n_pos") * (F.col("n_pos") + 1)).alias("auc_num_2u"),
+        "n_pos",
+        "n_neg",
+    )

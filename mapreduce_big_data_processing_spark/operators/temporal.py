@@ -135,3 +135,55 @@ def range_join(
         .filter((F.col(left_val) >= F.col(right_lo)) & hi_pred)
         .drop("__bin")
     )
+
+
+def status_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """SCD2-style validity intervals (gaps-and-islands): collapse each
+    key's consecutive run of identical ``state_col`` values into one row
+    ``[valid_from, valid_to)`` — the slowly-changing-dimension shape a CDC
+    or feature-store pipeline materializes from an event log. Extends the
+    reference's secondary-sort timeline (O2, `ppt/Ch7….pdf p.4-7`) from
+    "order events per key" to "derive change intervals per key".
+
+    ``valid_to`` is the next run's start (NULL for the open run);
+    ``n_events`` counts the rows collapsed into the interval. Ties on
+    ``ts_col`` are broken by ``tiebreak_col`` so the run segmentation is
+    deterministic on both engines.
+
+    ONE shuffle on ``key_col``; the change-flag window, the cumulative-sum
+    window, the run groupBy, and the lead window all reuse that
+    partitioning (plan pinned in tests/test_plan_shapes.py).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(state_col).over(w)
+    marked = events.select(
+        key_col,
+        ts_col,
+        tiebreak_col,
+        state_col,
+        F.when(prev.isNull() | (prev != F.col(state_col)), 1).otherwise(0).alias("__chg"),
+    )
+    grouped = marked.select(
+        key_col,
+        ts_col,
+        state_col,
+        F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__grp"),
+    )
+    runs = grouped.groupBy(key_col, "__grp", state_col).agg(
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wlead = Window.partitionBy(key_col).orderBy("__grp")
+    return runs.select(
+        key_col,
+        state_col,
+        "valid_from",
+        F.lead("valid_from").over(wlead).alias("valid_to"),
+        "n_events",
+    )

@@ -275,6 +275,51 @@ def cooccurrence_window_pairs(
     )
 
 
+def pmi_pairs(
+    unit_words: DataFrame,
+    unit_col: str = "doc_id",
+    word_col: str = "word",
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Collocation mining: the exact-integer sufficient statistics of
+    pointwise mutual information for presence-based word pairs —
+    PMI(a,b) = ln(pair_cnt · n_units / (df_a · df_b)). Extends A12's
+    co-occurrence counts (`ppt/Ch5….pdf p.43-48`) with the normalization a
+    phrase-mining / collocation pass over a training corpus needs.
+
+    Emits the integers (pair_cnt, df1, df2, n_units) instead of the log:
+    consumers rank by the exact rational pair_cnt·n_units/(df1·df2)
+    (cross-multiplication, no floats), and the output stays hash-exact
+    across engines — the zero-float protocol.
+
+    Shuffle inventory: the distinct (unit, word) projection feeds three
+    branches (pair self-join twice, df once) — AQE's exchange reuse
+    collapses the identical scans at runtime; pair groupBy and df groupBy
+    each shuffle once more; the two word joins broadcast the df table when
+    small (plan-asserted) and fall back to hash joins at scale.
+    ``min_pair_count`` prunes the hapax tail before the word joins.
+    """
+    uw = unit_words.select(
+        F.col(unit_col).alias("u"), F.col(word_col).alias("w")
+    ).distinct()
+    pairs = (
+        uw.select("u", F.col("w").alias("w1"))
+        .join(uw.select("u", F.col("w").alias("w2")), "u")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_pair_count)
+    )
+    dfreq = uw.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_units = uw.agg(F.countDistinct("u").alias("n_units"))
+    return (
+        pairs.join(dfreq.select(F.col("w").alias("w1"), F.col("df").alias("df1")), "w1")
+        .join(dfreq.select(F.col("w").alias("w2"), F.col("df").alias("df2")), "w2")
+        .crossJoin(n_units)
+        .select("w1", "w2", "pair_cnt", "df1", "df2", "n_units")
+    )
+
+
 def inverted_index(
     tokens: DataFrame,
     doc_col: str = "doc_id",

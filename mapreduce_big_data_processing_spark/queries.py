@@ -5617,6 +5617,9 @@ _PRIORITY = [
     "per_user_daily_counts",
     "knn_accuracy",
     "customers_without_orders",
+    "pmi_collocations",
+    "user_status_intervals",
+    "doc_length_auc",
 ]
 
 
@@ -5710,6 +5713,103 @@ def token_budget_sample(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@query(
+    "pmi_collocations",
+    f"""
+    WITH toks AS (SELECT DISTINCT doc_id, word FROM ({_TOKS_SQL})),
+    pairs AS (
+      SELECT a.word AS w1, b.word AS w2, count(*) AS pair_cnt
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.word < b.word
+      GROUP BY w1, w2 HAVING count(*) >= 5),
+    dfreq AS (SELECT word, count(*) AS df FROM toks GROUP BY word),
+    n AS (SELECT count(DISTINCT doc_id) AS n_units FROM toks)
+    SELECT p.w1, p.w2, p.pair_cnt, d1.df AS df1, d2.df AS df2, n.n_units
+    FROM pairs p
+    JOIN dfreq d1 ON p.w1 = d1.word
+    JOIN dfreq d2 ON p.w2 = d2.word
+    CROSS JOIN n
+    """,
+)
+def pmi_collocations(spark, sf_dir):
+    """Collocation mining: PMI sufficient statistics for word pairs
+    co-occurring in ≥5 documents — A12's co-occurrence counts
+    (`ppt/Ch5….pdf p.43-48`) normalized by each word's document frequency,
+    the phrase-mining pass of a corpus-curation pipeline. Emits the exact
+    integers (pair_cnt, df1, df2, n_units); PMI = ln(pair_cnt·n_units /
+    (df1·df2)) ranks by exact cross-multiplication, so the output is
+    hash-exact with no float protocol."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokenize(docs, keep_cols=["doc_id"])
+    return TX.pmi_pairs(toks, min_pair_count=5)
+
+
+@query(
+    "user_status_intervals",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    grouped AS (
+      SELECT user_id, ts, event_type,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM marked),
+    runs AS (
+      SELECT user_id, grp, event_type, min(ts) AS valid_from,
+             count(*) AS n_events
+      FROM grouped GROUP BY user_id, grp, event_type)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY grp)
+             AS valid_to,
+           n_events
+    FROM runs
+    """,
+)
+def user_status_intervals(spark, sf_dir):
+    """SCD2 validity intervals from the event log: each user's consecutive
+    run of one event_type collapses to [valid_from, valid_to) with the
+    open run's valid_to NULL — the slowly-changing-dimension /
+    feature-store shape, extending the reference's secondary-sort timeline
+    (O2, `ppt/Ch7….pdf p.4-7`) from ordering to change detection. One
+    shuffle on user_id; every window and the run groupBy reuse it. Ties on
+    ts are broken by event_id so the segmentation is deterministic."""
+    events = _t(spark, sf_dir, "events")
+    return TP.status_intervals(events)
+
+
+@query(
+    "doc_length_auc",
+    """
+    WITH ranked AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             2 * rank() OVER (ORDER BY n_chars)
+               + count(*) OVER (PARTITION BY n_chars) - 1 AS tmr
+      FROM documents),
+    s AS (SELECT sum(CASE WHEN pos = 1 THEN tmr END) AS spos,
+                 sum(pos) AS n_pos, sum(1 - pos) AS n_neg
+          FROM ranked)
+    SELECT CAST(spos - n_pos * (n_pos + 1) AS BIGINT) AS auc_num_2u,
+           CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg
+    FROM s
+    """,
+)
+def doc_length_auc(spark, sf_dir):
+    """Threshold-free signal evaluation: ROC-AUC of document length as a
+    predictor of lang='en', via exact integer Mann-Whitney rank sums
+    (AUC = auc_num_2u / (2·n_pos·n_neg)) — the metric a curation pipeline
+    computes to validate a quality signal before filtering on it. Extends
+    the reference's Accuracy job (A4, `…/AccuracyReducer.java:26-29`).
+    One total-order sort feeding one global aggregate; zero floats."""
+    from mapreduce_big_data_processing_spark.operators import ml as ML
+
+    docs = _t(spark, sf_dir, "documents")
+    return ML.rank_auc(docs, "n_chars", "lang", "en")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

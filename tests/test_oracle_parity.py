@@ -9,6 +9,7 @@ rounding). This is SURVEY.md §5.4 executed locally at sf0.001.
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pytest
@@ -25,7 +26,10 @@ def _duck(sf_dir: str):
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
     ):
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        # generated scale fixtures are Spark-written directories of parts
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     return con
 
 

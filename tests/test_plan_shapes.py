@@ -371,3 +371,59 @@ def test_anomaly_series_is_bucket_sized(spark, sf_dir):
     # one partial+final agg pair over the events scan, nothing else
     # touches the raw stream
     assert _count(plan, "Scan parquet") == 1
+
+
+def test_status_intervals_single_exchange(spark, sf_dir):
+    """SCD2 interval construction is the one-shuffle shape: the change
+    window, cumulative sum, run groupBy, and lead window all reuse the
+    user_id partitioning. A second hash exchange means one of them
+    repartitioned."""
+    plan = _plan(spark, sf_dir, "user_status_intervals")
+    assert _count(plan, "Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_rank_auc_cumulative_pass_is_histogram_sized(spark, sf_dir):
+    """The Mann-Whitney AUC must aggregate per distinct score BEFORE the
+    ordered cumulative pass — a global rank() window over raw rows plans
+    as Exchange SinglePartition of the whole table and dies at scale.
+    Pin: one data-sized hash exchange (the per-score groupBy); the
+    single-partition stage consumes only the aggregate."""
+    plan = _plan(spark, sf_dir, "doc_length_auc")
+    assert _count(plan, "Exchange hashpartitioning") == 1
+    # the Window must sit above the HashAggregate output, i.e. the plan
+    # has no rank() and only the one cumulative-sum window
+    assert "rank(" not in plan
+    assert _count(plan, "Window") == 1
+
+
+def test_pmi_word_joins_broadcast(spark, sf_dir):
+    """The df-normalization joins must broadcast the word-frequency table
+    at fixture scale (3 broadcasts: df1, df2, corpus-size scalar) — a
+    SortMergeJoin here would shuffle the pair table twice more."""
+    plan = _plan(spark, sf_dir, "pmi_collocations")
+    assert _count(plan, "BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Scale posture: a dim-filtered join against a disk-partitioned fact
+    must plan a dynamicpruning subquery on the fact's partition column —
+    at 100 TB this is the difference between scanning 2 partitions and
+    scanning all of them. Exercised on a partitioned parquet write of the
+    events fixture (partition column = event_type)."""
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fact_path = str(tmp_path / "events_by_type")
+    events.write.partitionBy("event_type").mode("overwrite").parquet(fact_path)
+
+    dim = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(["view", "click", "purchase", "error"])],
+        "event_type string, type_rank int",
+    ).filter(F.col("type_rank") <= 1)
+
+    fact = spark.read.parquet(fact_path)
+    joined = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:2000]

@@ -402,3 +402,67 @@ def test_bigram_lm_matches_python_model(spark, docs):
     }
     want = {i: m for i, ws in enumerate(docs) if (m := model(i, ws)) is not None}
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.booleans()), min_size=2, max_size=40
+    ).filter(lambda r: any(p for _, p in r) and any(not p for _, p in r)),
+)
+@_slow
+def test_rank_auc_matches_brute_force(spark, rows):
+    """2U from the histogram-shaped rank_auc must equal the O(n²)
+    definition: Σ over (pos, neg) pairs of 2·[s_p > s_n] + 1·[s_p = s_n]."""
+    from mapreduce_big_data_processing_spark.operators import ml as ML
+
+    df = spark.createDataFrame(
+        [(s, "pos" if p else "neg") for s, p in rows], "score long, label string"
+    )
+    got = ML.rank_auc(df, "score", "label", "pos").collect()[0]
+    pos = [s for s, p in rows if p]
+    neg = [s for s, p in rows if not p]
+    u2 = sum(2 * (a > b) + (a == b) for a in pos for b in neg)
+    assert got.auc_num_2u == u2
+    assert (got.n_pos, got.n_neg) == (len(pos), len(neg))
+
+
+@given(
+    evs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30), st.sampled_from("abc")),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@_slow
+def test_status_intervals_match_python_model(spark, evs):
+    """Run segmentation must match itertools.groupby over the per-key
+    (ts, event_id)-sorted stream; valid_to chains to the next run's start."""
+    import itertools
+
+    from mapreduce_big_data_processing_spark.operators import temporal as TP
+
+    df = spark.createDataFrame(
+        [(u, t, i, s) for i, (u, t, s) in enumerate(evs)],
+        "user_id long, ts long, event_id long, event_type string",
+    )
+    got = sorted(
+        (
+            (r.user_id, r.valid_from, r.valid_to, r.event_type, r.n_events)
+            for r in TP.status_intervals(df).collect()
+        ),
+        key=repr,  # total order despite NULL valid_to on open runs
+    )
+    want = []
+    bykey = {}
+    for i, (u, t, s) in enumerate(evs):
+        bykey.setdefault(u, []).append((t, i, s))
+    for u, rows_ in bykey.items():
+        rows_.sort()
+        runs = [
+            (grp[0][0], [g for g in grp])
+            for grp in (list(g) for _, g in itertools.groupby(rows_, key=lambda r: r[2]))
+        ]
+        for j, (start, members) in enumerate(runs):
+            nxt = runs[j + 1][0] if j + 1 < len(runs) else None
+            want.append((u, start, nxt, members[0][2], len(members)))
+    assert got == sorted(want, key=repr)
