@@ -348,3 +348,86 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """Exact-substring duplicated spans (Lee et al. ACL'22, "Deduplicating
+    Training Data Makes Language Models Better"): find every maximal run of
+    whitespace tokens that appears verbatim in >= ``min_docs`` distinct
+    documents, at k-token granularity.
+
+    The suffix-array construction of the paper is single-machine; the
+    distributed equivalent is shingle-vote + interval merge:
+
+      1. every k-token window (start position, space-joined shingle) is
+         hashed scan-side — the corpus never shuffles raw text;
+      2. one groupBy on the shingle hash counts DISTINCT docs; hashes seen
+         in >= min_docs docs are the duplicated vocabulary (data-sized, so
+         a shuffle semi-join, never a broadcast);
+      3. each doc's hit positions [i, i+k-1] are merged into maximal
+         islands with ONE exchange on doc_id: running max(end) over the
+         preceding rows marks island breaks, a cumulative sum numbers them,
+         and the final (doc, island) groupBy reuses the same hash
+         partitioning (no extra exchange — pinned by the plan test).
+
+    Output: (doc_id, span_start, span_end, span_tokens), 1-based inclusive
+    token indexes. Adjacent hits merge (gap 0); a single unique token
+    between two duplicated runs splits them. ``portable=True`` uses the
+    md5-derived 60-bit hash so an external SQL engine reproduces the exact
+    grouping keys; default xxhash64 is the cheap 100 TB path. Collisions
+    (either mode) would only ever ADD a span, and affect both engines
+    identically under portable mode.
+    """
+    from pyspark.sql import Window
+
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    base = docs.select(F.col(id_col), ws.alias("__ws"))
+    # (start, hash(shingle)) per k-window; sequence is empty when n < k
+    sh = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__ws") - (k - 1)),
+                lambda i: F.struct(
+                    i.alias("st"),
+                    _hash60(
+                        F.array_join(F.slice("__ws", i, k), " "), portable
+                    ).alias("h"),
+                ),
+            )
+        ).alias("s"),
+    ).select(id_col, F.col("s.st").alias("st"), F.col("s.h").alias("h"))
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    hits = sh.join(dup, "h", "left_semi").select(
+        id_col, "st", (F.col("st") + (k - 1)).alias("en")
+    )
+    by_doc = Window.partitionBy(id_col).orderBy("st")
+    prev = by_doc.rowsBetween(Window.unboundedPreceding, -1)
+    isl = hits.withColumn(
+        "brk",
+        (
+            F.col("st")
+            > F.coalesce(F.max("en").over(prev), F.lit(-1)) + 1
+        ).cast("int"),
+    ).withColumn("g", F.sum("brk").over(by_doc))
+    return (
+        isl.groupBy(id_col, "g")
+        .agg(
+            F.min("st").cast("int").alias("span_start"),
+            F.max("en").cast("int").alias("span_end"),
+            (F.max("en") - F.min("st") + 1).cast("int").alias("span_tokens"),
+        )
+        .drop("g")
+    )

@@ -1195,6 +1195,55 @@ def doc_ngram_repetition(spark, sf_dir):
 
 
 @query(
+    "duplicate_text_spans",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+      FROM documents),
+    base AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+    sh AS (
+      SELECT doc_id, i AS st,
+             CAST(('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15))
+               AS BIGINT) AS h
+      FROM base, unnest(generate_series(1, n - 7)) AS t(i)),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (
+      SELECT doc_id, st, st + 7 AS en FROM sh WHERE h IN (SELECT h FROM dup)),
+    isl AS (
+      SELECT doc_id, st, en,
+             CASE WHEN st > coalesce(max(en) OVER (PARTITION BY doc_id
+                  ORDER BY st ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                  PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits),
+    grp AS (SELECT doc_id, st, en,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY st) AS g
+            FROM isl)
+    SELECT doc_id, CAST(min(st) AS INT) AS span_start,
+           CAST(max(en) AS INT) AS span_end,
+           CAST(max(en) - min(st) + 1 AS INT) AS span_tokens
+    FROM grp GROUP BY doc_id, g
+    """,
+)
+def duplicate_text_spans(spark, sf_dir):
+    """Exact-substring duplicated spans (Lee et al. ACL'22): maximal runs of
+    whitespace tokens appearing verbatim in >= 2 distinct docs, at 8-token
+    granularity — the cross-document companion to `doc_ngram_repetition`'s
+    INTRA-doc phrase filters, and the remove-the-span alternative to
+    whole-doc near-dedup. Distributed as shingle-hash vote + per-doc
+    interval merge (`dedup.duplicate_spans`): the suffix array of the paper
+    is single-machine, but k-token granularity needs only a shingle-hash
+    groupBy, a semi-join, and ONE doc_id exchange that the island window
+    AND the final span groupBy both reuse. Portable md5-60bit hashing so
+    the oracle reproduces the exact grouping keys."""
+    from mapreduce_big_data_processing_spark.operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    return DD.duplicate_spans(docs, k=8, min_docs=2, portable=True)
+
+
+@query(
     "funnel_view_click_purchase",
     """
     WITH s AS (
@@ -5620,6 +5669,7 @@ _PRIORITY = [
     "pmi_collocations",
     "user_status_intervals",
     "doc_length_auc",
+    "duplicate_text_spans",
 ]
 
 

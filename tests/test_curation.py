@@ -276,3 +276,43 @@ def test_ivf_pq_full_probe_matches_exhaustive_adc(spark, sf_dir):
         ).collect()
     }
     assert full_probe == exhaustive
+
+
+def test_duplicate_spans_golden(spark):
+    """Exact-substring spans: overlap + adjacency merge into one maximal
+    island, a single unique token splits islands, and intra-doc-only
+    repetition never fires (min_docs=2 counts DISTINCT docs)."""
+    shared_a = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"  # 10 tokens, dup k=8 windows 1..3
+    shared_b = "u1 u2 u3 u4 u5 u6 u7 u8"  # exactly k tokens
+    docs = spark.createDataFrame(
+        [
+            # doc 1: [shared_a][GAP][shared_b] -> two islands split by 'gap'
+            (1, shared_a + " gap " + shared_b),
+            (2, shared_a + " tailx taily"),
+            (3, "head1 head2 " + shared_b),
+            # doc 4: self-repeats a phrase no other doc has -> no span
+            (4, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in D.duplicate_spans(docs, k=8).collect()
+    )
+    assert out == [
+        (1, 1, 10, 10),   # windows 1..3 of shared_a merged (overlap)
+        (1, 12, 19, 8),   # shared_b after the gap token at position 11
+        (2, 1, 10, 10),
+        (3, 3, 10, 8),
+    ]
+
+
+def test_duplicate_spans_portable_matches_default(spark):
+    docs = spark.createDataFrame(
+        [(i, f"pfx{i} common run of eight tokens exactly here now end{i}")
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, D.duplicate_spans(docs, k=8).collect()))
+    b = sorted(map(tuple, D.duplicate_spans(docs, k=8, portable=True).collect()))
+    assert a == b and len(a) == 4

@@ -427,3 +427,14 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     joined = fact.join(dim, "event_type").groupBy("event_type").count()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, plan[:2000]
+
+
+def test_duplicate_spans_exchanges_all_natural_keys(spark, sf_dir):
+    """Exact-substring span dedup: three hash exchanges total — the
+    (h, doc_id) distinct expansion, the h count-distinct, and ONE doc_id
+    exchange that the two island windows and the final span groupBy all
+    share (the final HashAggregate must not add a fourth)."""
+    plan = _plan(spark, sf_dir, "duplicate_text_spans")
+    assert _count(plan, "Exchange hashpartitioning") == 3
+    assert _count(plan, "Exchange hashpartitioning(doc_id") == 1
+    assert _count(plan, "Window") == 2
