@@ -1195,6 +1195,36 @@ def doc_ngram_repetition(spark, sf_dir):
 
 
 @query(
+    "bloom_filtered_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def bloom_filtered_orders(spark, sf_dir):
+    """Semi-join with a scan-side Bloom pre-filter (`bloom.bloom_semi_join`):
+    orders of BUILDING-segment customers. The filter of the small side's
+    keys (1 MiB at the default sizing) is broadcast even when the small
+    side's ROWS could not be, and the probe is a zero-shuffle Arrow stage
+    over the orders scan, so only probable matches reach the exchange; the
+    exact semi-join afterwards removes Bloom false positives, making the
+    output identical to the plain `IN` subquery for any filter sizing."""
+    from mapreduce_big_data_processing_spark.operators import bloom as B
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return B.bloom_semi_join(orders, cust, "o_custkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@query(
     "duplicate_text_spans",
     r"""
     WITH w AS (
@@ -5670,6 +5700,7 @@ _PRIORITY = [
     "user_status_intervals",
     "doc_length_auc",
     "duplicate_text_spans",
+    "bloom_filtered_orders",
 ]
 
 

@@ -438,3 +438,14 @@ def test_duplicate_spans_exchanges_all_natural_keys(spark, sf_dir):
     assert _count(plan, "Exchange hashpartitioning") == 3
     assert _count(plan, "Exchange hashpartitioning(doc_id") == 1
     assert _count(plan, "Window") == 2
+
+
+def test_bloom_probe_rides_the_big_scan(spark, sf_dir):
+    """The Bloom probe must be a zero-shuffle Arrow stage directly over
+    the big-side file scan — pruning AFTER an exchange would shuffle the
+    rows it exists to drop."""
+    plan = _plan(spark, sf_dir, "bloom_filtered_orders")
+    assert _count(plan, "MapInArrow") == 1
+    probe = plan.index("MapInArrow")
+    scan = plan.index("FileScan parquet", probe)
+    assert "Exchange" not in plan[probe:scan]
