@@ -285,3 +285,48 @@ def strip_boilerplate(
         )
         .select(id_col, "text_kept", "n_chunks", "n_kept")
     )
+
+
+def source_data_cards(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source data card — the summary a curation pipeline publishes for
+    each ingest source (Gebru et al., "Datasheets for Datasets", CACM'21):
+    volume, token mass, language spread, and exact-duplicate load, in ONE
+    groupBy over one scan (token counts and content fingerprints are
+    scan-side projections; the two distinct-aggregates share the same
+    Expand pass).
+
+    All outputs are integers — counts and sums, never quotients — so the
+    card is bit-identical in any engine; rates (dup fraction, mean length)
+    are derived by the consumer from the exact numerators/denominators.
+
+    Output: (source, n_docs, total_chars, total_tokens, n_langs,
+    distinct_fingerprints); duplicate copies per source =
+    n_docs - distinct_fingerprints.
+    """
+    from mapreduce_big_data_processing_spark.operators.dedup import (
+        content_fingerprint,
+    )
+
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    )
+    prepared = docs.select(
+        F.col(group_col),
+        F.col(lang_col),
+        F.length(text_col).alias("__chars"),
+        toks.alias("__toks"),
+        content_fingerprint(F.col(text_col)).alias("__fp"),
+    )
+    return prepared.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__chars").alias("total_chars"),
+        F.sum("__toks").cast("bigint").alias("total_tokens"),
+        F.count_distinct(lang_col).alias("n_langs"),
+        F.count_distinct("__fp").alias("distinct_fingerprints"),
+    )

@@ -1195,6 +1195,34 @@ def doc_ngram_repetition(spark, sf_dir):
 
 
 @query(
+    "source_data_cards",
+    r"""
+    WITH p AS (
+      SELECT source, lang, length(text) AS chars,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS toks,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(chars) AS BIGINT) AS total_chars,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS distinct_fingerprints
+    FROM p GROUP BY source
+    """,
+)
+def source_data_cards(spark, sf_dir):
+    """Per-source data cards (`curation.source_data_cards`): volume, token
+    mass, language spread, and exact-dup load per ingest source, one
+    groupBy over one scan. All-integer outputs (counts/sums, no
+    quotients) so the card hashes identically in any engine."""
+    from mapreduce_big_data_processing_spark.operators import curation as C
+
+    return C.source_data_cards(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "bloom_filtered_orders",
     """
     SELECT o_orderkey, o_custkey, o_totalprice
@@ -5701,6 +5729,7 @@ _PRIORITY = [
     "doc_length_auc",
     "duplicate_text_spans",
     "bloom_filtered_orders",
+    "source_data_cards",
 ]
 
 
