@@ -1770,6 +1770,55 @@ def _word_graph(spark, sf_dir, integer_weights: bool = False):
     return edges
 
 
+_TRIANGLE_SQL = f"""
+    WITH {_GRAPH_SQL},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges0 WHERE src <> dst),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      GROUP BY node),
+    wd AS (
+      SELECT u.a, u.b, da.deg AS da, db.deg AS db
+      FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node),
+    ori AS (
+      SELECT CASE WHEN lo THEN a ELSE b END AS u,
+             CASE WHEN lo THEN b ELSE a END AS v,
+             CASE WHEN lo THEN db ELSE da END AS dv
+      FROM (SELECT *, (da < db OR (da = db AND a < b)) AS lo FROM wd)),
+    wedge AS (
+      SELECT e1.u, e1.v AS x, e2.v AS y
+      FROM ori e1 JOIN ori e2 ON e1.u = e2.u
+      WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+    tri AS (
+      SELECT w.u, w.x, w.y
+      FROM wedge w JOIN ori o ON o.u = w.x AND o.v = w.y),
+    credit AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS triangles
+      FROM (SELECT u AS node FROM tri UNION ALL SELECT x FROM tri
+            UNION ALL SELECT y FROM tri)
+      GROUP BY node)
+    SELECT d.node, d.deg AS degree,
+           CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles
+    FROM deg d LEFT JOIN credit c ON d.node = c.node
+"""
+
+
+@query("word_triangle_counts", _TRIANGLE_SQL)
+def word_triangle_counts(spark, sf_dir):
+    """Per-vertex triangle counts over the word co-occurrence graph
+    (`graph.triangle_counts`, node-iterator++ with (degree, id)
+    orientation — Suri & Vassilvitskii WWW'11). Every triangle is
+    enumerated once at its minimum-degree vertex, capping the wedge
+    fan-out at O(sqrt(m)) per vertex on power-law graphs; orientation is
+    a joined-degree comparison, never a global rank window. Integer
+    outputs only; the oracle replays the same orientation in SQL."""
+    from mapreduce_big_data_processing_spark.operators import graph as G
+
+    return G.triangle_counts(_word_graph(spark, sf_dir))
+
+
 @query("pagerank_top20", _pagerank_sql(iters=10, d=0.85, k=20))
 def pagerank_top20(spark, sf_dir):
     """G2/G3/G5 — PageRank (d=0.85, 10 iterations) over the word
@@ -5730,6 +5779,7 @@ _PRIORITY = [
     "duplicate_text_spans",
     "bloom_filtered_orders",
     "source_data_cards",
+    "word_triangle_counts",
 ]
 
 

@@ -520,3 +520,23 @@ def test_bpe_segment_applies_merges_in_order(spark):
         for r in TX.bpe_segment(docs, [("l", "o"), ("lo", "w")]).collect()
     }
     assert seg == {"lower": (2, ["low", "e", "r"])}
+
+
+def test_triangle_counts_golden(spark):
+    """K4 (4 triangles, 3 per vertex) plus a pendant path: path vertices
+    close no triangle; the attachment vertex keeps only its K4 count.
+    Edges given directed/duplicated to check undirected canonicalization."""
+    from mapreduce_big_data_processing_spark.operators import graph as G
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a != b]  # both directions
+    path = [("d", "e"), ("e", "f"), ("f", "e")]  # pendant path d-e-f + dup
+    edges = spark.createDataFrame(k4 + path, "src string, dst string")
+    out = {
+        r["node"]: (r["degree"], r["triangles"])
+        for r in G.triangle_counts(edges).collect()
+    }
+    assert out == {
+        "a": (3, 3), "b": (3, 3), "c": (3, 3),
+        "d": (4, 3),  # 3 K4 triangles; the pendant edge adds degree only
+        "e": (2, 0), "f": (1, 0),
+    }
