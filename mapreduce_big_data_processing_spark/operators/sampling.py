@@ -109,3 +109,55 @@ def pack_sequences(
     return df.withColumn("tok_start", tok_start).withColumn(
         "seq_id", F.floor(F.col("tok_start") / budget)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight: Column,
+    n: int,
+    max_weight: int = 64,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, selection
+    probability increasing with weight (Efraimidis & Spirakis, IPL 2006).
+
+    ES ranks items by u_i^(1/w_i) for uniform u_i; for INTEGER weights
+    that statistic is distributed exactly as the max of w_i iid uniforms,
+    so the float pow — whose last-ulp behavior differs across engines —
+    can be replaced by integer arithmetic: explode w tickets per row,
+    hash (key, ticket) to a 60-bit int, keep each row's MAX ticket hash,
+    then take the global top-n. Every comparison is on bigints, so the
+    selected set is bit-identical in any engine (the zero-float
+    protocol), and re-runs/retries/incremental ingests pick the same
+    rows (hash-deterministic, never rand()).
+
+    ``max_weight`` caps the ticket fan-out: the exploded row count is
+    sum(min(w, max_weight)) — the knob that keeps this scan-shaped at
+    100 TB (beyond the cap, selection probability saturates; for
+    unbounded weights use the float-ES path off the hash-match surface).
+    The top-n itself is a per-partition prune + single-partition merge of
+    n survivors, never a full sort.
+
+    Output: input columns + ``priority`` (the winning ticket hash).
+    """
+    w = F.least(F.greatest(weight.cast("bigint"), F.lit(1)), F.lit(max_weight))
+    pri = df.withColumn(
+        "priority",
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), w),
+                lambda t: F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("#", F.col(key).cast("string"), t)),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: F.greatest(acc, x),
+        ),
+    )
+    return pri.orderBy(F.desc("priority"), F.col(key)).limit(n)

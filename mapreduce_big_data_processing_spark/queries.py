@@ -1195,6 +1195,38 @@ def doc_ngram_repetition(spark, sf_dir):
 
 
 @query(
+    "weighted_doc_sample",
+    """
+    SELECT doc_id, lang, source,
+           list_max([CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                     || CAST(t AS VARCHAR)), 1, 15)) AS BIGINT)
+                     FOR t IN generate_series(1,
+                       CAST(least(greatest(n_chars // 100, 1), 64) AS INT))])
+             AS priority
+    FROM documents
+    ORDER BY priority DESC, doc_id
+    LIMIT 50
+    """,
+)
+def weighted_doc_sample(spark, sf_dir):
+    """Size-weighted sampling without replacement
+    (`sampling.weighted_sample`, Efraimidis-Spirakis IPL'06): 50 docs with
+    selection probability increasing with length (weight = n_chars/100,
+    capped). The ES u^(1/w) statistic for integer w is exactly the max of
+    w iid uniforms, so ticket hashes + max replace the float pow — every
+    comparison is on bigints (zero-float protocol) and the selected set is
+    bit-identical across engines and re-runs. Scan-shaped: the ticket max
+    is a per-row projection (no explode), the top-n a per-partition prune
+    + n-row merge, never a full sort."""
+    from mapreduce_big_data_processing_spark.operators import sampling as SA
+
+    docs = _t(spark, sf_dir, "documents")
+    return SA.weighted_sample(
+        docs, "doc_id", F.floor(F.col("n_chars") / 100), n=50
+    ).select("doc_id", "lang", "source", "priority")
+
+
+@query(
     "source_data_cards",
     r"""
     WITH p AS (
@@ -5780,6 +5812,7 @@ _PRIORITY = [
     "bloom_filtered_orders",
     "source_data_cards",
     "word_triangle_counts",
+    "weighted_doc_sample",
 ]
 
 

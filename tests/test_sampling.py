@@ -87,3 +87,23 @@ def test_pack_sequences_invariants(spark, sf_dir):
     assert sum(r.n_tokens for r in rows) == sum(
         r.n_tokens for r in toks.collect()
     )
+
+
+def test_weighted_sample_favors_heavy_rows_and_plans_topn(spark):
+    """Rows at the weight cap must be selected at a visibly higher rate
+    than weight-1 rows (max-of-64-uniforms vs one uniform), the output is
+    exactly n, and the top-n runs as TakeOrderedAndProject (partial
+    per-partition prune), never a global Sort."""
+    from mapreduce_big_data_processing_spark.operators import sampling as SA
+
+    rows = [(i, 64 if i % 2 == 0 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    out = SA.weighted_sample(df, "k", F.col("w"), n=200)
+    picked = [r["k"] for r in out.collect()]
+    assert len(picked) == len(set(picked)) == 200
+    heavy = sum(1 for k in picked if k % 2 == 0)
+    # E[heavy] ~ 197 of 200 (w=64 wins ~64:1 per pair); even 10 sigma of
+    # slack keeps this far above the unweighted 100
+    assert heavy > 160
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
