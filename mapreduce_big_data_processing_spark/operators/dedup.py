@@ -350,6 +350,16 @@ def simhash_pairs(
     )
 
 
+def _safe_seq(stop: Column) -> Column:
+    """sequence(1, stop) that is EMPTY when stop < 1. Spark's sequence
+    counts DOWN for stop < start (sequence(1, 0) = [1, 0]), which would
+    fabricate windows on documents shorter than the shingle width; SQL
+    engines' generate_series(1, 0) is empty — this matches that."""
+    return F.filter(
+        F.sequence(F.lit(1), F.greatest(stop, F.lit(1))), lambda i: i <= stop
+    )
+
+
 def duplicate_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -394,7 +404,7 @@ def duplicate_spans(
         id_col,
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size("__ws") - (k - 1)),
+                _safe_seq(F.size("__ws") - (k - 1)),
                 lambda i: F.struct(
                     i.alias("st"),
                     _hash60(
@@ -430,4 +440,100 @@ def duplicate_spans(
             (F.max("en") - F.min("st") + 1).cast("int").alias("span_tokens"),
         )
         .drop("g")
+    )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """Remove-all-but-one-occurrence span cleaning (the application of
+    ``duplicate_spans``, per Lee et al. ACL'22 §3.1): for every k-token
+    shingle shared by >= 2 docs, the minimum-id doc among its holders is
+    the canonical owner and keeps its text; every OTHER doc's hit
+    positions are merged into islands and those token runs are dropped.
+
+    Same shuffle inventory as ``duplicate_spans`` plus one id join to
+    bring islands back to the token arrays; reconstruction is a
+    scan-side projection (tokens whose position falls in no island,
+    re-joined by spaces) — per-doc cost O(tokens × islands), no extra
+    exchange.
+
+    Output: (doc_id, text_kept, n_tokens, n_removed) — integers and the
+    cleaned text; text_kept equals the whitespace-normalized original
+    when nothing was removed.
+    """
+    from pyspark.sql import Window
+
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    base = docs.select(F.col(id_col), ws.alias("__ws")).cache()
+    sh = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                _safe_seq(F.size("__ws") - (k - 1)),
+                lambda i: F.struct(
+                    i.alias("st"),
+                    _hash60(
+                        F.array_join(F.slice("__ws", i, k), " "), portable
+                    ).alias("h"),
+                ),
+            )
+        ).alias("s"),
+    ).select(id_col, F.col("s.st").alias("st"), F.col("s.h").alias("h"))
+    owners = (
+        sh.groupBy("h")
+        .agg(
+            F.count_distinct(id_col).alias("nd"),
+            F.min(id_col).alias("owner"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", "owner")
+    )
+    hits = (
+        sh.join(owners, "h")
+        .filter(F.col(id_col) != F.col("owner"))
+        .select(id_col, "st", (F.col("st") + (k - 1)).alias("en"))
+    )
+    by_doc = Window.partitionBy(id_col).orderBy("st")
+    prev = by_doc.rowsBetween(Window.unboundedPreceding, -1)
+    isl = (
+        hits.withColumn(
+            "brk",
+            (
+                F.col("st")
+                > F.coalesce(F.max("en").over(prev), F.lit(-1)) + 1
+            ).cast("int"),
+        )
+        .withColumn("g", F.sum("brk").over(by_doc))
+        .groupBy(id_col, "g")
+        .agg(F.min("st").alias("st"), F.max("en").alias("en"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("st", "en")).alias("__isl"))
+    )
+    joined = base.join(isl, id_col, "left").withColumn(
+        "__isl", F.coalesce("__isl", F.array())
+    )
+    keep = F.filter(
+        F.transform(
+            _safe_seq(F.size("__ws")),
+            lambda i: F.struct(
+                i.alias("p"), F.element_at("__ws", i).alias("w")
+            ),
+        ),
+        lambda s: ~F.exists(
+            F.col("__isl"),
+            lambda b: (s["p"] >= b["st"]) & (s["p"] <= b["en"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(F.transform(keep, lambda s: s["w"]), " ").alias(
+            "text_kept"
+        ),
+        F.size("__ws").cast("int").alias("n_tokens"),
+        (F.size("__ws") - F.size(keep)).cast("int").alias("n_removed"),
     )

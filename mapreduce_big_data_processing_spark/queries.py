@@ -1334,6 +1334,69 @@ def duplicate_text_spans(spark, sf_dir):
 
 
 @query(
+    "span_stripped_docs",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+      FROM documents),
+    base AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+    sh AS (
+      SELECT doc_id, i AS st,
+             CAST(('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15))
+               AS BIGINT) AS h
+      FROM base, unnest(generate_series(1, n - 7)) AS t(i)),
+    own AS (
+      SELECT h, min(doc_id) AS owner FROM sh
+      GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (
+      SELECT s.doc_id, s.st, s.st + 7 AS en
+      FROM sh s JOIN own o ON s.h = o.h WHERE s.doc_id <> o.owner),
+    isl AS (
+      SELECT doc_id, st, en,
+             CASE WHEN st > coalesce(max(en) OVER (PARTITION BY doc_id
+                  ORDER BY st ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                  PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits),
+    grp AS (SELECT doc_id, st, en,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY st) AS g
+            FROM isl),
+    spans AS (SELECT doc_id, min(st) AS st, max(en) AS en
+              FROM grp GROUP BY doc_id, g),
+    slist AS (SELECT doc_id, list({'st': st, 'en': en}) AS isls
+              FROM spans GROUP BY doc_id),
+    rec AS (
+      SELECT b.doc_id, b.ws, b.n, coalesce(s.isls, []) AS isls
+      FROM base b LEFT JOIN slist s USING (doc_id)),
+    fin AS (
+      SELECT doc_id, n,
+             [ws[i] FOR i IN generate_series(1, n)
+              IF len(list_filter(isls,
+                     b -> i >= b['st'] AND i <= b['en'])) = 0] AS kept
+      FROM rec)
+    SELECT doc_id,
+           coalesce(array_to_string(kept, ' '), '') AS text_kept,
+           CAST(n AS INT) AS n_tokens,
+           CAST(n - len(kept) AS INT) AS n_removed
+    FROM fin
+    """,
+)
+def span_stripped_docs(spark, sf_dir):
+    """Remove-all-but-one-occurrence span cleaning
+    (`dedup.strip_duplicate_spans`, Lee et al. ACL'22 §3.1): the
+    minimum-id holder of each duplicated 8-token shingle keeps its text;
+    every other doc's duplicated runs are merged into islands and dropped
+    from the reconstructed text. Same shuffle inventory as
+    `duplicate_text_spans` plus one id join; reconstruction is a
+    scan-side projection."""
+    from mapreduce_big_data_processing_spark.operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    return DD.strip_duplicate_spans(docs, k=8, portable=True)
+
+
+@query(
     "funnel_view_click_purchase",
     """
     WITH s AS (
@@ -5813,6 +5876,7 @@ _PRIORITY = [
     "source_data_cards",
     "word_triangle_counts",
     "weighted_doc_sample",
+    "span_stripped_docs",
 ]
 
 

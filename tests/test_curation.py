@@ -316,3 +316,28 @@ def test_duplicate_spans_portable_matches_default(spark):
     a = sorted(map(tuple, D.duplicate_spans(docs, k=8).collect()))
     b = sorted(map(tuple, D.duplicate_spans(docs, k=8, portable=True).collect()))
     assert a == b and len(a) == 4
+
+
+def test_strip_duplicate_spans_owner_keeps_text(spark):
+    """The minimum-id holder of a duplicated shingle keeps its text; other
+    holders lose the merged island. Docs shorter than k and empty docs are
+    no-ops (the guarded window sequence — Spark's sequence(1, 0) would
+    otherwise count DOWN and fabricate windows)."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro " + shared),        # owner (min doc_id)
+            (2, shared + " outro"),        # loses the 9-token island
+            (3, "tiny doc"),               # < k tokens
+            (4, ""),                       # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text_kept"], r["n_tokens"], r["n_removed"])
+        for r in D.strip_duplicate_spans(docs, k=8).collect()
+    }
+    assert out[1] == ("intro " + shared, 10, 0)
+    assert out[2] == ("outro", 10, 9)
+    assert out[3] == ("tiny doc", 2, 0)
+    assert out[4] == ("", 0, 0)
