@@ -1264,13 +1264,15 @@ def source_data_cards(spark, sf_dir):
     """,
 )
 def bloom_filtered_orders(spark, sf_dir):
-    """Semi-join with a scan-side Bloom pre-filter (`bloom.bloom_semi_join`):
-    orders of BUILDING-segment customers. The filter of the small side's
-    keys (1 MiB at the default sizing) is broadcast even when the small
-    side's ROWS could not be, and the probe is a zero-shuffle Arrow stage
-    over the orders scan, so only probable matches reach the exchange; the
-    exact semi-join afterwards removes Bloom false positives, making the
-    output identical to the plain `IN` subquery for any filter sizing."""
+    """Semi-join with a scan-side blocked-Bloom pre-filter
+    (`bloom.bloom_semi_join`): orders of BUILDING-segment customers. The
+    filter is a (block, bits) table (~16 bits/key) built by one
+    distributed bit_or aggregation; the probe is one broadcast hash join
+    plus a bitwise mask test — pure codegen over the orders scan, so only
+    probable matches reach the exchange (measured 5x shuffle-volume
+    reduction at 0.1 % FP, BENCH_SCALE.md). The exact semi-join afterwards
+    removes false positives, making the output identical to the plain
+    `IN` subquery for any filter sizing."""
     from mapreduce_big_data_processing_spark.operators import bloom as B
 
     orders = _t(spark, sf_dir, "orders")

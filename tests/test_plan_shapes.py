@@ -441,11 +441,15 @@ def test_duplicate_spans_exchanges_all_natural_keys(spark, sf_dir):
 
 
 def test_bloom_probe_rides_the_big_scan(spark, sf_dir):
-    """The Bloom probe must be a zero-shuffle Arrow stage directly over
-    the big-side file scan — pruning AFTER an exchange would shuffle the
-    rows it exists to drop."""
+    """The Bloom probe must be a pure-codegen Filter directly over the
+    big-side file scan — no Python/Arrow stage (measured 3x slower than
+    the naive join at 100x: Arrow serialization of the big side costs
+    more than the shuffle it saves), and no exchange below the probe
+    (pruning AFTER an exchange would shuffle the rows it exists to
+    drop)."""
     plan = _plan(spark, sf_dir, "bloom_filtered_orders")
-    assert _count(plan, "MapInArrow") == 1
-    probe = plan.index("MapInArrow")
+    assert _count(plan, "MapInArrow") == 0
+    assert _count(plan, "ArrowEvalPython") == 0
+    probe = plan.index("xxhash64")  # the probe filter's hash expressions
     scan = plan.index("FileScan parquet", probe)
     assert "Exchange" not in plan[probe:scan]

@@ -472,16 +472,17 @@ def test_status_intervals_match_python_model(spark, evs):
 @given(
     st.lists(st.integers(-(2**62), 2**62), min_size=0, max_size=60),
     st.lists(st.integers(-(2**62), 2**62), min_size=0, max_size=60),
-    st.sampled_from([1 << 8, 1 << 10]),
+    st.sampled_from([1 << 2, 1 << 6]),
 )
-def test_bloom_semi_join_equals_plain_semi_join(spark, big_keys, small_keys, bits):
+def test_bloom_semi_join_equals_plain_semi_join(spark, big_keys, small_keys, blocks):
     """Bloom pruning is exact for ANY filter sizing: an undersized (noisy)
-    bitmap only passes more rows to the exact join, never drops a match.
-    Full-range int64 keys exercise the >2^53 fidelity path."""
+    filter only passes more rows to the exact join, never drops a match.
+    Tiny block counts force heavy block collisions; full-range int64 keys
+    exercise the whole hash domain."""
     from mapreduce_big_data_processing_spark.operators import bloom as B
 
     big = spark.createDataFrame([(k, i) for i, k in enumerate(big_keys)], "k long, v long")
     small = spark.createDataFrame([(k,) for k in small_keys], "k long")
-    got = sorted(map(tuple, B.bloom_semi_join(big, small, "k", num_bits=bits).collect()))
+    got = sorted(map(tuple, B.bloom_semi_join(big, small, "k", num_blocks=blocks).collect()))
     want = sorted(map(tuple, big.join(small.distinct(), "k", "left_semi").collect()))
     assert got == want
