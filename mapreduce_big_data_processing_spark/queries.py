@@ -5777,8 +5777,9 @@ _PRIORITY = [
     "pricing_summary",        # P1 P2 A2 (TPC-H Q1)
     "revenue_by_nation",      # J1 J4
     "brand_volume",           # J2
-    "customers_with_orders",  # J3 (the anti-join sibling returns 0 rows at
-                              # sf0.01 — a vacuous external check; stays out)
+    "bloom_filtered_orders",  # J3 semi-join family (r3e rotation; was
+                              # customers_with_orders — the blocked-Bloom
+                              # pruned semi-join, same output contract)
     "top_customers",          # O1 O4
     "order_count_histogram",  # A8
     "distinct_users_per_type",  # A11
@@ -5827,11 +5828,14 @@ _PRIORITY = [
     "shuffled_shard_manifest",  # sampling family (r3; was corpus_split_counts)
     "multimodal_features",
     "bm25_ranked_docs",
-    "chunk_dedup_docs",
+    "duplicate_text_spans",   # sub-doc dedup family (r3e rotation; was
+                              # chunk_dedup_docs — exact-substring spans)
     "benchmark_contamination",
     "boilerplate_stripped_docs",
     # ---- end of the 50-entry driver window ----
     # tail head: the displaced r2 primaries (externally green in r2)
+    "customers_with_orders",
+    "chunk_dedup_docs",
     "segment_set_ops",
     "finished_order_ratio",
     "word_count",
@@ -5873,8 +5877,6 @@ _PRIORITY = [
     "pmi_collocations",
     "user_status_intervals",
     "doc_length_auc",
-    "duplicate_text_spans",
-    "bloom_filtered_orders",
     "source_data_cards",
     "word_triangle_counts",
     "weighted_doc_sample",

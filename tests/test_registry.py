@@ -21,7 +21,8 @@ _COMPONENT_REPS = {
     "P1/P2/A2": {"pricing_summary"},
     "J1/J4": {"revenue_by_nation"},
     "J2": {"brand_volume"},
-    "J3": {"customers_with_orders", "customers_without_orders"},
+    "J3": {"customers_with_orders", "customers_without_orders",
+           "bloom_filtered_orders"},  # semi-join family (bloom = pruned semi-join)
     "O1/O4": {"top_customers", "top_words"},
     "A8": {"order_count_histogram"},
     "A11": {"distinct_users_per_type"},
@@ -70,7 +71,8 @@ _COMPONENT_REPS = {
                  "token_budget_sample"},
     "multimodal": {"multimodal_features"},
     "bm25": {"bm25_ranked_docs"},
-    "chunk dedup": {"chunk_dedup_docs"},
+    "chunk dedup": {"chunk_dedup_docs", "duplicate_text_spans",
+                    "span_stripped_docs"},  # sub-document dedup family
     "decontamination": {"benchmark_contamination"},
     "boilerplate": {"boilerplate_stripped_docs"},
     "temporal joins": {"asof_click_before_purchase", "value_band_counts"},
