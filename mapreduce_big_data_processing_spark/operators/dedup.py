@@ -537,3 +537,59 @@ def strip_duplicate_spans(
         F.size("__ws").cast("int").alias("n_tokens"),
         (F.size("__ws") - F.size(keep)).cast("int").alias("n_removed"),
     )
+
+
+def containment_pairs(
+    doc_shingles: DataFrame,
+    id_col: str = "doc_id",
+    min_pct: int = 80,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup detection by shingle-set CONTAINMENT
+    (Broder, SEQUENCES'97: containment(A in B) = |A∩B| / |A|): finds
+    documents QUOTED or EMBEDDED inside larger ones, which symmetric
+    Jaccard misses (a doc fully contained in one 10× its size has
+    Jaccard ≤ 0.1 but containment 1.0).
+
+    Emits exact integer sufficient statistics — (id_a, id_b, shared,
+    size_a, size_b), both directions' containments derivable — and
+    thresholds by cross-multiplication (shared·100 ≥ min_pct·min(size)),
+    so there is no float anywhere (the zero-float protocol). Same
+    inverted-index / candidate-first shapes as ``jaccard_pairs``: pass
+    LSH ``candidates`` at scale; the self-join form bounds work to
+    co-occurring pairs for bounded corpora or verification.
+    """
+    sizes = doc_shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = doc_shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = doc_shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    if candidates is not None:
+        inter = (
+            candidates.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("size_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("size_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .filter(
+            F.col("shared") * 100
+            >= F.lit(min_pct) * F.least("size_a", "size_b")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.col("size_a").cast("bigint").alias("size_a"),
+            F.col("size_b").cast("bigint").alias("size_b"),
+        )
+    )

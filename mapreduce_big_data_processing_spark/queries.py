@@ -881,6 +881,37 @@ def ngram_jaccard_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@query(
+    "doc_containment_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(shared AS BIGINT) AS shared,
+           CAST(sa.sz AS BIGINT) AS size_a,
+           CAST(sb.sz AS BIGINT) AS size_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE shared * 100 >= 80 * least(sa.sz, sb.sz)
+    """,
+)
+def doc_containment_pairs(spark, sf_dir):
+    """Asymmetric near-dup pairs by shingle-set CONTAINMENT (Broder,
+    SEQUENCES'97): docs quoted or embedded inside larger ones, which
+    symmetric Jaccard misses (`dedup.containment_pairs`). Integer
+    sufficient statistics only — shared/size_a/size_b, threshold by
+    cross-multiplication — the zero-float protocol."""
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    return D.containment_pairs(D.shingles(docs, k=3), min_pct=80)
+
+
 _SIMHASH_SQL = """
     WITH toks AS (
       SELECT doc_id, w, count(*) AS tf FROM (
@@ -5881,6 +5912,7 @@ _PRIORITY = [
     "word_triangle_counts",
     "weighted_doc_sample",
     "span_stripped_docs",
+    "doc_containment_pairs",
 ]
 
 

@@ -341,3 +341,27 @@ def test_strip_duplicate_spans_owner_keeps_text(spark):
     assert out[2] == ("outro", 10, 9)
     assert out[3] == ("tiny doc", 2, 0)
     assert out[4] == ("", 0, 0)
+
+
+def test_containment_pairs_detects_embedded_doc(spark):
+    """A doc fully quoted inside one 4x its size has low Jaccard but
+    containment 1.0 — the asymmetric statistic must flag it, and the
+    integer cross-multiplication threshold must match the rational
+    semantics exactly."""
+    quoted = "q1 q2 q3 q4 q5"
+    docs = spark.createDataFrame(
+        [
+            (1, quoted),
+            (2, "a1 a2 a3 a4 a5 a6 a7 " + quoted + " z1 z2 z3 z4 z5 z6 z7"),
+            (3, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = D.shingles(docs, k=3)
+    out = {(r["id_a"], r["id_b"]): r for r in D.containment_pairs(sh, min_pct=80).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r["shared"] == r["size_a"] == 3  # all of doc 1's 3-shingles
+    # Jaccard would be 3/(3+19-3) < 0.2, below any near-dup threshold
+    jac = D.jaccard_pairs(sh, min_jaccard=0.5).collect()
+    assert not any(p["id_a"] == 1 and p["id_b"] == 2 for p in jac)
