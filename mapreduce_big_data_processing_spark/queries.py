@@ -5557,6 +5557,66 @@ def streaming_session_counts(spark, sf_dir):
 
 
 @query(
+    "streaming_dedup_counts",
+    """
+    SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_counts(spark, sf_dir):
+    """§2.10 — streaming exact dedup under at-least-once delivery: the
+    events table with 10 % of rows RE-EMITTED (duplicate event_ids, the
+    at-least-once failure mode) replayed as a bounded file stream;
+    `dropDuplicatesWithinWatermark` suppresses the duplicates with
+    BOUNDED state (keys are freed once the watermark passes their event
+    time — a plain streaming dropDuplicates never frees state). The
+    deduped append stream lands in a memory sink and is rolled up in
+    batch; the oracle is count(DISTINCT event_id) per type on the
+    ORIGINAL table — if any re-emitted row leaked through (or a genuine
+    row was dropped), the counts diverge. The watermark SPANS the whole
+    replay (60 days > the fixture's range): a multi-file replay is not
+    time-ordered (same-write mtimes tie — see streaming_session_counts),
+    and dropDuplicatesWithinWatermark LATE-DROPS rows behind the
+    watermark, so a production-tight horizon silently loses data
+    (measured with "2 hours": ~half the genuine rows dropped). On a
+    bounded correctness replay exactness wins; production sizes the
+    horizon to its delivery-delay bound."""
+    from pyspark.sql import types as T
+
+    from mapreduce_big_data_processing_spark.streaming import windows as SW
+
+    src = _work_dir(spark, "stream_dedup")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    replay = ev.unionAll(ev.filter(F.col("event_id") % 10 == 0))
+    replay.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    stream = SW.read_event_stream(
+        spark, src, schema=T.StructType.fromDDL(schema), max_files_per_trigger=1
+    )
+    dd = SW.dedup_stream(stream, keys=("event_id",), watermark="60 days")
+    name = "mbdp_stream_dedup_tbl"
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        SW.run_to_memory(dd, name, output_mode="append")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
     "streaming_hourly_counts",
     """
     SELECT date_trunc('hour', ts) AS window_start,
@@ -5913,6 +5973,7 @@ _PRIORITY = [
     "weighted_doc_sample",
     "span_stripped_docs",
     "doc_containment_pairs",
+    "streaming_dedup_counts",
 ]
 
 
