@@ -3294,7 +3294,10 @@ def shipping_priority(spark, sf_dir):
 @query(
     "local_supplier_volume",
     """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                 / 10000.0, 2) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -3307,7 +3310,14 @@ def shipping_priority(spark, sf_dir):
 )
 def local_supplier_volume(spark, sf_dir):
     """TPC-H Q5 shape: 6-way join with a same-nation theta condition;
-    nation/region broadcast, the supplier condition folds into the join."""
+    nation/region broadcast, the supplier condition folds into the join.
+    Revenue accumulates as EXACT integer 10^-4 units (price cents x
+    (100 - discount cents); both columns are 2-decimal by construction)
+    and the displayed 2-decimal double derives from that identical
+    integer in both engines — the float sum(price*(1-disc)) protocol
+    lost the round-half lottery at the 10x sweep (one nation's 5e8-scale
+    sum differed in the last ulp across engines: .815 rounding .82 vs
+    .81)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -3324,10 +3334,11 @@ def local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
+    cents4 = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        F.round(F.sum(cents4) / 10000.0, 2).alias("revenue")
     )
 
 

@@ -24,6 +24,10 @@ PICKS = {
     "embedding_near_dup": "multi-table LSH self-join: one (table,bucket) shuffle into the tiled in-kernel matmul verify; only surviving pairs leave",
     "keyed_scan_latest": "HBase-style versioned read: row-key range pushed to the scan, one window for newest-k cells",
     "doc_ngram_repetition": "Gopher n-gram repetition filters: one zero-shuffle Arrow stage riding the documents scan",
+    "duplicate_text_spans": "exact-substring span dedup: shingle-hash vote, semi-join, ONE doc_id exchange shared by island windows + span groupBy",
+    "bloom_filtered_orders": "blocked-Bloom pruned semi-join: codegen probe (BHJ on block index + mask test) directly over the orders scan",
+    "word_triangle_counts": "degree-oriented triangle counting: joined-degree orientation, wedge self-join on the anchor, no global rank window",
+    "weighted_doc_sample": "integer-exact weighted sampling: per-row ticket-max projection + TakeOrderedAndProject",
 }
 
 
