@@ -76,6 +76,17 @@ def _work_dir(spark: SparkSession, name: str) -> str:
     return base
 
 
+#: Exact integer 1e-4-unit revenue term: price cents x (100 - discount
+#: cents). Both columns are 2-decimal by construction, so this is the
+#: true rational value with NO float protocol — the integer-cents rule:
+#: round(sum(float-product), 2) loses the round-half lottery at scale
+#: (the 10x sweep caught local_supplier_volume at .82 vs .81).
+def _cents4(price: str = "l_extendedprice", disc: str = "l_discount"):
+    return F.round(F.col(price) * 100, 0).cast("bigint") * (
+        F.lit(100) - F.round(F.col(disc) * 100, 0).cast("bigint")
+    )
+
+
 # ===========================================================================
 # Relational core (SURVEY §2.2-2.6) on the star schema
 # ===========================================================================
@@ -87,8 +98,10 @@ def _work_dir(spark: SparkSession, name: str) -> str:
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                    AS sum_qty,
            round(sum(l_extendedprice), 2)                               AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2) AS sum_disc_price,
+           round(sum((CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                     * (100 + CAST(round(l_tax * 100, 0) AS BIGINT)))
+                 / 1000000.0, 2) AS sum_charge,
            round(avg(l_quantity), 6)                                    AS avg_qty,
            round(avg(l_extendedprice), 6)                               AS avg_price,
            round(avg(l_discount), 6)                                    AS avg_disc,
@@ -104,16 +117,18 @@ def pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    disc_price_i = _cents4()  # exact 1e-4 units (integer-cents rule)
+    charge_i = disc_price_i.cast("decimal(38,0)") * (
+        F.lit(100) + F.round(F.col("l_tax") * 100, 0).cast("bigint")
+    )  # exact 1e-6 units; decimal: bigint would overflow past ~1000x
     return R.group_agg(
         li,
         ["l_returnflag", "l_linestatus"],
         [
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.sum(disc_price_i) / 10000.0, 2).alias("sum_disc_price"),
+            F.round(F.sum(charge_i) / 1000000.0, 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -161,7 +176,9 @@ def revenue_by_nation(spark, sf_dir):
     """
     SELECT p_brand,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                 / 10000.0, 2) AS revenue,
            count(*) AS n_lines
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
@@ -178,9 +195,7 @@ def brand_volume(spark, sf_dir):
         ["p_brand"],
         [
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.round(F.sum(_cents4()) / 10000.0, 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         ],
     )
@@ -3255,7 +3270,7 @@ def latest_event_per_user(spark, sf_dir):
 @query(
     "shipping_priority",
     """
-    SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT l_orderkey, round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2) AS revenue,
            CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -3282,9 +3297,7 @@ def shipping_priority(spark, sf_dir):
         .join(li, F.col("o_orderkey") == li.l_orderkey)
     )
     rev = joined.groupBy("l_orderkey", "o_orderdate").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        F.round(F.sum(_cents4()) / 10000.0, 2).alias("revenue")
     )
     return R.top_k(rev, 10, F.desc("revenue"), F.asc("l_orderkey")).select(
         "l_orderkey", "revenue", "o_orderdate"
@@ -3345,7 +3358,9 @@ def local_supplier_volume(spark, sf_dir):
 @query(
     "forecast_revenue_change",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round(l_discount * 100, 0) AS BIGINT))
+                 / 10000.0, 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -3365,9 +3380,14 @@ def forecast_revenue_change(spark, sf_dir):
         & (F.col("l_quantity") < 24)
     )
     return out.agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        )
+        F.round(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+                * F.round(F.col("l_discount") * 100, 0).cast("bigint")
+            )
+            / 10000.0,
+            2,
+        ).alias("revenue")
     )
 
 
@@ -3914,11 +3934,12 @@ def approx_value_percentiles(spark, sf_dir):
 @query(
     "nation_trade_flows",
     """
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume) / 10000.0, 2) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INTEGER) AS l_year,
-               l_extendedprice * (1 - l_discount) AS volume
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS volume
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -3958,11 +3979,7 @@ def nation_trade_flows(spark, sf_dir):
             "cust_nation",
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.round(F.sum(_cents4()) / 10000.0, 2).alias("revenue"))
     )
 
 
@@ -3974,7 +3991,7 @@ def nation_trade_flows(spark, sf_dir):
                  / sum(volume), 6) AS mkt_share
     FROM (
         SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               l_extendedprice * (1 - l_discount) AS volume,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS volume,
                n2.n_name AS supp_nation
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -4005,7 +4022,8 @@ def regional_market_share(spark, sf_dir):
         F.col("n_nationkey").alias("c_nk")
     )
     n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = _cents4()  # exact integers: the share quotient is then
+    # bit-identical in any engine (identical ints -> identical doubles)
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
@@ -4015,7 +4033,11 @@ def regional_market_share(spark, sf_dir):
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
+                        F.lit(0).cast("bigint")
+                    )
+                )
                 / F.sum(vol),
                 6,
             ).alias("mkt_share")
@@ -4058,9 +4080,9 @@ def priority_line_mix(spark, sf_dir):
     "promo_revenue_pct",
     """
     SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
+                                  THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
                                   ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+                 / sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))), 6) AS promo_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -4076,13 +4098,17 @@ def promo_revenue_pct(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     p = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = _cents4()  # exact integers -> bit-identical quotient
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0).cast("bigint")
+                    )
+                )
                 / F.sum(rev),
                 6,
             ).alias("promo_pct")
@@ -4167,7 +4193,7 @@ def large_volume_customers(spark, sf_dir):
 @query(
     "disjunctive_part_revenue",
     """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 1 AND 20)
@@ -4203,11 +4229,7 @@ def disjunctive_part_revenue(spark, sf_dir):
     return (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.round(F.sum(_cents4()) / 10000.0, 2).alias("revenue"))
     )
 
 
@@ -4911,7 +4933,7 @@ def pq_similarity_topk(spark, sf_dir):
     "top_revenue_supplier",
     """
     WITH rev AS (
-      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
+      SELECT l_suppkey, round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2)
                AS total_rev
       FROM lineitem
       WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
@@ -4937,11 +4959,7 @@ def top_revenue_supplier(spark, sf_dir):
             & (F.col("l_shipdate") < "1997-04-01")
         )
         .groupBy("l_suppkey")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_rev")
-        )
+        .agg(F.round(F.sum(_cents4()) / 10000.0, 2).alias("total_rev"))
     )
     mx = rev.agg(F.max("total_rev").alias("mx"))
     top = rev.join(F.broadcast(mx), rev["total_rev"] == mx["mx"]).select(
