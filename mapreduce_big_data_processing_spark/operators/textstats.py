@@ -549,3 +549,66 @@ def bigram_lm_cross_entropy(
             F.round(F.avg(-F.log(p)), 6).alias("cross_entropy"),
         )
     )
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    *,
+    lift_num: int = 5,
+    lift_den: int = 4,
+    min_count: int = 5,
+) -> DataFrame:
+    """Keyness / distinctive-vocabulary extraction: terms over-represented
+    in one group (source, domain, language, …) relative to the corpus —
+    the datasheet-style "what is this slice about?" probe used when
+    characterizing ingest sources for an LLM training mix.
+
+    A term is distinctive for a group when its in-group relative frequency
+    exceeds ``lift_num/lift_den`` × its corpus relative frequency with at
+    least ``min_count`` in-group occurrences. The lift test is evaluated
+    as an EXACT INTEGER cross-multiplication —
+    ``a·T·lift_den ≥ lift_num·t·s`` for in-group count a, group tokens s,
+    corpus term count t, total tokens T — so the flag is bit-identical in
+    any engine with no float protocol at all (the zero-float pattern from
+    ``windows.rolling_count_anomalies``). int64 holds up to ~1e18: fine
+    through a ~1e9-token in-engine corpus per a·T; at true 100 TB token
+    counts (T~1e13, a up to ~1e7 → a·T ~1e20) the comparison columns
+    should be cast to DECIMAL(38,0) — a type change, not a plan change.
+
+    Plan shape (the 100 TB path): ONE token shuffle to (group, word)
+    partial counts; the word-total table is vocab-sized (Zipf-bounded,
+    broadcastable), group totals and the grand total are group-cardinality
+    and scalar — all three derive from the partials without rescanning the
+    corpus, and join back as broadcasts. No second data-sized exchange.
+    """
+    from mapreduce_big_data_processing_spark.operators.text import tokenize
+
+    toks = tokenize(docs, text_col=text_col, keep_cols=[group_col])
+    sw = toks.groupBy(group_col, "word").agg(F.count("*").alias("term_count"))
+    # cached: three small derived tables + the probe all read the partials
+    sw = sw.cache()
+    wt = sw.groupBy("word").agg(F.sum("term_count").alias("corpus_count"))
+    st = sw.groupBy(group_col).agg(F.sum("term_count").alias("group_tokens"))
+    tot = sw.agg(F.sum("term_count").alias("total_tokens"))
+    return (
+        sw.join(F.broadcast(wt), "word")
+        .join(F.broadcast(st), group_col)
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("term_count") >= F.lit(min_count))
+            & (
+                F.col("term_count") * F.col("total_tokens") * F.lit(lift_den)
+                >= F.lit(lift_num) * F.col("corpus_count") * F.col("group_tokens")
+            )
+        )
+        .select(
+            group_col,
+            "word",
+            "term_count",
+            "corpus_count",
+            "group_tokens",
+            "total_tokens",
+        )
+    )

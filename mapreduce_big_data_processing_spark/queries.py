@@ -4810,6 +4810,43 @@ def event_type_daily_trend(spark, sf_dir):
     return WIN.count_trend(ev, "event_type", "ts", step=86400)
 
 
+@query(
+    "source_distinctive_terms",
+    """
+    WITH toks AS (
+      SELECT source, w AS word FROM (
+        SELECT source, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        FROM documents)
+      WHERE w <> ''),
+    sw AS (SELECT source, word, CAST(count(*) AS BIGINT) AS term_count
+           FROM toks GROUP BY source, word),
+    wt AS (SELECT word, CAST(sum(term_count) AS BIGINT) AS corpus_count
+           FROM sw GROUP BY word),
+    st AS (SELECT source, CAST(sum(term_count) AS BIGINT) AS group_tokens
+           FROM sw GROUP BY source),
+    tot AS (SELECT CAST(sum(term_count) AS BIGINT) AS total_tokens FROM sw)
+    SELECT sw.source, sw.word, sw.term_count, wt.corpus_count,
+           st.group_tokens, tot.total_tokens
+    FROM sw JOIN wt USING (word) JOIN st USING (source) CROSS JOIN tot
+    WHERE sw.term_count >= 5
+      AND sw.term_count * tot.total_tokens * 4
+          >= 5 * wt.corpus_count * st.group_tokens
+    """,
+)
+def source_distinctive_terms(spark, sf_dir):
+    """Keyness probe: terms ≥1.25× over-represented in a source vs the
+    whole corpus (min support 5; the synthetic corpus is near-uniform, so
+    the lift ceiling is ~1.5 — real corpora use 2-3×) — the "what is this
+    slice about?" datasheet companion to source_data_cards. The lift flag
+    is an exact integer cross-multiplication (4·a·T ≥ 5·t·s): zero float
+    protocol, like
+    hourly_count_anomalies. One token shuffle; word/group/total tables all
+    derive from the partials and join back as broadcasts. See
+    operators/textstats.py distinctive_terms."""
+    docs = _t(spark, sf_dir, "documents")
+    return TS.distinctive_terms(docs, group_col="source")
+
+
 def _pq_topk_sql(
     m: int = 8, k: int = 16, iters: int = 3, dsub: int = 8,
     n_queries: int = 10, topk: int = 10,

@@ -273,3 +273,32 @@ def test_bigram_lm_oracle_rounding_margin():
     assert {r[1] for r in rows} == {0, 1}
     worst = min(abs((r[3] * 1e6) % 1 - 0.5) for r in rows)
     assert worst * 1e-6 > 2e-11, f"rounding margin too small: {worst * 1e-6}"
+
+
+def test_distinctive_terms_hand_worked(spark):
+    """Planted keyness: 'zebra' is concentrated in group g1; common words
+    are uniform. Verify the integer lift flag against hand arithmetic."""
+    rows = [
+        ("g1", "zebra zebra zebra zebra zebra common common"),
+        ("g1", "zebra zebra zebra common common common"),
+        ("g2", "common common common common common common"),
+        ("g2", "common common common common common common common"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = TS.distinctive_terms(
+        df, group_col="source", lift_num=2, lift_den=1, min_count=5
+    )
+    got = {(r["source"], r["word"]): r for r in out.collect()}
+    # zebra in g1: a=8, s=13 group tokens, t=8 corpus, T=26 total
+    # lift = (8/13)/(8/26) = 2.0 >= 2 -> flagged, support 8 >= 5
+    assert ("g1", "zebra") in got
+    z = got[("g1", "zebra")]
+    assert (
+        z["term_count"],
+        z["corpus_count"],
+        z["group_tokens"],
+        z["total_tokens"],
+    ) == (8, 8, 13, 26)
+    # common in g2: lift = (13/13)/(18/26) = 1.44 < 2 -> not flagged
+    assert ("g2", "common") not in got
+    assert len(got) == 1

@@ -1,0 +1,70 @@
+"""Spot-verify named registry queries Spark-vs-DuckDB on a plain session.
+
+Usage: python tools_verify_queries.py <sf_dir> <name> [<name> ...]
+Mirrors the driver protocol (see .claude/skills/verify/SKILL.md): plain
+SparkSession (no builder conf), column order normalized by name, floats
+rounded to 9 decimals, sorted-row exact compare.
+"""
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 9)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main():
+    sf = sys.argv[1]
+    names = sys.argv[2:]
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        path = f"{sf}/{t}.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    qs, osql = E.queries(), E.oracle_sql()
+    fails = []
+    for name in names:
+        sdf = qs[name](spark, sf)
+        so = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+        s = sorted(
+            (tuple(norm(r[i]) for i in so) for r in sdf.collect()), key=repr
+        )
+        if name not in osql:
+            print("ROWS", name, len(s))
+            continue
+        rel = con.sql(osql[name])
+        do = sorted(range(len(rel.columns)), key=lambda i: rel.columns[i])
+        d = sorted(
+            (tuple(norm(r[i]) for i in do) for r in rel.fetchall()), key=repr
+        )
+        ok = sorted(sdf.columns) == sorted(rel.columns) and s == d
+        if not ok:
+            fails.append(name)
+            diff = [(a, b) for a, b in zip(s, d) if a != b][:3]
+            print("FAIL", name, len(s), "vs", len(d), diff)
+        else:
+            print("OK  ", name, len(s))
+    print("FAILURES:", fails)
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
