@@ -161,3 +161,59 @@ def weighted_sample(
         ),
     )
     return pri.orderBy(F.desc("priority"), F.col(key)).limit(n)
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+) -> DataFrame:
+    """Temperature-scaled multinomial mixture weights — the upstream step
+    that DERIVES the per-group rates :func:`weighted_mixture_sample`
+    consumes: p_g ∝ (size_g)^α at sampling temperature α=1/2 (the
+    low-resource-upweighting trick of mT5/XLM-R; Conneau et al. ACL'20
+    use α≈0.3, Xue et al. NAACL'21 α=0.3-0.7 — 1/2 is in-range).
+
+    α is FIXED at 1/2 deliberately: IEEE 754 requires sqrt to be
+    correctly rounded, so both engines compute bit-identical scores from
+    the identical integer sizes, while pow(x, α) is platform-libm
+    dependent (no correct-rounding guarantee) and would need a rounding
+    protocol. The normalizer folds the scores in group-name order
+    (sort_array + left fold), pinning the float addition order across
+    engines — the ordered-fold pattern the ANN oracles rely on.
+
+    Scale shape: one partial-agg shuffle to group cardinality; everything
+    after runs on the group-count-sized table.
+
+    Output: (group, n_docs, <size_col>_total, weight) with weight rounded
+    at 9 decimals on the derived ratio.
+    """
+    g = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(size_col).cast("bigint").alias(f"{size_col}_total"),
+    )
+    s = g.withColumn(
+        "__score", F.sqrt(F.col(f"{size_col}_total").cast("double"))
+    )
+    norm = s.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(group_col).alias("k"), F.col("__score").alias("v")
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("__norm")
+    )
+    return (
+        s.crossJoin(F.broadcast(norm))
+        .select(
+            group_col,
+            "n_docs",
+            f"{size_col}_total",
+            F.round(F.col("__score") / F.col("__norm"), 9).alias("weight"),
+        )
+    )

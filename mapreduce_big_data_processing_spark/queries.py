@@ -4847,6 +4847,33 @@ def source_distinctive_terms(spark, sf_dir):
     return TS.distinctive_terms(docs, group_col="source")
 
 
+@query(
+    "lang_mixture_weights",
+    """
+    WITH g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+      FROM documents GROUP BY lang),
+    s AS (SELECT lang, n_docs, n_chars_total,
+                 sqrt(CAST(n_chars_total AS DOUBLE)) AS score FROM g),
+    t AS (SELECT list_sum(list(score ORDER BY lang)) AS norm FROM s)
+    SELECT lang, n_docs, n_chars_total, round(score / t.norm, 9) AS weight
+    FROM s CROSS JOIN t
+    """,
+)
+def lang_mixture_weights(spark, sf_dir):
+    """Temperature-scaled language mixture weights (α=1/2, mT5/XLM-R
+    low-resource upweighting): p_lang ∝ sqrt(lang_chars), normalized.
+    sqrt is IEEE-correctly-rounded (bit-identical on identical integer
+    sizes in any engine) and the normalizer folds scores in lang order,
+    so the only protocol is the final 9-decimal round. See
+    operators/sampling.py temperature_mixture_weights."""
+    from mapreduce_big_data_processing_spark.operators import sampling as SP
+
+    docs = _t(spark, sf_dir, "documents")
+    return SP.temperature_mixture_weights(docs, "lang", "n_chars")
+
+
 def _pq_topk_sql(
     m: int = 8, k: int = 16, iters: int = 3, dsub: int = 8,
     n_queries: int = 10, topk: int = 10,

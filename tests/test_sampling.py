@@ -107,3 +107,40 @@ def test_weighted_sample_favors_heavy_rows_and_plans_topn(spark):
     assert heavy > 160
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_temperature_mixture_weights_math(spark):
+    """Hand-checkable α=1/2 weights: sizes 100/400 → scores 10/20 →
+    weights 1/3, 2/3; weights sum to 1 and order follows size."""
+    df = spark.createDataFrame(
+        [("a", 60), ("a", 40), ("b", 400)], "lang string, n_chars int"
+    )
+    out = {
+        r["lang"]: r
+        for r in SP.temperature_mixture_weights(df, "lang", "n_chars").collect()
+    }
+    assert out["a"]["n_docs"] == 2 and out["a"]["n_chars_total"] == 100
+    assert abs(out["a"]["weight"] - 1 / 3) < 1e-9
+    assert abs(out["b"]["weight"] - 2 / 3) < 1e-9
+
+
+def test_lang_mixture_weights_rounding_margin():
+    """No unrounded weight may sit within 1e-11 of a 1e-9 round-half
+    boundary at the gate SF (the margin rule for float-rounding
+    protocols)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    sql = entrymod.oracle_sql()["lang_mixture_weights"]
+    unrounded = sql.replace("round(score / t.norm, 9)", "score / t.norm")
+    assert unrounded != sql
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM"
+        " '/root/testdata/sf0.01/documents.parquet'"
+    )
+    rows = con.sql(unrounded).fetchall()
+    assert len(rows) == 5
+    worst = min(abs((r[3] * 1e9) % 1 - 0.5) for r in rows)
+    assert worst * 1e-9 > 1e-11, f"rounding margin too small: {worst * 1e-9}"
