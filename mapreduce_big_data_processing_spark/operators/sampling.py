@@ -163,6 +163,86 @@ def weighted_sample(
     return pri.orderBy(F.desc("priority"), F.col(key)).limit(n)
 
 
+def kcenter_coreset(
+    points: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point sampling,
+    Gonzalez 1985): pick the point farthest from the already-selected set,
+    k times — the diversity-maximizing subset selection used to seed
+    diverse training mixtures and balance semantic coverage (the
+    complement of SemDeDup-style near-dup REMOVAL: this KEEPS spread).
+
+    Deterministic protocol: the seed is the lowest id (no float argmax
+    for step 1); each later step takes argmax of the running min-distance²
+    with ties broken by id. Distances are left-fold sums over the double-
+    cast vector (the kmeans-proven fold order), so both engines compare
+    bit-identical doubles — no internal rounding protocol; only the
+    DISPLAYED dist_sq is rounded (6 dp). Points at distance 0 from the
+    selected set (exact duplicates) are never picked — they add no
+    coverage — so corpora with < k distinct vectors return fewer rows.
+
+    Scale shape: k scans of the cached point table, each against a
+    broadcast 1-row center, then a top-1 (per-partition prune + merge,
+    never a full sort). Driver state is nothing at all — the next center
+    stays a 1-row DataFrame; ``localCheckpoint`` caps lineage exactly as
+    the PageRank loop does.
+
+    Output: (step 1..k, id, dist_sq) in selection order.
+    """
+    pts = points.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    seed = (
+        pts.orderBy(F.asc(id_col))
+        .limit(1)
+        .select(
+            F.lit(1).alias("step"),
+            F.col(id_col),
+            F.col("v"),
+            F.lit(None).cast("double").alias("dist_sq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    selected = [seed]
+    cur = pts.withColumn("mind", F.lit(float("inf"))).localCheckpoint(
+        eager=True
+    )
+    for step in range(2, k + 1):
+        c = F.broadcast(selected[-1].select(F.col("v").alias("c")))
+        cur = (
+            cur.crossJoin(c)
+            .withColumn("mind", F.least(F.col("mind"), d2))
+            .drop("c")
+            .localCheckpoint(eager=True)
+        )
+        nxt = (
+            cur.filter(F.col("mind") > 0)
+            .orderBy(F.desc("mind"), F.asc(id_col))
+            .limit(1)
+            .select(
+                F.lit(step).alias("step"),
+                F.col(id_col),
+                F.col("v"),
+                F.col("mind").alias("dist_sq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        selected.append(nxt)
+    out = selected[0]
+    for s in selected[1:]:
+        out = out.unionByName(s)
+    return out.select("step", id_col, F.round("dist_sq", 6).alias("dist_sq"))
+
+
 def temperature_mixture_weights(
     df: DataFrame,
     group_col: str,

@@ -4874,6 +4874,60 @@ def lang_mixture_weights(spark, sf_dir):
     return SP.temperature_mixture_weights(docs, "lang", "n_chars")
 
 
+def _kcenter_sql(k: int = 8) -> str:
+    """Unrolled greedy farthest-point selection: k-1 (argmax, update) CTE
+    pairs. MATERIALIZED — each d{s} is read by both c{s+1} and d{s+1}
+    (the exponential-inlining rule for unrolled recurrences)."""
+
+    def d2(center: str, point: str) -> str:
+        return (
+            f"list_sum(list_transform({point}.v, (x, i) ->"
+            f" (x - {center}.v[i]) * (x - {center}.v[i])))"
+        )
+
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)",
+        "c1 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id"
+        " LIMIT 1)",
+        f"d1 AS MATERIALIZED (SELECT e.vec_id, e.v, {d2('c1', 'e')} AS mind"
+        " FROM e, c1)",
+    ]
+    for s in range(2, k + 1):
+        parts.append(
+            f"c{s} AS MATERIALIZED (SELECT vec_id, v, mind FROM d{s - 1}"
+            f" WHERE mind > 0 ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        if s < k:
+            parts.append(
+                f"d{s} AS MATERIALIZED (SELECT d.vec_id, d.v,"
+                f" least(d.mind, {d2(f'c{s}', 'd')}) AS mind"
+                f" FROM d{s - 1} d, c{s})"
+            )
+    selects = [
+        "SELECT 1 AS step, vec_id, CAST(NULL AS DOUBLE) AS dist_sq FROM c1"
+    ] + [
+        f"SELECT {s} AS step, vec_id, round(mind, 6) AS dist_sq FROM c{s}"
+        for s in range(2, k + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@query("kcenter_coreset", _kcenter_sql(k=8))
+def kcenter_coreset(spark, sf_dir):
+    """Diversity coreset: greedy farthest-point sampling of 8 embeddings
+    (Gonzalez 1985) — seed = lowest vec_id, then argmax running
+    min-distance², ties by vec_id. The oracle unrolls all 8 selections as
+    MATERIALIZED CTEs; internal comparisons run on bit-identical unrounded
+    doubles (kmeans-proven fold order), only the displayed dist_sq is
+    rounded. See operators/sampling.py kcenter_coreset."""
+    from mapreduce_big_data_processing_spark.operators import sampling as SP
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return SP.kcenter_coreset(emb, k=8)
+
+
 def _pq_topk_sql(
     m: int = 8, k: int = 16, iters: int = 3, dsub: int = 8,
     n_queries: int = 10, topk: int = 10,

@@ -144,3 +144,27 @@ def test_lang_mixture_weights_rounding_margin():
     assert len(rows) == 5
     worst = min(abs((r[3] * 1e9) % 1 - 0.5) for r in rows)
     assert worst * 1e-9 > 1e-11, f"rounding margin too small: {worst * 1e-9}"
+
+
+def test_kcenter_coreset_hand_worked(spark):
+    """Points on a line: seed = lowest id (x=0), then FPS alternates ends
+    and bisects — selection order and distances are hand-derivable."""
+    pts = [(i, [float(x)]) for i, x in enumerate([0.0, 10.0, 4.0, 6.0, 0.0])]
+    df = spark.createDataFrame(pts, "vec_id bigint, embedding array<float>")
+    got = [
+        (r["step"], r["vec_id"], r["dist_sq"])
+        for r in SP.kcenter_coreset(df, k=4).orderBy("step").collect()
+    ]
+    # seed id0 (x=0); farthest is x=10 (d2=100); then x=4 (mind 16 vs
+    # x=6's 16 -> wait: x=4: min(16,36)=16; x=6: min(36,16)=16; tie ->
+    # lower id wins (id2, x=4); then x=6: min(36,16,4)=4.
+    # id4 duplicates x=0 (mind=0) and is never selected.
+    assert got == [(1, 0, None), (2, 1, 100.0), (3, 2, 16.0), (4, 3, 4.0)]
+
+
+def test_kcenter_coreset_fewer_distinct_than_k(spark):
+    """With duplicates, only distinct-coverage points are selectable."""
+    pts = [(0, [0.0]), (1, [0.0]), (2, [5.0])]
+    df = spark.createDataFrame(pts, "vec_id bigint, embedding array<float>")
+    got = SP.kcenter_coreset(df, k=4).orderBy("step").collect()
+    assert [(r["step"], r["vec_id"]) for r in got] == [(1, 0), (2, 2)]
