@@ -6121,6 +6121,9 @@ _PRIORITY = [
     "span_stripped_docs",
     "doc_containment_pairs",
     "streaming_dedup_counts",
+    "source_distinctive_terms",
+    "lang_mixture_weights",
+    "kcenter_coreset",
 ]
 
 
