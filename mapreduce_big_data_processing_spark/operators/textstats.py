@@ -551,6 +551,50 @@ def bigram_lm_cross_entropy(
     )
 
 
+def ngram_diversity(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Word n-gram type/token diversity per group — the low-diversity /
+    templated-source detector (mode-collapse check for synthetic or
+    boilerplate-heavy sources in a training mix; the corpus-level
+    companion of the per-doc Gopher repetition filters in
+    :func:`repetition_scores`).
+
+    Emits EXACT INTEGER sufficient statistics (zero-float protocol):
+    distinct n-grams (types), total n-grams (tokens), and singletons
+    (n-grams seen once). Type/token ratio and singleton share derive
+    from them; a templated source shows low distinct/total and a low
+    singleton share.
+
+    Plan shape: n-grams are built scan-side with ``arrays_zip`` over
+    shifted slices (codegen'd, shuffle-free — the bigram-LM pattern),
+    then ONE shuffle to (group, gram) counts; the per-group rollup runs
+    on the gram-count-sized table. Short docs (< n tokens) contribute
+    nothing (slice length clamped at 0, exploded empty).
+    """
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda w: w != ""
+    )
+    cnt = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    grams = F.arrays_zip(*[F.slice(ws, i + 1, cnt) for i in range(n)])
+    g = docs.select(group_col, F.explode(grams).alias("g")).select(
+        group_col, *[F.col("g")[str(i)].alias(f"w{i + 1}") for i in range(n)]
+    )
+    sg = g.groupBy(group_col, *[f"w{i + 1}" for i in range(n)]).agg(
+        F.count("*").alias("c")
+    )
+    return sg.groupBy(group_col).agg(
+        F.count("*").alias("distinct_ngrams"),
+        F.sum("c").cast("bigint").alias("total_ngrams"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("singleton_ngrams"),
+    )
+
+
 def distinctive_terms(
     docs: DataFrame,
     group_col: str = "source",

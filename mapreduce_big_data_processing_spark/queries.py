@@ -4848,6 +4848,38 @@ def source_distinctive_terms(spark, sf_dir):
 
 
 @query(
+    "source_ngram_diversity",
+    """
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS ws
+      FROM documents),
+    grams AS (
+      SELECT source, ws[CAST(i AS INT)] AS w1, ws[CAST(i + 1 AS INT)] AS w2,
+             ws[CAST(i + 2 AS INT)] AS w3
+      FROM toks CROSS JOIN LATERAL
+        (SELECT unnest(range(1, len(ws) - 1)) AS i) u),
+    sg AS (SELECT source, w1, w2, w3, CAST(count(*) AS BIGINT) AS c
+           FROM grams GROUP BY source, w1, w2, w3)
+    SELECT source, CAST(count(*) AS BIGINT) AS distinct_ngrams,
+           CAST(sum(c) AS BIGINT) AS total_ngrams,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS singleton_ngrams
+    FROM sg GROUP BY source
+    """,
+)
+def source_ngram_diversity(spark, sf_dir):
+    """Trigram type/token diversity per source — the templated /
+    mode-collapsed-source detector. Exact integer sufficient statistics
+    (types, tokens, singletons): zero float protocol. Trigrams built
+    scan-side via arrays_zip slices (shuffle-free), one (source, gram)
+    shuffle. See operators/textstats.py ngram_diversity."""
+    docs = _t(spark, sf_dir, "documents")
+    return TS.ngram_diversity(docs, group_col="source", n=3)
+
+
+@query(
     "lang_mixture_weights",
     """
     WITH g AS (

@@ -302,3 +302,28 @@ def test_distinctive_terms_hand_worked(spark):
     # common in g2: lift = (13/13)/(18/26) = 1.44 < 2 -> not flagged
     assert ("g2", "common") not in got
     assert len(got) == 1
+
+
+def test_ngram_diversity_hand_worked(spark):
+    """Trigram types/tokens/singletons on a planted templated group:
+    g_tmpl repeats one trigram; g_div has all-distinct trigrams."""
+    rows = [
+        ("g_tmpl", "a b c a b c a b c"),  # 7 trigrams: abc x3, bca x2, cab x2
+        ("g_div", "p q r s t"),  # 3 trigrams, all singletons
+        ("g_div", "x y"),  # too short -> contributes nothing
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in TS.ngram_diversity(df, n=3).collect()}
+    t = out["g_tmpl"]
+    assert (
+        t["distinct_ngrams"],
+        t["total_ngrams"],
+        t["singleton_ngrams"],
+    ) == (3, 7, 0)
+    d = out["g_div"]
+    assert (
+        d["distinct_ngrams"],
+        d["total_ngrams"],
+        d["singleton_ngrams"],
+    ) == (3, 3, 3)
+    assert len(out) == 2
