@@ -6156,6 +6156,7 @@ _PRIORITY = [
     "source_distinctive_terms",
     "lang_mixture_weights",
     "kcenter_coreset",
+    "source_ngram_diversity",
 ]
 
 
