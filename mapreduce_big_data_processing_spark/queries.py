@@ -5736,6 +5736,70 @@ def streaming_session_counts(spark, sf_dir):
 
 
 @query(
+    "streaming_interval_join_counts",
+    """
+    SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM events v JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    GROUP BY v.user_id
+    """,
+)
+def streaming_interval_join_counts(spark, sf_dir):
+    """§2.10 — STREAM-STREAM interval join run through Structured
+    Streaming: views and purchases read as two bounded file streams of the
+    same replay, inner-joined on user with the purchase constrained to
+    [view_ts, view_ts + 1 h] (`interval_join_stream` — the time bound +
+    watermarks are what let both sides' join state expire; the batch
+    analogue is temporal.range_join). Inner stream-stream joins emit
+    eagerly — the watermark only drives state EVICTION — so with an
+    eviction horizon spanning the whole bounded replay (60 days; a
+    multi-file replay is not time-ordered, see streaming_dedup_counts)
+    the joined append stream is exact. Joined rows land in a memory sink;
+    the per-user pair counts are rolled up in batch (a second stateful
+    agg on top of a stream-stream join would need multi-stateful
+    support). Oracle: the identical self-join in batch SQL."""
+    from pyspark.sql import types as T
+
+    from mapreduce_big_data_processing_spark.streaming import windows as SW
+
+    src = _work_dir(spark, "stream_ivj")
+    ev = _t(spark, sf_dir, "events")
+    ev.select("event_id", "ts", "user_id", "event_type", "value").repartitionByRange(
+        4, "ts"
+    ).write.mode("overwrite").parquet(src)
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    views = SW.read_event_stream(
+        spark, src, schema=T.StructType.fromDDL(schema), max_files_per_trigger=1
+    ).filter(F.col("event_type") == "view")
+    buys = SW.read_event_stream(
+        spark, src, schema=T.StructType.fromDDL(schema), max_files_per_trigger=1
+    ).filter(F.col("event_type") == "purchase")
+    joined = SW.interval_join_stream(
+        views, buys, key="user_id", upper="1 hour", watermark="60 days"
+    )
+    name = "mbdp_stream_ivj_tbl"
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        SW.run_to_memory(joined, name, output_mode="append")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+    return (
+        spark.table(name)
+        .groupBy(F.col("l_key").alias("user_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+@query(
     "streaming_dedup_counts",
     """
     SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_events
@@ -6157,6 +6221,7 @@ _PRIORITY = [
     "lang_mixture_weights",
     "kcenter_coreset",
     "source_ngram_diversity",
+    "streaming_interval_join_counts",
 ]
 
 
