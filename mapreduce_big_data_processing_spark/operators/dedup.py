@@ -65,6 +65,56 @@ def exact_dedup(
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    existing_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingest exact dedup: classify every document of a NEW
+    batch against the historical fingerprint index AND within the batch —
+    the continuous-ingest shape of :func:`exact_dedup` (a daily crawl
+    drop deduped against everything already accepted; re-running over
+    history from scratch at 100 TB is the anti-pattern this replaces).
+
+    ``existing_fps`` is any DataFrame with a ``fingerprint`` column (the
+    persisted index; the accepted corpus's fingerprints at worst). Status
+    per new doc: ``dup_of_history`` (fingerprint already accepted) >
+    ``dup_in_batch`` (not historical, but a smaller-id batch sibling has
+    the same fingerprint) > ``kept``. History wins over batch-canonical
+    so retries converge: re-ingesting an already-accepted batch marks
+    every row ``dup_of_history``.
+
+    Scale shape: one shuffle of the (id, fingerprint) projection of the
+    NEW batch (small by definition) against the index on fingerprint —
+    the index side is pre-groupable/bucketable by fingerprint so only the
+    batch genuinely moves; the within-batch canonical is a batch-sized
+    groupBy sharing the same key.
+    """
+    fp = new_docs.select(
+        F.col(id_col), content_fingerprint(F.col(text_col)).alias("fingerprint")
+    ).cache()
+    hist = (
+        existing_fps.select("fingerprint")
+        .distinct()
+        .withColumn("__in_hist", F.lit(1))
+    )
+    canon = fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("batch_canonical")
+    )
+    return (
+        fp.join(hist, "fingerprint", "left")
+        .join(canon, "fingerprint")
+        .withColumn(
+            "status",
+            F.when(F.col("__in_hist") == 1, F.lit("dup_of_history"))
+            .when(F.col(id_col) != F.col("batch_canonical"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept")),
+        )
+        .select(id_col, "fingerprint", "status")
+    )
+
+
 def shingles(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -4880,6 +4880,53 @@ def source_ngram_diversity(spark, sf_dir):
 
 
 @query(
+    "incremental_ingest_dedup",
+    """
+    WITH tagged AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS fingerprint,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                || 'ing'), 1, 15)) AS BIGINT)
+                       / 1152921504606846976.0 < 0.75
+                  THEN 1 ELSE 0 END AS is_existing
+      FROM documents),
+    hist AS (SELECT DISTINCT fingerprint FROM tagged WHERE is_existing = 1),
+    newb AS (SELECT doc_id, fingerprint FROM tagged WHERE is_existing = 0),
+    canon AS (SELECT fingerprint, min(doc_id) AS batch_canonical
+              FROM newb GROUP BY fingerprint)
+    SELECT n.doc_id, n.fingerprint,
+           CASE WHEN h.fingerprint IS NOT NULL THEN 'dup_of_history'
+                WHEN n.doc_id <> c.batch_canonical THEN 'dup_in_batch'
+                ELSE 'kept' END AS status
+    FROM newb n
+    LEFT JOIN hist h ON n.fingerprint = h.fingerprint
+    JOIN canon c ON n.fingerprint = c.fingerprint
+    """,
+)
+def incremental_ingest_dedup(spark, sf_dir):
+    """Continuous-ingest exact dedup: a deterministic 25% hash-slice of
+    the corpus plays the NEW daily batch, the other 75%'s fingerprints
+    play the persisted index; every new doc is classified
+    dup_of_history > dup_in_batch > kept (history wins so retried
+    ingests converge). Only the batch-sized side shuffles. Zero-float
+    (md5 + string statuses). See operators/dedup.py incremental_dedup."""
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+    from mapreduce_big_data_processing_spark.operators.curation import _unit_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    is_existing = _unit_hash(
+        F.concat(F.col("doc_id").cast("string"), F.lit("ing"))
+    ) < F.lit(0.75)
+    existing = docs.filter(is_existing)
+    new_batch = docs.filter(~is_existing)
+    hist = existing.select(
+        D.content_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    return D.incremental_dedup(new_batch, hist)
+
+
+@query(
     "lang_mixture_weights",
     """
     WITH g AS (
@@ -6222,6 +6269,7 @@ _PRIORITY = [
     "kcenter_coreset",
     "source_ngram_diversity",
     "streaming_interval_join_counts",
+    "incremental_ingest_dedup",
 ]
 
 

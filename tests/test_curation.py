@@ -365,3 +365,35 @@ def test_containment_pairs_detects_embedded_doc(spark):
     # Jaccard would be 3/(3+19-3) < 0.2, below any near-dup threshold
     jac = D.jaccard_pairs(sh, min_jaccard=0.5).collect()
     assert not any(p["id_a"] == 1 and p["id_b"] == 2 for p in jac)
+
+
+def test_incremental_dedup_statuses(spark):
+    """All three statuses, with history taking precedence over the
+    within-batch canonical (retried ingests converge)."""
+    new = spark.createDataFrame(
+        [
+            (10, "already accepted"),  # in history -> dup_of_history
+            (11, "brand new text"),  # unique -> kept
+            (12, "twice in batch"),  # batch canonical -> kept
+            (13, "twice in batch"),  # larger id -> dup_in_batch
+            (14, "already  ACCEPTED "),  # canon-equal to history
+        ],
+        "doc_id bigint, text string",
+    )
+    hist_docs = spark.createDataFrame(
+        [(1, "Already Accepted")], "doc_id bigint, text string"
+    )
+    hist = hist_docs.select(
+        D.content_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in D.incremental_dedup(new, hist).collect()
+    }
+    assert got == {
+        10: "dup_of_history",
+        11: "kept",
+        12: "kept",
+        13: "dup_in_batch",
+        14: "dup_of_history",
+    }
