@@ -453,3 +453,31 @@ def test_bloom_probe_rides_the_big_scan(spark, sf_dir):
     probe = plan.index("xxhash64")  # the probe filter's hash expressions
     scan = plan.index("FileScan parquet", probe)
     assert "Exchange" not in plan[probe:scan]
+
+
+def test_distinctive_terms_broadcasts_derived_totals(spark, sf_dir):
+    """The data-sized path shuffles ONCE to (source, word) partials; the
+    word/group/grand totals derive from the partials and must come back
+    as broadcasts, never as shuffle joins."""
+    plan = _plan(spark, sf_dir, "source_distinctive_terms")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert _count(plan, "BroadcastHashJoin") >= 2  # wt + st probes
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row grand total
+
+
+def test_ngram_diversity_gram_build_is_scan_side(spark, sf_dir):
+    """Trigrams ride the documents scan (arrays_zip slices — no window
+    exchange, no per-gram shuffle before the count): the only exchanges
+    are the (source, gram) count and the tiny per-source rollup."""
+    plan = _plan(spark, sf_dir, "source_ngram_diversity")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Window" not in plan
+
+
+def test_incremental_dedup_batch_sized_shuffles_only(spark, sf_dir):
+    """The new batch joins the fingerprint index and its own canonical on
+    the fingerprint key — no join may materialize corpus×corpus, and the
+    doc scan count is bounded (fp projection cached, history projection)."""
+    plan = _plan(spark, sf_dir, "incremental_ingest_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,107 @@
+"""Full-registry parity sweep at an arbitrary fixture dir.
+
+Usage: python tools_sweep.py <sf_dir> [oracle_timeout_sec]
+Runs every registered query Spark-vs-DuckDB with the driver-protocol
+compare (column order normalized, floats rounded to 9 dp). Oracle SQL is
+correctness-shaped (unrolled replays) and can be intractable at large
+multipliers — a per-oracle interrupt timeout records those honestly as
+ORACLE_TIMEOUT instead of hanging the sweep.
+"""
+
+import math
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 9)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main():
+    sf = sys.argv[1]
+    oracle_timeout = float(sys.argv[2]) if len(sys.argv) > 2 else 150.0
+    only = sys.argv[3:]
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        path = f"{sf}/{t}.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    qs, osql = E.queries(), E.oracle_sql()
+    names = only or sorted(qs)
+    ok = fails = timeouts = errors = 0
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            sdf = qs[name](spark, sf)
+            so = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+            s = sorted(
+                (tuple(norm(r[i]) for i in so) for r in sdf.collect()),
+                key=repr,
+            )
+        except Exception as e:
+            errors += 1
+            print(f"SPARK_ERR {name}: {e}", flush=True)
+            continue
+        if name not in osql:
+            print(f"ROWS {name} {len(s)}", flush=True)
+            continue
+        timer = threading.Timer(oracle_timeout, con.interrupt)
+        timer.start()
+        try:
+            rel = con.sql(osql[name])
+            do = sorted(range(len(rel.columns)), key=lambda i: rel.columns[i])
+            d = sorted(
+                (tuple(norm(r[i]) for i in do) for r in rel.fetchall()),
+                key=repr,
+            )
+        except Exception as e:
+            timeouts += 1
+            print(
+                f"ORACLE_TIMEOUT {name} ({type(e).__name__}:"
+                f" {str(e)[:80]})",
+                flush=True,
+            )
+            continue
+        finally:
+            timer.cancel()
+        good = sorted(sdf.columns) == sorted(rel.columns) and s == d
+        if good:
+            ok += 1
+        else:
+            fails += 1
+            diff = [(a, b) for a, b in zip(s, d) if a != b][:2]
+            print(
+                f"FAIL {name} {len(s)} vs {len(d)} {diff}", flush=True
+            )
+            continue
+        print(
+            f"OK {name} {len(s)} ({time.perf_counter() - t0:.1f}s)",
+            flush=True,
+        )
+    print(
+        f"SWEEP ok={ok} fail={fails} oracle_timeout={timeouts}"
+        f" spark_err={errors} total={len(names)}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
