@@ -486,3 +486,72 @@ def test_bloom_semi_join_equals_plain_semi_join(spark, big_keys, small_keys, blo
     got = sorted(map(tuple, B.bloom_semi_join(big, small, "k", num_blocks=blocks).collect()))
     want = sorted(map(tuple, big.join(small.distinct(), "k", "left_semi").collect()))
     assert got == want
+
+
+@given(docs=DOCS, split=st.integers(min_value=0, max_value=7))
+@_slow
+def test_incremental_dedup_consistent_with_exact_dedup(spark, docs, split):
+    """Incremental classification must agree with batch-wide exact dedup
+    of the union: a new doc is dup_of_history iff its fingerprint occurs
+    in the history slice; among the rest, exactly one keeper per
+    fingerprint (the min id), everything else dup_in_batch."""
+    df = _mkdocs(spark, docs)
+    hist_docs = df.filter(F.col("doc_id") < split)
+    new_docs = df.filter(F.col("doc_id") >= split)
+    if new_docs.rdd.isEmpty():
+        return
+    hist = hist_docs.select(
+        D.content_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    got = D.incremental_dedup(new_docs, hist).collect()
+    # python model
+    import hashlib
+
+    def canon_fp(t):
+        return hashlib.md5(" ".join(t.lower().split()).encode()).hexdigest()
+
+    hist_fps = {canon_fp(t) for _, t in hist_docs.select("doc_id", "text").collect()}
+    new_rows = sorted((r["doc_id"], canon_fp(r["text"])) for r in new_docs.collect())
+    keeper: dict = {}
+    expect = {}
+    for i, fp in new_rows:
+        if fp in hist_fps:
+            expect[i] = "dup_of_history"
+        elif fp in keeper:
+            expect[i] = "dup_in_batch"
+        else:
+            keeper[fp] = i
+            expect[i] = "kept"
+    assert {r["doc_id"]: r["status"] for r in got} == expect
+
+
+@given(docs=DOCS)
+@_slow
+def test_ngram_diversity_matches_python_model(spark, docs):
+    """Trigram types/tokens/singletons equal a direct Python count, and
+    the operator is partition-invariant."""
+    from collections import Counter
+
+    df = _mkdocs(spark, docs).withColumn(
+        "source", (F.col("doc_id") % 2).cast("string")
+    )
+    from mapreduce_big_data_processing_spark.operators import textstats as TS
+
+    got = {
+        r["source"]: (
+            r["distinct_ngrams"], r["total_ngrams"], r["singleton_ngrams"]
+        )
+        for r in TS.ngram_diversity(df.repartition(5), n=3).collect()
+    }
+    model: dict = {}
+    for i, ws in enumerate(docs):
+        src = str(i % 2)
+        c = model.setdefault(src, Counter())
+        for j in range(len(ws) - 2):
+            c[tuple(ws[j : j + 3])] += 1
+    expect = {
+        s: (len(c), sum(c.values()), sum(1 for v in c.values() if v == 1))
+        for s, c in model.items()
+        if c
+    }
+    assert got == expect

@@ -34,7 +34,15 @@ def main():
 
     import __spark_entry__ as E
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    # gate-SF parity uses a plain session (tools_verify_queries.py); the
+    # scale sweep needs a real heap — 1 g default dies at 10× fixtures
+    mem = os.environ.get("SPARK_GRAFT_SWEEP_MEM", "16g")
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.driver.memory", mem)
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in (
