@@ -28,6 +28,9 @@ PICKS = {
     "bloom_filtered_orders": "blocked-Bloom pruned semi-join: codegen probe (BHJ on block index + mask test) directly over the orders scan",
     "word_triangle_counts": "degree-oriented triangle counting: joined-degree orientation, wedge self-join on the anchor, no global rank window",
     "weighted_doc_sample": "integer-exact weighted sampling: per-row ticket-max projection + TakeOrderedAndProject",
+    "source_distinctive_terms": "keyness: one (source, word) exchange; word/group/grand totals rejoin as broadcasts (BHJ + 1-row BNLJ)",
+    "source_ngram_diversity": "trigram diversity: grams built scan-side (arrays_zip slices), one (source, gram) exchange + tiny rollup",
+    "incremental_ingest_dedup": "incremental dedup: batch-sized fingerprint projection joins the index and its own canonical on one key",
 }
 
 
