@@ -5847,6 +5847,58 @@ def streaming_interval_join_counts(spark, sf_dir):
 
 
 @query(
+    "streaming_enriched_cohort_counts",
+    """
+    WITH dim AS (SELECT DISTINCT user_id, user_id % 10 AS cohort
+                 FROM events)
+    SELECT d.cohort, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY d.cohort
+    """,
+)
+def streaming_enriched_cohort_counts(spark, sf_dir):
+    """§2.10 — stream-STATIC broadcast enrichment (the reference's
+    distributed-cache replicated join, J2, in streaming form): the event
+    replay joins a static cohort dimension via `enrich_stream` — the dim
+    is broadcast per micro-batch and holds ZERO streaming state, the only
+    join shape that adds no state at 100 TB/day. Enriched rows land in a
+    memory sink (append; a stateless join needs no watermark at all) and
+    are rolled up per cohort in batch. Oracle: the identical batch
+    join + rollup."""
+    from pyspark.sql import types as T
+
+    from mapreduce_big_data_processing_spark.streaming import windows as SW
+
+    src = _work_dir(spark, "stream_enrich")
+    ev = _t(spark, sf_dir, "events")
+    ev.select("event_id", "ts", "user_id", "event_type", "value").repartitionByRange(
+        4, "ts"
+    ).write.mode("overwrite").parquet(src)
+
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("cohort", (F.col("user_id") % 10))
+    )
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    stream = SW.read_event_stream(
+        spark, src, schema=T.StructType.fromDDL(schema), max_files_per_trigger=2
+    )
+    enriched = SW.enrich_stream(stream, dim, key="user_id", how="inner")
+    name = "mbdp_stream_enrich_tbl"
+    SW.run_to_memory(enriched, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+@query(
     "streaming_dedup_counts",
     """
     SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_events
@@ -6270,6 +6322,7 @@ _PRIORITY = [
     "source_ngram_diversity",
     "streaming_interval_join_counts",
     "incremental_ingest_dedup",
+    "streaming_enriched_cohort_counts",
 ]
 
 
