@@ -200,3 +200,86 @@ def kll_quantile_rollup(
         for q in quantiles
     ]
     return merged.select(*rollup_keys, *qs)
+
+
+def _cm_bucket(key: "F.Column", seed: "F.Column", width: int) -> "F.Column":
+    """Row hash for Count-Min: top-15-hex-digit md5 of "key#seed" mod
+    width. md5 is the one keyed hash every SQL engine evaluates
+    identically, so the oracle replays the exact bucket arithmetic."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", key.cast("string"), seed.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(width))
+
+
+def count_min_table(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 64,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, J.Alg'05) counter table:
+    one row per non-empty (cm_row, bucket) cell with its count.
+
+    The sketch is d*w integers TOTAL regardless of key cardinality — the
+    frequency twin of the HLL pattern above: build once per ingest batch
+    with one scan (the explode is map-side; partial aggregation collapses
+    each partition to <= d*w cells before the only shuffle), then MERGE
+    forever by adding tables cell-wise (`count_min_merge`). Point
+    estimates never overcount by less than the true frequency and
+    overcount only via collisions: est >= true always, a one-sided bound
+    the estimate query exposes alongside exact counts.
+    """
+    seeds = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("cm_row")
+    return (
+        df.select(F.col(key_col).alias("__k"))
+        .select("__k", seeds)
+        .select(
+            "cm_row",
+            _cm_bucket(F.col("__k"), F.col("cm_row"), width).alias("bucket"),
+        )
+        .groupBy("cm_row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_merge(*tables: DataFrame) -> DataFrame:
+    """Merge Count-Min tables built with the same (depth, width): cell-wise
+    sum — associative/commutative, so partial-aggregates map-side."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("cm_row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def count_min_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 64,
+    est_col: str = "est",
+) -> DataFrame:
+    """Point-frequency estimates: min over the sketch's d cells for each
+    key. The counter table is sketch-sized (<= d*w rows), so it broadcasts;
+    the probe is a BHJ against the (small or large) key table — no shuffle
+    of the keys."""
+    seeds = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("cm_row")
+    probes = keys.select(F.col(key_col), seeds).withColumn(
+        "bucket", _cm_bucket(F.col(key_col), F.col("cm_row"), width)
+    )
+    return (
+        probes.join(F.broadcast(counters), ["cm_row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(est_col))
+    )

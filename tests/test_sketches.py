@@ -229,3 +229,50 @@ def test_streaming_kll_quantiles_match_batch(spark, sf_dir, tmp_path):
         for target, est in [(0.5, got[et][0]), (0.95, got[et][1])]:
             rank = bisect.bisect_left(xs, est) / len(xs)
             assert abs(rank - target) <= 0.04, (et, target, rank, est)
+
+
+def test_count_min_overestimates_and_merges(spark, sf_dir):
+    """CM invariants: est >= exact for EVERY key (one-sided error), and
+    merge-of-parts equals the single-pass sketch cell-for-cell (the
+    mergeable-ingest contract)."""
+    ev = catalog.load(spark, "events", sf_dir)
+    cm = SK.count_min_table(ev, "user_id", depth=3, width=32)
+    keys = ev.select("user_id").distinct()
+    est = {
+        r["user_id"]: r["est"]
+        for r in SK.count_min_estimate(cm, keys, "user_id", 3, 32).collect()
+    }
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    # width collapse forces collisions: at least one key must overcount
+    tiny = SK.count_min_table(ev, "user_id", depth=2, width=4)
+    est_tiny = {
+        r["user_id"]: r["est"]
+        for r in SK.count_min_estimate(tiny, keys, "user_id", 2, 4).collect()
+    }
+    if len(exact) > 4:
+        assert any(est_tiny[k] > exact[k] for k in exact)
+
+    halves = [
+        SK.count_min_table(ev.filter(F.col("event_id") % 2 == i), "user_id", 3, 32)
+        for i in (0, 1)
+    ]
+    merged = {
+        (r["cm_row"], r["bucket"]): r["cnt"]
+        for r in SK.count_min_merge(*halves).collect()
+    }
+    single = {(r["cm_row"], r["bucket"]): r["cnt"] for r in cm.collect()}
+    assert merged == single
+
+
+def test_count_min_estimate_unseen_key_is_zero_or_collision(spark):
+    df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 3, ["k"])
+    cm = SK.count_min_table(df, "k", depth=3, width=64)
+    keys = spark.createDataFrame([("a",), ("b",), ("never",)], ["k"])
+    est = {r["k"]: r["est"] for r in SK.count_min_estimate(cm, keys, "k", 3, 64).collect()}
+    assert est["a"] == 5 and est["b"] == 3
+    assert est["never"] in (0, 3, 5, 8)  # 0 unless all d cells collide
