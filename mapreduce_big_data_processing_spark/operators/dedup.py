@@ -643,3 +643,86 @@ def containment_pairs(
             F.col("size_b").cast("bigint").alias("size_b"),
         )
     )
+
+
+def prefix_filtered_jaccard_pairs(
+    doc_shingles: DataFrame,
+    id_col: str = "doc_id",
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """EXACT Jaccard threshold join via a LOSSLESS prefix filter
+    (Chaudhuri et al. ICDE'06; the PPJoin family, Xiao et al. WWW'08).
+
+    Any pair with J(A, B) >= t = t_num/t_den must share a token within the
+    first ``|A| - ceil(t*|A|) + 1`` tokens of A under ANY global token
+    order (pigeonhole: missing all of them leaves fewer than t*|A| tokens
+    to overlap). Ordering tokens by ASCENDING document frequency puts the
+    RAREST tokens in the prefix, so the inverted index that generates
+    candidates drops every frequent head token — at 100 TB that is the
+    difference between an index on 'the' (quadratic candidate blowup) and
+    an index on near-unique shingles. Unlike MinHash/LSH this path is
+    exact: the threshold test is integer cross-multiplication
+    ``t_den * inter >= t_num * union`` — no float, no recall loss, so the
+    all-pairs SQL oracle checks it verbatim.
+
+    Shuffles: token-df groupBy, df join back (on shingle), per-doc window
+    (on id), prefix self-join (on shingle, prefix rows only), candidate
+    verification joins. The verification is candidate-first like
+    ``jaccard_pairs(candidates=...)``: work scales with surviving
+    candidates, not with every co-occurring pair.
+
+    Output: (id_a, id_b, inter, union_sz) — all integers (zero-float
+    protocol). Reference parity: the exact, scalable twin of the
+    inverted-index Jaccard join (`ngram_jaccard_pairs`).
+    """
+    from pyspark.sql import Window
+
+    sizes = doc_shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    tok_df = doc_shingles.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    ranked = (
+        doc_shingles.join(tok_df, "shingle")
+        .join(sizes, id_col)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("__df", "shingle")
+            ),
+        )
+    )
+    # prefix length = sz - ceil(t*sz) + 1, all integer:
+    # ceil(t_num*sz/t_den) = floor((t_num*sz + t_den - 1) / t_den)
+    ceil_t_sz = F.floor(
+        (F.lit(t_num) * F.col("sz") + F.lit(t_den - 1)) / F.lit(t_den)
+    )
+    prefix = ranked.filter(
+        F.col("__rn") <= F.col("sz") - ceil_t_sz + F.lit(1)
+    ).select(id_col, "shingle")
+    cand = (
+        prefix.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(prefix.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = doc_shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = doc_shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .filter(
+            F.lit(t_den) * F.col("inter") >= F.lit(t_num) * F.col("union_sz")
+        )
+        .select("id_a", "id_b", "inter", "union_sz")
+    )

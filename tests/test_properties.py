@@ -555,3 +555,49 @@ def test_ngram_diversity_matches_python_model(spark, docs):
         if c
     }
     assert got == expect
+
+
+def test_prefix_filter_is_lossless(spark):
+    """PPJoin pigeonhole property: the prefix-filtered exact Jaccard join
+    returns EXACTLY the pairs the naive all-pairs join returns, on a
+    corpus engineered with heavy shared head tokens (where a lossy filter
+    would show) and verified against a pure-Python model."""
+    from itertools import combinations
+
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "the quick brown fox leaps over the lazy dog",
+        "a completely different document about spark shuffles",
+        "a completely different document about spark joins",
+        "the the the the the the the the",
+        "short one",
+        "short two",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    sh = D.shingles(docs, k=3)
+    got = {
+        (r["id_a"], r["id_b"], r["inter"], r["union_sz"])
+        for r in D.prefix_filtered_jaccard_pairs(sh, t_num=1, t_den=3).collect()
+    }
+
+    py_sets = {
+        r["doc_id"]: set()
+        for r in docs.select("doc_id").collect()
+    }
+    for r in sh.collect():
+        py_sets[r["doc_id"]].add(r["shingle"])
+    want = set()
+    for a, b in combinations(sorted(py_sets), 2):
+        sa, sb = py_sets[a], py_sets[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        if 3 * inter >= 1 * union:
+            want.add((a, b, inter, union))
+    assert got == want
