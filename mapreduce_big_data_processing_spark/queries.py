@@ -4985,7 +4985,7 @@ def _kcenter_sql(k: int = 8) -> str:
                 f" FROM d{s - 1} d, c{s})"
             )
     selects = [
-        "SELECT 1 AS step, vec_id, CAST(NULL AS DOUBLE) AS dist_sq FROM c1"
+        "SELECT 1 AS step, vec_id, CAST(0.0 AS DOUBLE) AS dist_sq FROM c1"
     ] + [
         f"SELECT {s} AS step, vec_id, round(mind, 6) AS dist_sq FROM c{s}"
         for s in range(2, k + 1)
@@ -6323,6 +6323,9 @@ _PRIORITY = [
     "streaming_interval_join_counts",
     "incremental_ingest_dedup",
     "streaming_enriched_cohort_counts",
+    "user_freq_countmin",
+    "prefix_jaccard_pairs",
+    "ann_recall_eval",
 ]
 
 
@@ -6513,6 +6516,160 @@ def doc_length_auc(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return ML.rank_auc(docs, "n_chars", "lang", "en")
+
+
+@query(
+    "user_freq_countmin",
+    """
+    WITH seeds AS (SELECT * FROM (VALUES (0), (1), (2)) AS s(seed)),
+    c AS (
+      SELECT seed,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#'
+                                      || CAST(seed AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 64 AS bucket,
+             count(*) AS cnt
+      FROM events CROSS JOIN seeds GROUP BY 1, 2),
+    ex AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id),
+    top AS (SELECT user_id, exact_n FROM ex
+            ORDER BY exact_n DESC, user_id LIMIT 20),
+    probe AS (
+      SELECT t.user_id, s.seed,
+             CAST(('0x' || substr(md5(CAST(t.user_id AS VARCHAR) || '#'
+                                      || CAST(s.seed AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 64 AS bucket
+      FROM top t CROSS JOIN seeds s),
+    est AS (SELECT p.user_id, min(c.cnt) AS est
+            FROM probe p JOIN c ON c.seed = p.seed AND c.bucket = p.bucket
+            GROUP BY 1)
+    SELECT t.user_id, e.est, t.exact_n
+    FROM top t JOIN est e ON t.user_id = e.user_id
+    """,
+)
+def user_freq_countmin(spark, sf_dir):
+    """Count-Min point-frequency estimates for the 20 heaviest users,
+    alongside exact counts (est >= exact_n always; the gap IS the
+    collision error at d=3, w=64 over 150+ users). The sketch is the
+    mergeable, fixed-size (d*w integers) answer to "how often does key X
+    occur" at 100 TB — the frequency twin of the HLL reach cube and the
+    verify step of the MG heavy-hitter pass (`heavy_hitter_users`). Hash
+    rows are md5-derived so the oracle replays every bucket exactly; all
+    output columns are integers (zero-float protocol)."""
+    from mapreduce_big_data_processing_spark.operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events")
+    cm = SK.count_min_table(ev, "user_id", depth=3, width=64)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("user_id")).limit(20)
+    est = SK.count_min_estimate(
+        cm, top.select("user_id"), "user_id", depth=3, width=64
+    )
+    return top.join(est, "user_id").select("user_id", "est", "exact_n")
+
+
+@query(
+    "prefix_jaccard_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS union_sz
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 2 * inter >= sa.sz + sb.sz - inter
+    """,
+)
+def prefix_jaccard_pairs(spark, sf_dir):
+    """EXACT Jaccard>=0.5 shingle-set join via the LOSSLESS prefix filter
+    (Chaudhuri et al. ICDE'06 / PPJoin, Xiao et al. WWW'08): candidates
+    come only from each doc's |A|-ceil(t|A|)+1 RAREST shingles under the
+    global ascending-df order, so the inverted index drops every frequent
+    head token — the exact-threshold scale path beside MinHash/LSH
+    (`minhash_lsh_pairs`), with zero recall loss. The oracle is the naive
+    ALL-PAIRS join: hash-matching it proves losslessness end-to-end. The
+    threshold test is integer cross-multiplication (2*inter >= union);
+    output is all-integer (zero-float protocol)."""
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingles(docs, k=3)
+    return D.prefix_filtered_jaccard_pairs(sh, t_num=1, t_den=2)
+
+
+@query(
+    "ann_recall_eval",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v, {_plane_bucket_sql(_seeded_planes(), "v")} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM s WHERE vec_id < 10),
+    brute AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_dot_product(qv, c.v) /
+                   (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id) AS rank
+        FROM q JOIN e c ON c.vec_id <> q.query_id)
+      WHERE rank <= 10),
+    ann AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_dot_product(qv, c.v) /
+                   (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id) AS rank
+        FROM q JOIN s c USING (bucket) WHERE c.vec_id <> q.query_id)
+      WHERE rank <= 10),
+    hits AS (
+      SELECT b.query_id, count(*) AS ann_hits
+      FROM brute b JOIN ann a ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+      GROUP BY 1),
+    n_ann AS (SELECT query_id, count(*) AS n_ann FROM ann GROUP BY 1)
+    SELECT q.query_id,
+           CAST(coalesce(h.ann_hits, 0) AS INT) AS ann_hits,
+           CAST(coalesce(n.n_ann, 0) AS INT) AS n_ann
+    FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+    LEFT JOIN n_ann n ON n.query_id = q.query_id
+    """,
+)
+def ann_recall_eval(spark, sf_dir):
+    """ANN quality harness: per-query recall@10 sufficient statistics of
+    the hyperplane-LSH path against the exact brute-force baseline —
+    the measurement a pipeline runs BEFORE trusting an approximate index
+    at 100 TB (recall = ann_hits/10; n_ann < 10 exposes thin buckets).
+    Both retrievals are the registered operators (`similarity_topk`,
+    `lsh_similarity_topk`); the overlap count is engine-agnostic because
+    both engines produce the identical top-k SETS (those queries
+    hash-match), so the eval is all-integer (zero-float protocol)."""
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = S.brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
+    ann = S.lsh_topk(emb, q, _seeded_planes(), k=10).select(
+        "query_id", "vec_id"
+    )
+    hits = brute.join(ann, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("ann_hits")
+    )
+    n_ann = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .join(n_ann, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("ann_hits"), F.lit(0)).cast("int").alias("ann_hits"),
+            F.coalesce(F.col("n_ann"), F.lit(0)).cast("int").alias("n_ann"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

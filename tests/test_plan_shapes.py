@@ -481,3 +481,20 @@ def test_incremental_dedup_batch_sized_shuffles_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "incremental_ingest_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_jaccard_no_cartesian(spark, sf_dir):
+    """The prefix-filtered Jaccard join must stay an equi-join pipeline:
+    no cartesian/nested-loop anywhere (the lossless filter is pointless
+    if the planner degrades to all-pairs)."""
+    plan = _plan(spark, sf_dir, "prefix_jaccard_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_count_min_estimate_probe_is_broadcast(spark, sf_dir):
+    """The CM counter table is sketch-sized (<= d*w rows): the estimate
+    probe must broadcast it — the key table never shuffles for the
+    lookup."""
+    plan = _plan(spark, sf_dir, "user_freq_countmin")
+    assert "BroadcastHashJoin" in plan
