@@ -208,7 +208,11 @@ def kcenter_coreset(
             F.lit(1).alias("step"),
             F.col(id_col),
             F.col("v"),
-            F.lit(None).cast("double").alias("dist_sq"),
+            # 0.0, not NULL: a NULL mixed into a float column breaks
+            # naive row-sort comparators (the driver protocol sorts
+            # columns BY NAME, putting dist_sq first) — and the seed's
+            # distance-to-selected-set is genuinely 0 once it's selected
+            F.lit(0.0).alias("dist_sq"),
         )
         .localCheckpoint(eager=True)
     )

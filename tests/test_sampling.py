@@ -159,7 +159,7 @@ def test_kcenter_coreset_hand_worked(spark):
     # x=6's 16 -> wait: x=4: min(16,36)=16; x=6: min(36,16)=16; tie ->
     # lower id wins (id2, x=4); then x=6: min(36,16,4)=4.
     # id4 duplicates x=0 (mind=0) and is never selected.
-    assert got == [(1, 0, None), (2, 1, 100.0), (3, 2, 16.0), (4, 3, 4.0)]
+    assert got == [(1, 0, 0.0), (2, 1, 100.0), (3, 2, 16.0), (4, 3, 4.0)]
 
 
 def test_kcenter_coreset_fewer_distinct_than_k(spark):
