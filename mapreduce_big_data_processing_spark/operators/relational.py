@@ -368,3 +368,97 @@ def check_constraints(df: DataFrame, rules: Sequence[tuple[str, Column]]) -> Dat
         for name, _ in rules
     ]
     return row.select(F.explode(F.array(*per_rule)).alias("r")).select("r.*")
+
+
+def exact_order_statistics(
+    df: DataFrame,
+    value_col: str,
+    fractions: "tuple[float, ...]" = (0.25, 0.5, 0.75),
+    bins: int = 1024,
+) -> DataFrame:
+    """EXACT order statistics (value at rank floor(n*f) in the sorted
+    multiset) WITHOUT a total-order sort — the distributed selection
+    algorithm (Blum et al.'s problem in two scan-sized passes):
+
+      1. one scan: (min, max, count) + a ``bins``-cell histogram of the
+         value range. Driver state is O(bins) integers — model-sized,
+         like a codebook, never data-sized.
+      2. cumulative counts locate each target rank's bin; ONE more pass
+         filters to just those bins (~n/bins rows each) and ranks inside
+         them (window per bin) — the only exchange moves the target
+         bins' rows, a ``len(fractions)/bins`` fraction of the data.
+
+    A total sort would range-shuffle the WHOLE table; percentile_approx
+    avoids that but is approximate. This is the exact answer at
+    sample-the-bins cost. Binning arithmetic is engine-internal only:
+    the result is the sorted-multiset value, independent of how bins
+    split it (ties land in one bin; values come straight from the data
+    with no arithmetic, so any engine reproduces them bit-for-bit).
+
+    Output: (rank bigint, value) — one row per requested fraction,
+    rank = max(floor(n*f), 1), duplicates collapsed.
+    """
+    vc = F.col(value_col)
+    mn, mx, n = df.agg(
+        F.min(vc).cast("double"), F.max(vc).cast("double"), F.count(F.lit(1))
+    ).first()
+    if not n:
+        raise ValueError("exact_order_statistics: empty input")
+    ranks = sorted({max(int(n * f), 1) for f in fractions})
+    if mn == mx:  # degenerate range: every row is the answer
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [(r, mn) for r in ranks], f"rank bigint, {value_col} double"
+        )
+    span = mx - mn
+    bin_expr = F.least(
+        F.lit(bins - 1),
+        F.floor((vc.cast("double") - F.lit(mn)) / F.lit(span) * F.lit(bins)),
+    ).cast("int")
+    hist = {
+        r["__bin"]: r["cnt"]
+        for r in df.select(bin_expr.alias("__bin"))
+        .groupBy("__bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    targets = []  # (rank, bin, rank within bin)
+    for rank in ranks:
+        cum = 0
+        for b in range(bins):
+            c = hist.get(b, 0)
+            if cum + c >= rank:
+                targets.append((rank, b, rank - cum))
+                break
+            cum += c
+    need = sorted({b for _, b, _ in targets})
+    from pyspark.sql import Window
+
+    ranked = (
+        df.select(vc.cast("double").alias("__v"), bin_expr.alias("__bin"))
+        .filter(F.col("__bin").isin(need))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__bin").orderBy("__v")
+            ),
+        )
+    )
+    picks = F.array(
+        *[
+            F.struct(F.lit(b).alias("b"), F.lit(lr).alias("lr"), F.lit(rank).alias("rank"))
+            for rank, b, lr in targets
+        ]
+    )
+    hit = F.filter(
+        picks,
+        lambda p: (p["b"] == F.col("__bin")) & (p["lr"] == F.col("__rn")),
+    )
+    return (
+        ranked.withColumn("__hit", hit)
+        .filter(F.size("__hit") > 0)
+        .select(
+            F.explode("__hit").alias("p"), F.col("__v").alias(value_col)
+        )
+        .select(F.col("p.rank").cast("bigint").alias("rank"), value_col)
+    )

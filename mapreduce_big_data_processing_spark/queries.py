@@ -6326,6 +6326,7 @@ _PRIORITY = [
     "user_freq_countmin",
     "prefix_jaccard_pairs",
     "ann_recall_eval",
+    "exact_value_quartiles",
 ]
 
 
@@ -6670,6 +6671,31 @@ def ann_recall_eval(spark, sf_dir):
             F.coalesce(F.col("n_ann"), F.lit(0)).cast("int").alias("n_ann"),
         )
     )
+
+
+@query(
+    "exact_value_quartiles",
+    """
+    WITH n AS (SELECT count(*) AS n FROM events),
+    r AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM events),
+    t AS (SELECT DISTINCT greatest(CAST(floor(n.n * f.f) AS BIGINT), 1) AS rank
+          FROM n, (SELECT unnest([0.25, 0.5, 0.75]) AS f) f)
+    SELECT t.rank, r.value FROM t JOIN r ON r.rn = t.rank
+    """,
+)
+def exact_value_quartiles(spark, sf_dir):
+    """EXACT quartile values of events.value by distributed selection —
+    two scan-sized passes (histogram, then rank inside only the target
+    bins) instead of the total-order sort the oracle's row_number needs.
+    The values come straight from the data with no arithmetic, so both
+    engines emit identical doubles (the quantile twin of `top_customers`'
+    exactness vs `approx_value_percentiles`' sketch). Fractions are
+    binary (1/4, 1/2, 3/4): n*f is float-exact, so floor() agrees across
+    engines at any n."""
+    from mapreduce_big_data_processing_spark.operators import relational as R
+
+    ev = _t(spark, sf_dir, "events")
+    return R.exact_order_statistics(ev, "value", fractions=(0.25, 0.5, 0.75))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

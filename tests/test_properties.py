@@ -601,3 +601,27 @@ def test_prefix_filter_is_lossless(spark):
         if 3 * inter >= 1 * union:
             want.add((a, b, inter, union))
     assert got == want
+
+
+def test_exact_order_statistics_matches_sorted_model(spark):
+    """Distributed selection == value at rank in the fully sorted multiset,
+    including heavy ties, n < bins, and a degenerate constant column."""
+    from mapreduce_big_data_processing_spark.operators import relational as R
+
+    vals = [5.0, 1.0, 3.0, 3.0, 3.0, 9.0, 2.0, 3.0, 7.0, 1.0, 8.0]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    fr = (0.25, 0.5, 0.75)
+    got = {
+        r["rank"]: r["value"]
+        for r in R.exact_order_statistics(df, "value", fr, bins=4).collect()
+    }
+    sv = sorted(vals)
+    want = {max(int(len(vals) * f), 1): sv[max(int(len(vals) * f), 1) - 1] for f in fr}
+    assert got == want
+
+    const = spark.createDataFrame([(2.5,)] * 6, "value double")
+    got_c = {
+        r["rank"]: r["value"]
+        for r in R.exact_order_statistics(const, "value", fr, bins=8).collect()
+    }
+    assert got_c == {1: 2.5, 3: 2.5, 4: 2.5}
