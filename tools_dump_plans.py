@@ -31,6 +31,9 @@ PICKS = {
     "source_distinctive_terms": "keyness: one (source, word) exchange; word/group/grand totals rejoin as broadcasts (BHJ + 1-row BNLJ)",
     "source_ngram_diversity": "trigram diversity: grams built scan-side (arrays_zip slices), one (source, gram) exchange + tiny rollup",
     "incremental_ingest_dedup": "incremental dedup: batch-sized fingerprint projection joins the index and its own canonical on one key",
+    "prefix_jaccard_pairs": "PPJoin prefix filter: df join + per-doc rank window, candidates from prefix-token equi-join only, no cartesian",
+    "user_freq_countmin": "Count-Min: map-side-collapsed (row,bucket) agg; estimate probe = BHJ against the sketch-sized counter table",
+    "exact_value_quartiles": "distributed selection: histogram agg pass + rank window over ONLY the target bins (isin pushdown at the scan)",
 }
 
 
