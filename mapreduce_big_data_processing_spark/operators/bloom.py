@@ -77,22 +77,42 @@ def build_bloom(
     if num_blocks & (num_blocks - 1):
         raise ValueError(f"num_blocks must be a power of two, got {num_blocks}")
     k = F.col(key)
+    bits = F.bit_or("__bloom_mask").alias(
+        # sizing rides along as column metadata: a probe with DIFFERENT
+        # sizing computes different block indexes and silently drops true
+        # matches, so the probe side adopts (or verifies) these values.
+        "__bloom_bits",
+        metadata={"num_blocks": num_blocks, "num_hashes": num_hashes},
+    )
     return (
         small.select(
             _block(k, num_blocks).alias("__bloom_block"),
             _mask(k, num_hashes).alias("__bloom_mask"),
         )
         .groupBy("__bloom_block")
-        .agg(F.bit_or("__bloom_mask").alias("__bloom_bits"))
+        .agg(bits)
     )
+
+
+def _filter_sizing(filter_df: DataFrame) -> tuple[int, int] | None:
+    """Sizing recorded by :func:`build_bloom` in the filter's schema
+    metadata, or None for a filter built elsewhere (e.g. read back from
+    parquet through a path that drops metadata)."""
+    try:
+        md = filter_df.schema["__bloom_bits"].metadata or {}
+    except KeyError:
+        return None
+    if "num_blocks" in md and "num_hashes" in md:
+        return int(md["num_blocks"]), int(md["num_hashes"])
+    return None
 
 
 def bloom_semi_join(
     big: DataFrame,
     small: DataFrame,
     key: str,
-    num_blocks: int = 1 << 17,
-    num_hashes: int = 4,
+    num_blocks: int | None = None,
+    num_hashes: int | None = None,
     filter_df: DataFrame | None = None,
 ) -> DataFrame:
     """``big LEFTSEMI small ON key`` with a scan-side blocked-Bloom
@@ -108,8 +128,37 @@ def bloom_semi_join(
 
     Pass ``filter_df`` (a ``build_bloom`` result, possibly persisted) to
     reuse one filter across many queries — the explicit-reuse advantage
-    over Spark's per-query runtime bloom pushdown.
+    over Spark's per-query runtime bloom pushdown. The probe's block/mask
+    arithmetic must use the SIZING THE FILTER WAS BUILT WITH (a mismatch
+    computes different block indexes and silently drops true matches), so
+    the probe ADOPTS the sizing recorded in the filter's schema metadata;
+    explicitly passing a conflicting num_blocks/num_hashes raises. For a
+    filter whose metadata was stripped (e.g. round-tripped through a
+    writer that drops it), pass the build sizing explicitly.
     """
+    if filter_df is not None:
+        rec = _filter_sizing(filter_df)
+        if rec is not None:
+            rb, rh = rec
+            if num_blocks is not None and num_blocks != rb:
+                raise ValueError(
+                    f"bloom_semi_join: filter was built with num_blocks={rb} "
+                    f"but probe asked for {num_blocks} — block indexes would "
+                    "disagree and true matches would be dropped"
+                )
+            if num_hashes is not None and num_hashes != rh:
+                raise ValueError(
+                    f"bloom_semi_join: filter was built with num_hashes={rh} "
+                    f"but probe asked for {num_hashes}"
+                )
+            num_blocks, num_hashes = rb, rh
+        elif num_blocks is None or num_hashes is None:
+            raise ValueError(
+                "bloom_semi_join: filter_df carries no sizing metadata — "
+                "pass the num_blocks/num_hashes it was built with"
+            )
+    num_blocks = 1 << 17 if num_blocks is None else num_blocks
+    num_hashes = 4 if num_hashes is None else num_hashes
     words = filter_df if filter_df is not None else build_bloom(
         small, key, num_blocks, num_hashes
     )

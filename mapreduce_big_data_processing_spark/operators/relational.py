@@ -398,13 +398,34 @@ def exact_order_statistics(
     Output: (rank bigint, value) — one row per requested fraction,
     rank = max(floor(n*f), 1), duplicates collapsed.
     """
+    import math
+    from fractions import Fraction
+
     vc = F.col(value_col)
-    mn, mx, n = df.agg(
-        F.min(vc).cast("double"), F.max(vc).cast("double"), F.count(F.lit(1))
+    mn, mx, n, n_nonnull = df.agg(
+        F.min(vc).cast("double"),
+        F.max(vc).cast("double"),
+        F.count(F.lit(1)),
+        F.count(vc),
     ).first()
     if not n:
         raise ValueError("exact_order_statistics: empty input")
-    ranks = sorted({max(int(n * f), 1) for f in fractions})
+    if n_nonnull != n:
+        # NULLs fall out of the histogram but would inflate n, so a rank
+        # could point past the cumulative mass and silently return no row.
+        raise ValueError(
+            f"exact_order_statistics: {value_col} contains "
+            f"{n - n_nonnull} NULLs — filter them before calling"
+        )
+    # rank = floor(n*f) computed over RATIONALS: float truncation int(n*f)
+    # disagrees with the mathematical floor for non-binary fractions
+    # (n=10, f=0.7: int(10*0.7) == 6 because 0.7 < 7/10 in binary).
+    ranks = sorted(
+        {
+            max(math.floor(Fraction(f).limit_denominator(10**9) * n), 1)
+            for f in fractions
+        }
+    )
     if mn == mx:  # degenerate range: every row is the answer
         spark = df.sparkSession
         return spark.createDataFrame(

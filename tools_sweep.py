@@ -95,9 +95,16 @@ def main():
             ok += 1
         else:
             fails += 1
-            diff = [(a, b) for a, b in zip(s, d) if a != b][:2]
+            # symmetric difference, not positional zip: one inserted or
+            # missing row misaligns every later positional pair (and zip
+            # truncates on count mismatch)
+            ds, ss = set(d), set(s)
+            only_s = [r for r in s if r not in ds][:2]
+            only_d = [r for r in d if r not in ss][:2]
             print(
-                f"FAIL {name} {len(s)} vs {len(d)} {diff}", flush=True
+                f"FAIL {name} {len(s)} vs {len(d)}"
+                f" spark-only={only_s} oracle-only={only_d}",
+                flush=True,
             )
             continue
         print(
