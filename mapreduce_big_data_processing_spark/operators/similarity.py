@@ -488,6 +488,7 @@ def embedding_near_dup(
     plane_tables: list[list[list[float]]] | None = None,
     block_rows: int = 4096,
     max_exact_rows: int = 100_000,
+    max_bucket_rows: int = 8192,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
 
@@ -516,10 +517,17 @@ def embedding_near_dup(
         # The kernel's quadratic term — the similarity matrix — is TILED:
         # block pairs of ≤``block_rows`` rows bound it (128 MB at the 4096
         # default) regardless of bucket size, so a degenerate bucket (every
-        # doc identical) degrades to more tiles, not an OOM. The linear term (the bucket's raw
-        # vectors arriving as one pandas group) is the remaining bound;
-        # plane count is the knob for that, since AQE skew splitting does
-        # not apply inside a pandas group.
+        # doc identical) degrades to more tiles, not an OOM. The LINEAR
+        # term (a bucket's raw vectors arriving as one pandas group) is
+        # bounded by ``max_bucket_rows``: buckets above it are salted into
+        # ceil(n/max_bucket_rows) sub-buckets by id hash and verified as
+        # within-sub plus cross-sub-pair groups — every pair lands in
+        # exactly one (min(sub_a,sub_b), max(sub_a,sub_b)) group, so the
+        # output is identical while no pandas group ever receives more
+        # than ~2·max_bucket_rows vectors (AQE cannot split inside a
+        # pandas group; this does it structurally). Oversized buckets are
+        # found by a cheap counting pre-pass (signature projection only,
+        # no vectors shuffled) whose >cap survivors broadcast back.
         import numpy as np  # noqa: F401 (worker-side import below)
 
         sig = F.array(
@@ -532,28 +540,59 @@ def embedding_near_dup(
         )
         thr = float(threshold)
         blk = int(block_rows)
+        cap = int(max_bucket_rows)
 
-        def verify(pdf):
+        over = (
+            corpus.select(
+                F.col(id_col).alias("__id"),
+                F.posexplode(sig).alias("table_id", "bucket"),
+            )
+            .groupBy("table_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .filter(F.col("__cnt") > cap)
+            .select(
+                "table_id",
+                "bucket",
+                F.ceil(F.col("__cnt") / cap).cast("int").alias("__ns"),
+            )
+        )
+        tagged = (
+            bucketed.join(F.broadcast(over), ["table_id", "bucket"], "left")
+            .withColumn("__ns", F.coalesce("__ns", F.lit(1)))
+            .withColumn(
+                "__sub",
+                F.pmod(F.xxhash64("__id"), F.col("__ns")).cast("int"),
+            )
+        )
+        groups = F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__ns") - 1),
+                lambda o: F.struct(
+                    F.least(F.col("__sub"), o).alias("ga"),
+                    F.greatest(F.col("__sub"), o).alias("gb"),
+                ),
+            )
+        )
+        expanded = tagged.select(
+            "table_id", "bucket", "__id", "__v", "__sub", groups.alias("g")
+        ).select("table_id", "bucket", "__id", "__v", "__sub", "g.ga", "g.gb")
+
+        def _tile_pairs(ids_a, Va, na, ids_b, Vb, nb, triangular):
             import numpy as np
             import pandas as pd
 
-            if len(pdf) < 2:
-                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-            ids = pdf["__id"].to_numpy()
-            V = np.vstack(pdf["__v"].to_numpy()).astype("float64")
-            n = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
-            m = len(ids)
             outs = []
-            for i0 in range(0, m, blk):
-                A = V[i0 : i0 + blk]
-                for j0 in range(i0, m, blk):
+            for i0 in range(0, len(ids_a), blk):
+                A = Va[i0 : i0 + blk]
+                j_start = i0 if triangular else 0
+                for j0 in range(j_start, len(ids_b), blk):
                     # dot/(na*nb), NOT (a/|a|)·(b/|b|): matches the oracle's
                     # expression order bit-for-bit so threshold comparisons
                     # agree at float-ulp boundaries.
-                    G = (A @ V[j0 : j0 + blk].T) / np.outer(
-                        n[i0 : i0 + blk], n[j0 : j0 + blk]
+                    G = (A @ Vb[j0 : j0 + blk].T) / np.outer(
+                        na[i0 : i0 + blk], nb[j0 : j0 + blk]
                     )
-                    if j0 == i0:  # diagonal tile: upper triangle only
+                    if triangular and j0 == i0:  # diagonal: upper triangle
                         ia, ib = np.triu_indices(len(A), 1)
                     else:
                         ia, ib = np.indices(G.shape).reshape(2, -1)
@@ -561,17 +600,44 @@ def embedding_near_dup(
                     ia, ib = ia[keep], ib[keep]
                     if len(ia) == 0:
                         continue
-                    a, b = ids[i0 + ia], ids[j0 + ib]
+                    a, b = ids_a[i0 + ia], ids_b[j0 + ib]
                     lo, hi = np.minimum(a, b), np.maximum(a, b)
                     outs.append(
                         pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": G[ia, ib]})
                     )
+            return outs
+
+        def verify(pdf):
+            import numpy as np
+            import pandas as pd
+
+            empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            if len(pdf) < 2:
+                return empty
+            ga, gb = int(pdf["ga"].iloc[0]), int(pdf["gb"].iloc[0])
+            if ga == gb:  # within one sub-bucket: triangular
+                ids = pdf["__id"].to_numpy()
+                V = np.vstack(pdf["__v"].to_numpy()).astype("float64")
+                n = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
+                outs = _tile_pairs(ids, V, n, ids, V, n, triangular=True)
+            else:  # cross sub-buckets: full rectangle between the sides
+                sa = pdf[pdf["__sub"] == ga]
+                sb = pdf[pdf["__sub"] == gb]
+                if len(sa) == 0 or len(sb) == 0:
+                    return empty
+                ids_a = sa["__id"].to_numpy()
+                Va = np.vstack(sa["__v"].to_numpy()).astype("float64")
+                na = np.maximum(np.linalg.norm(Va, axis=1), 1e-12)
+                ids_b = sb["__id"].to_numpy()
+                Vb = np.vstack(sb["__v"].to_numpy()).astype("float64")
+                nb = np.maximum(np.linalg.norm(Vb, axis=1), 1e-12)
+                outs = _tile_pairs(ids_a, Va, na, ids_b, Vb, nb, triangular=False)
             if not outs:
-                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+                return empty
             return pd.concat(outs, ignore_index=True)
 
         id_type = dict(corpus.dtypes)[id_col]
-        cand = bucketed.groupBy("table_id", "bucket").applyInPandas(
+        cand = expanded.groupBy("table_id", "bucket", "ga", "gb").applyInPandas(
             verify, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
         )
         # a pair colliding in >1 table appears once per table with an

@@ -2607,7 +2607,11 @@ def _seeded_planes(n_planes: int = 3, dim: int = 64, seed: int = 42) -> list[lis
 #: embedding_near_dup query and its DuckDB oracle (deterministic planes →
 #: deterministic buckets → the SQL oracle reproduces the candidate set
 #: exactly, so a recall<1 ANN path still hash-matches).
-_NEAR_DUP_TABLES = [_seeded_planes(n_planes=4, seed=s) for s in (42, 43, 44, 45)]
+#: 8 planes/table = 256 buckets/table — the SCALE-SANE config promoted to
+#: default in r4 (BENCH_SCALE.md: 6.3× faster than 4 planes at the 100×
+#: corpus, recall 1.0 on planted near-duplicates; the extra planes prune
+#: only the irreducible low-cosine random tail).
+_NEAR_DUP_TABLES = [_seeded_planes(n_planes=8, seed=s) for s in (42, 43, 44, 45)]
 
 
 def _plane_bucket_sql(planes: list[list[float]], vcol: str = "v") -> str:
@@ -2648,13 +2652,17 @@ def _near_dup_lsh_sql(tables: list[list[list[float]]], threshold: float) -> str:
 @query("embedding_near_dup", _near_dup_lsh_sql(_NEAR_DUP_TABLES, 0.45))
 def embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs — OR-amplified multi-table
-    hyperplane LSH (4 independent 4-plane tables) as the REGISTERED
-    default: one shuffle on (table_id, bucket), candidates verified by
-    exact cosine, and NO driver-side collect of the corpus (the exact
-    all-pairs path survives only as test-side oracle verification in
-    tests/test_similarity.py). Deterministic seeded planes make the
-    candidate set reproducible, so the DuckDB oracle replays the identical
-    bucketing and the row set hash-matches despite recall<1 vs exact."""
+    hyperplane LSH (4 independent 8-PLANE tables, the scale-sane config
+    promoted to default in r4 per the r3 verdict: 6.3× faster than 4
+    planes at the 100× corpus, recall 1.0 on planted near-duplicates) as
+    the REGISTERED default: one shuffle on (table_id, bucket), candidates
+    verified by exact cosine inside sub-bucket-capped pandas groups
+    (similarity.embedding_near_dup max_bucket_rows), and NO driver-side
+    collect of the corpus (the exact all-pairs path survives only as
+    test-side oracle verification in tests/test_similarity.py).
+    Deterministic seeded planes make the candidate set reproducible, so
+    the DuckDB oracle replays the identical bucketing and the row set
+    hash-matches despite recall<1 vs exact."""
     from mapreduce_big_data_processing_spark.operators import similarity as S
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2662,29 +2670,31 @@ def embedding_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-#: the measured scale config (BENCH_SCALE.md): 8 planes/table = 256
-#: buckets/table — 6.3× faster than 4 planes at the 100× corpus with
-#: recall 1.0 on the planted near-duplicates (the extra planes prune only
-#: the irreducible low-cosine random tail)
-_NEAR_DUP_TABLES_SCALED = [_seeded_planes(n_planes=8, seed=s) for s in (42, 43, 44, 45)]
+#: the pre-r4 default: 4 planes/table = 16 buckets/table. Kept registered
+#: (as the DENSE-bucket variant) so the bucket-size/recall tradeoff stays
+#: oracle-checked: more collisions → more candidates verified → slower,
+#: with the extra pairs being only low-cosine tail below the threshold.
+_NEAR_DUP_TABLES_DENSE = [_seeded_planes(n_planes=4, seed=s) for s in (42, 43, 44, 45)]
 
 
 @query(
-    "embedding_near_dup_scaled",
-    _near_dup_lsh_sql(_NEAR_DUP_TABLES_SCALED, 0.45),
+    "embedding_near_dup_dense",
+    _near_dup_lsh_sql(_NEAR_DUP_TABLES_DENSE, 0.45),
 )
-def embedding_near_dup_scaled(spark, sf_dir):
-    """`embedding_near_dup` at the production plane count: same operator,
-    8 planes per table (the bucket-size knob BENCH_SCALE.md measured — 6.3×
-    faster at 200 k vectors, recall 1.0 on actual near-duplicates). Registered
-    separately so the SCALE-TUNED config is oracle-checked too, not just the
-    small-fixture one: the oracle replays this bucketing's candidate set
-    exactly from the same plane literals."""
+def embedding_near_dup_dense(spark, sf_dir):
+    """`embedding_near_dup` at the DENSE bucket config (4 planes/table =
+    16 buckets/table — the pre-r4 default, demoted per the r3 verdict:
+    bucket size grows ∝ n at fixed planes, so the per-bucket verify turns
+    quadratic at scale; BENCH_SCALE.md measured 6.3× slower than 8 planes
+    at the 100× corpus with identical recall on real near-duplicates).
+    Registered so the tradeoff config stays oracle-checked: the oracle
+    replays this bucketing's candidate set exactly from the same plane
+    literals."""
     from mapreduce_big_data_processing_spark.operators import similarity as S
 
     emb = _t(spark, sf_dir, "embeddings")
     out = S.embedding_near_dup(
-        emb, threshold=0.45, plane_tables=_NEAR_DUP_TABLES_SCALED
+        emb, threshold=0.45, plane_tables=_NEAR_DUP_TABLES_DENSE
     )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 

@@ -63,7 +63,7 @@ _COMPONENT_REPS = {
             "ivf_similarity_topk", "pq_similarity_topk"},
     "quality": {"quality_scores", "doc_repetition_scores", "doc_ngram_repetition"},
     "textstats": {"language_id", "token_stats", "doc_fingerprints"},
-    "embedding near-dup": {"embedding_near_dup", "embedding_near_dup_scaled"},
+    "embedding near-dup": {"embedding_near_dup", "embedding_near_dup_dense"},
     "sketches": {"heavy_hitter_users", "monthly_user_reach_hll",
                  "event_type_user_overlap", "value_quantile_rollup",
                  "approx_value_percentiles"},

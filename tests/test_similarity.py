@@ -158,6 +158,28 @@ def test_near_dup_multitable_recall(spark, sf_dir):
     assert len(rows) == len({(r.id_a, r.id_b) for r in rows})
 
 
+def test_near_dup_bucket_cap_identical_pairs(spark, sf_dir):
+    """Sub-bucket salting of oversized verify groups (max_bucket_rows)
+    must not change the pair set: every pair lands in exactly one
+    (min(sub_a,sub_b), max(sub_a,sub_b)) group. A tiny cap forces the
+    salted path on every bucket (the forced-skew case)."""
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    tables = [_seeded_planes(n_planes=4, seed=s) for s in (42, 43, 44, 45)]
+    uncapped = {
+        (r.id_a, r.id_b, round(r.cosine, 9))
+        for r in S.embedding_near_dup(
+            emb, threshold=0.45, plane_tables=tables, max_bucket_rows=10**9
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, round(r.cosine, 9))
+        for r in S.embedding_near_dup(
+            emb, threshold=0.45, plane_tables=tables, max_bucket_rows=7
+        ).collect()
+    }
+    assert capped == uncapped and len(capped) > 0
+
+
 def test_embedding_near_dup_lsh_path_is_subset(spark, sf_dir):
     emb = catalog.load(spark, "embeddings", sf_dir)
     exact = {
