@@ -208,6 +208,7 @@ def knn_classify(
     weighted: bool = False,
     method: str = "auto",
     max_broadcast_queries: int = 100_000,
+    max_broadcast_pairs: int = 10_000_000_000,
     planes: list | None = None,
     n_probe: int | None = None,
 ) -> DataFrame:
@@ -222,11 +223,15 @@ def knn_classify(
     instead of 1, so a single very-close neighbor can outvote two distant
     ones — same plan shape, only the vote aggregate changes.
 
-    Large test sides: ``method='auto'`` does ONE bounded collect of the
-    test matrix and switches to the LSH-bucketed scorer when it exceeds
-    ``max_broadcast_queries`` — there the test side stays a TABLE end to
-    end (probe expansion is an Arrow stage, scoring a bucket equi-join),
-    so a 100 TB test table never reaches the driver. ``method='lsh'``
+    Large inputs: ``method='auto'`` routes by COST — it broadcasts only
+    when the test side fits the driver (``max_broadcast_queries``) AND
+    the |test|·|train| score-matrix work is affordable
+    (``max_broadcast_pairs``); otherwise it switches to the LSH-bucketed
+    scorer, where the test side stays a TABLE end to end (probe
+    expansion is an Arrow stage, scoring a bucket equi-join), so a
+    100 TB test table never reaches the driver — and a small test set
+    against a 100 TB train table no longer triggers a full quadratic
+    scan just because the row-count gate passed. ``method='lsh'``
     forces that path with zero driver collects (requires ``planes``).
     ``n_probe`` defaults to 2**len(planes) — every bucket probed, which
     makes the LSH route EXACT (same answer as the broadcast path), at the
@@ -243,8 +248,17 @@ def knn_classify(
     q = test.select(F.col(id_col).alias("__tid"), F.col(vec_col))
     q_rows = None
     if method == "auto":
+        # COST-based routing (r3 verdict #7), not a bare row-count gate:
+        # the broadcast path's work is the |test|·|train| score matrix, so
+        # a small test side against a huge train side must still route to
+        # LSH. |test| comes from the bounded collect (also the broadcast
+        # payload); |train| from a count — one column-pruned scan, noise
+        # against the matmul it sizes. The collect cap still applies
+        # independently (the driver must hold the test matrix at all).
         q_rows = q.limit(max_broadcast_queries + 1).collect()
-        if len(q_rows) <= max_broadcast_queries:
+        n_train = train.count()
+        pairs = len(q_rows) * n_train
+        if len(q_rows) <= max_broadcast_queries and pairs <= max_broadcast_pairs:
             method = "broadcast"
         else:
             method = "lsh"

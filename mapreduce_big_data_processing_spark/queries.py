@@ -2768,6 +2768,59 @@ def hive_style_sql_join(spark, sf_dir):
 
 
 @query(
+    "hive_compound_types",
+    """
+    WITH d AS (SELECT lang, source,
+                      length(coalesce(text, '')) AS len,
+                      length(replace(coalesce(text, ''), ' ', '')) AS len_nows
+               FROM documents),
+    t AS (SELECT lang AS tag, len, len_nows FROM d
+          UNION ALL SELECT source, len, len_nows FROM d
+          UNION ALL SELECT 'corpus', len, len_nows FROM d)
+    SELECT tag, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len) AS BIGINT) AS sum_len,
+           CAST(sum(len_nows) AS BIGINT) AS sum_len_nows
+    FROM t GROUP BY tag
+    """,
+)
+def hive_compound_types(spark, sf_dir):
+    """S11 — Hive COMPOUND column types (`ppt/Ch6-HBase与Hive程序设计.pdf
+    p.47`: array/map/struct columns in CREATE TABLE): a managed table is
+    SAVED with an array<string> column (tags) and a map<string,bigint>
+    column (props), then queried in SQL through LATERAL VIEW explode on
+    the array and element_at on the map — the two access paths the
+    reference's DDL chapter teaches. The oracle replays the nested
+    construction flat (each doc contributes its lang/source/'corpus'
+    tags; props carries text length with and without spaces), so a wrong
+    array order, map key, or explode multiplicity all hash-mismatch."""
+    from mapreduce_big_data_processing_spark.sources import writers as WR
+
+    docs = _t(spark, sf_dir, "documents")
+    compound = docs.select(
+        "doc_id",
+        F.array(F.col("lang"), F.col("source"), F.lit("corpus")).alias("tags"),
+        F.create_map(
+            F.lit("len"),
+            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("bigint"),
+            F.lit("len_nows"),
+            F.length(
+                F.replace(F.coalesce(F.col("text"), F.lit("")), F.lit(" "), F.lit(""))
+            ).cast("bigint"),
+        ).alias("props"),
+    )
+    WR.save_as_table(compound, "mbdp_doc_compound")
+    return spark.sql(
+        """
+        SELECT tag, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(element_at(props, 'len')) AS BIGINT) AS sum_len,
+               CAST(sum(element_at(props, 'len_nows')) AS BIGINT) AS sum_len_nows
+        FROM mbdp_doc_compound LATERAL VIEW explode(tags) tt AS tag
+        GROUP BY tag
+        """
+    )
+
+
+@query(
     "lsh_similarity_topk",
     f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -5637,6 +5690,100 @@ def keyed_scan_latest(spark, sf_dir):
 
 
 @query(
+    "keyed_table_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, 0 AS version,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+             o_orderstatus AS status
+      FROM orders),
+    merged AS (
+      -- untouched buckets (incl. 4: the stale put is older than the row)
+      SELECT k, version, total_cents, status FROM base
+      WHERE k % 10 NOT IN (3, 7)
+      UNION ALL
+      -- bucket 3: put at version 1 (+1.00, status 'U')
+      SELECT k, 1, total_cents + 100, 'U' FROM base WHERE k % 10 = 3
+      -- bucket 7: deleted at version 1 (no branch)
+      UNION ALL
+      -- inserts: brand-new keys derived from bucket-1 rows
+      SELECT k + 100000000, 1, 4242, 'N' FROM base WHERE k % 10 = 1)
+    SELECT CAST(k % 10 AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(total_cents) AS BIGINT) AS sum_cents,
+           CAST(sum(version) AS BIGINT) AS sum_version
+    FROM merged
+    GROUP BY 1
+    """,
+)
+def keyed_table_upsert(spark, sf_dir):
+    """S10 WRITE half — HBase Put/Delete against a keyed table
+    (`ppt/Ch6-HBase与Hive程序设计.pdf p.23-38`) as a join-based MERGE
+    (`writers.keyed_upsert`), then the merged state written through the
+    key-routed parquet sink and read back (the full write-path
+    round-trip). The deterministic mutation batch exercises every MERGE
+    branch: bucket 3 = put (update, version 1), bucket 7 = delete,
+    bucket-1-derived new keys = insert, bucket 4 = a STALE put at
+    version -1 that must NOT overwrite the newer stored row. Untouched
+    rows pass through a broadcast anti join with no exchange (the 100 TB
+    path); only mutated keys enter the batch-sized merge window. Digest:
+    per-bucket integer (count, Σcents, Σversion) — zero-float. Oracle:
+    SQL replay of the same mutation semantics."""
+    from mapreduce_big_data_processing_spark.sources import writers as WR
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(0).alias("version"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("total_cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    puts = base.filter(F.col("k") % 10 == 3).select(
+        "k",
+        F.lit(1).alias("version"),
+        (F.col("total_cents") + 100).alias("total_cents"),
+        F.lit("U").alias("status"),
+        F.lit("put").alias("op"),
+    )
+    dels = base.filter(F.col("k") % 10 == 7).select(
+        "k",
+        F.lit(1).alias("version"),
+        F.lit(None).cast("bigint").alias("total_cents"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit("delete").alias("op"),
+    )
+    inserts = base.filter(F.col("k") % 10 == 1).select(
+        (F.col("k") + 100000000).alias("k"),
+        F.lit(1).alias("version"),
+        F.lit(4242).cast("bigint").alias("total_cents"),
+        F.lit("N").alias("status"),
+        F.lit("put").alias("op"),
+    )
+    stale = base.filter(F.col("k") % 10 == 4).select(
+        "k",
+        F.lit(-1).alias("version"),
+        F.lit(0).cast("bigint").alias("total_cents"),
+        F.lit("X").alias("status"),
+        F.lit("put").alias("op"),
+    )
+    muts = puts.unionByName(dels).unionByName(inserts).unionByName(stale)
+    merged = WR.keyed_upsert(base, muts, ["k"], "version")
+
+    dest = _work_dir(spark, "keyed_upsert")
+    WR.write_partitioned(
+        merged.withColumn("bucket", F.pmod("k", F.lit(10)).cast("int")),
+        dest,
+        ["bucket"],
+    )
+    back = spark.read.parquet(dest)
+    return back.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("total_cents").cast("bigint").alias("sum_cents"),
+        F.sum("version").cast("bigint").alias("sum_version"),
+    )
+
+
+@query(
     "source_roundtrip",
     r"""
     SELECT lang, count(*) AS n_docs,
@@ -6679,6 +6826,117 @@ def ann_recall_eval(spark, sf_dir):
             "query_id",
             F.coalesce(F.col("ann_hits"), F.lit(0)).cast("int").alias("ann_hits"),
             F.coalesce(F.col("n_ann"), F.lit(0)).cast("int").alias("n_ann"),
+        )
+    )
+
+
+#: clustered ANN fixture: cluster c = vec_id % 8; vector = one-hot-ish
+#: pattern (1.0 at dims ≡ c mod 8) + 0.05 × the raw embedding as noise.
+#: Exact 0/1 literals + one float-widening multiply → both engines build
+#: bit-identical doubles.
+_CLUSTERED_SQL = """
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+    cl AS (SELECT vec_id, list_transform(range(0, 64),
+             i -> (CASE WHEN (i % 8) = (vec_id % 8) THEN 1.0 ELSE 0.0 END)
+                  + raw[i + 1] * 0.05) AS v
+           FROM e),
+    cent AS (SELECT cid, list_transform(range(0, 64),
+               i -> CASE WHEN (i % 8) = cid THEN 1.0 ELSE 0.0 END) AS cv
+             FROM (SELECT unnest(range(0, 8)) AS cid))
+"""
+
+
+@query(
+    "ivf_knn_recall",
+    f"""
+    WITH {_CLUSTERED_SQL},
+    assign AS (SELECT vec_id, v, cid AS bucket FROM (
+        SELECT cl.vec_id, cl.v, cent.cid,
+               row_number() OVER (PARTITION BY cl.vec_id
+                 ORDER BY {_IVF_COS.format(a="cl.v", b="cent.cv")} DESC,
+                          cent.cid) AS rn
+        FROM cl CROSS JOIN cent) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM cl WHERE vec_id < 20),
+    probes AS (SELECT query_id, qv, cid AS bucket FROM (
+        SELECT q.query_id, q.qv, cent.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_IVF_COS.format(a="q.qv", b="cent.cv")} DESC,
+                          cent.cid) AS rn
+        FROM q CROSS JOIN cent) WHERE rn <= 1),
+    ivf AS (SELECT query_id, vec_id FROM (
+        SELECT p.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY {_IVF_COS.format(a="p.qv", b="a.v")} DESC,
+                          a.vec_id) AS rank
+        FROM probes p JOIN assign a USING (bucket)
+        WHERE a.vec_id <> p.query_id) WHERE rank <= 5),
+    brute AS (SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_IVF_COS.format(a="q.qv", b="c.v")} DESC,
+                          c.vec_id) AS rank
+        FROM q JOIN cl c ON c.vec_id <> q.query_id) WHERE rank <= 5),
+    hits AS (SELECT b.query_id, count(*) AS ivf_hits
+             FROM brute b JOIN ivf a
+               ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+             GROUP BY 1),
+    n_ivf AS (SELECT query_id, count(*) AS n_ivf FROM ivf GROUP BY 1)
+    SELECT q.query_id, CAST(coalesce(h.ivf_hits, 0) AS INT) AS ivf_hits,
+           CAST(coalesce(n.n_ivf, 0) AS INT) AS n_ivf
+    FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+    LEFT JOIN n_ivf n ON n.query_id = q.query_id
+    """,
+)
+def ivf_knn_recall(spark, sf_dir):
+    """IVF-routed kNN recall on a CLUSTERED fixture (r3 verdict #7): the
+    100× sweep showed LSH recall collapsing on deliberately unstructured
+    synthetics — the right conclusion about THAT fixture, but the wrong
+    one about ANN routing, because real embedding corpora cluster. Here
+    the corpus is given deterministic cluster structure (8 one-hot-ish
+    centroids + 0.05× raw-embedding noise), the IVF route probes ONE
+    bucket per query (maximum pruning: 1/8 of the corpus scanned), and
+    per-query recall@5 against exact brute force is emitted as integer
+    sufficient statistics. With real cluster structure, single-probe IVF
+    recall is ≥0.9 (asserted in tests/test_similarity.py) — the
+    partition-pruned route works precisely where production corpora live.
+    Oracle: full SQL replay of the clustered construction, IVF
+    assignment/probing, and both top-5 chains."""
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cmod = (F.col("vec_id") % 8).cast("int")
+    clustered = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: F.when((i % 8) == cmod, F.lit(1.0)).otherwise(F.lit(0.0))
+            + x.cast("double") * F.lit(0.05),
+        ).alias("embedding"),
+    )
+    q = clustered.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = [
+        [1.0 if i % 8 == c else 0.0 for i in range(64)] for c in range(8)
+    ]
+    ivf = S.ivf_topk(clustered, q, centroids, k=5, n_probe=1).select(
+        "query_id", "vec_id"
+    )
+    brute = S.brute_force_topk(clustered, q, k=5).select("query_id", "vec_id")
+    hits = (
+        brute.join(ivf, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("ivf_hits"))
+    )
+    n_ivf = ivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ivf"))
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .join(n_ivf, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("ivf_hits"), F.lit(0)).cast("int").alias("ivf_hits"),
+            F.coalesce(F.col("n_ivf"), F.lit(0)).cast("int").alias("n_ivf"),
         )
     )
 

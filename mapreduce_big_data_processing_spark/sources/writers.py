@@ -86,3 +86,84 @@ def overwrite_partitions(
         df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def keyed_upsert(
+    base: DataFrame,
+    mutations: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    op_col: str = "op",
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """S10 write half — HBase put/delete as a join-based MERGE
+    (`ppt/Ch6-HBase与Hive程序设计.pdf p.23-38`: Put/Delete mutations against
+    a row-keyed table, latest version wins, a delete masks older cells).
+
+    ``base`` is the current table state (key cols + ``version_col`` +
+    value cols). ``mutations`` carries the same columns plus ``op_col``
+    in {'put', 'delete'} (value cols NULL for deletes). Returns the new
+    state with ``base``'s exact schema.
+
+    Version semantics per key: the surviving row is the
+    maximum-``version_col`` entry among the base row and the batch's
+    mutations; at equal version a delete masks a put (HBase: deletes
+    shadow puts at the same timestamp) and a mutation beats the stored
+    row (HBase: higher seqid wins). A delete older than the stored row
+    therefore does NOT remove it, and re-applying the same batch is a
+    no-op — MERGE retries are idempotent.
+
+    Scale shape: the mutation batch reduces to one winner per key (a
+    batch-sized window), its KEY SET broadcasts, and the 100 TB base
+    splits with broadcast anti/semi joins — untouched rows (the vast
+    majority) pass through with NO exchange and no window; only rows
+    whose key is mutated enter the batch-sized merge window. Pair with
+    ``overwrite_partitions`` so re-writing the merged state touches only
+    the partitions holding mutated keys. Set ``broadcast_keys=False``
+    for a mutation batch too large to broadcast (falls back to shuffle
+    joins on the key).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    missing = [
+        c for c in (*base.columns, op_col) if c not in mutations.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"keyed_upsert: mutations missing columns {missing} "
+            "(deletes carry NULL value columns)"
+        )
+
+    # one winner per key inside the batch (delete masks put at equal version)
+    wb = Window.partitionBy(*key_cols).orderBy(
+        F.desc(version_col), F.asc(op_col)
+    )
+    m = (
+        mutations.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    keys = m.select(*key_cols).distinct()
+    if broadcast_keys:
+        keys = F.broadcast(keys)
+    untouched = base.join(keys, list(key_cols), "left_anti")
+
+    touched_base = (
+        base.join(keys, list(key_cols), "left_semi")
+        .withColumn(op_col, F.lit("put"))
+        .withColumn("__src", F.lit(0))
+    )
+    contenders = touched_base.unionByName(
+        m.select(*touched_base.columns[:-1], F.lit(1).alias("__src"))
+    )
+    wm = Window.partitionBy(*key_cols).orderBy(
+        F.desc(version_col), F.asc(op_col), F.desc("__src")
+    )
+    merged = (
+        contenders.withColumn("__rn", F.row_number().over(wm))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) == "put"))
+        .select(*base.columns)
+    )
+    return untouched.unionByName(merged)

@@ -464,6 +464,17 @@ def test_knn_lsh_route_matches_broadcast_at_full_probe(spark, sf_dir):
         ).collect()
     }
     assert routed == broadcast
+    # COST gate: a tiny |test|x|train| budget must route to LSH even
+    # though the row-count gate passes (small test side, big train side);
+    # at the default full probe the LSH route is exact, so the routing is
+    # observable only through the budget — results must still match.
+    cost_routed = {
+        r.vec_id: r.pred
+        for r in ML.knn_classify(
+            train, test, k=5, max_broadcast_pairs=10
+        ).collect()
+    }
+    assert cost_routed == broadcast
 
 
 def test_bpe_classic_merges(spark):
