@@ -674,6 +674,58 @@ def son_frequent_itemsets(
     return matched.join(sizes, "itemset").select("itemset", "size", "support")
 
 
+def association_rules(
+    itemsets: DataFrame,
+    min_conf_num: int = 1,
+    min_conf_den: int = 2,
+) -> DataFrame:
+    """M6 — rule generation from frequent itemsets (the step after
+    Apriori/SON in the reference's association-mining chapter,
+    `ppt/Ch9….pdf p.71-78`): for every frequent itemset S (|S| ≥ 2) and
+    single-item consequent y ∈ S, emit X→y with X = S∖{y} when
+    confidence(X→y) = support(S)/support(X) ≥ min_conf_num/min_conf_den.
+
+    The antecedent X is frequent by downward closure, so its support is a
+    self-join against the itemsets table — no second pass over the
+    baskets. The confidence threshold is integer cross-multiplication
+    (den·sup(S) ≥ num·sup(X)); output carries the exact integer supports
+    so any confidence/lift derives downstream (zero-float protocol).
+
+    Input: ``frequent_itemsets``/``son_frequent_itemsets`` output
+    (itemset csv-string with items in ascending order, size, support).
+    Output: (antecedent, consequent, support_rule, support_antecedent).
+    """
+    arr = F.split(F.col("itemset"), ",")
+    ex = itemsets.filter(F.col("size") >= 2).select(
+        "itemset",
+        F.col("support").alias("support_rule"),
+        F.posexplode(arr).alias("__pos", "consequent"),
+    )
+    arr2 = F.split(F.col("itemset"), ",")
+    ante = F.array_join(
+        F.concat(
+            F.slice(arr2, F.lit(1), F.col("__pos")),
+            F.slice(
+                arr2, F.col("__pos") + 2, F.greatest(F.size(arr2) - F.col("__pos") - 1, F.lit(0))
+            ),
+        ),
+        ",",
+    )
+    sup_x = itemsets.select(
+        F.col("itemset").alias("antecedent"),
+        F.col("support").alias("support_antecedent"),
+    )
+    return (
+        ex.withColumn("antecedent", ante)
+        .join(sup_x, "antecedent")
+        .filter(
+            F.lit(min_conf_den) * F.col("support_rule")
+            >= F.lit(min_conf_num) * F.col("support_antecedent")
+        )
+        .select("antecedent", "consequent", "support_rule", "support_antecedent")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Evaluation (A4, A17)
 # ---------------------------------------------------------------------------

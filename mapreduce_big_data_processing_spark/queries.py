@@ -140,7 +140,8 @@ def pricing_summary(spark, sf_dir):
 @query(
     "revenue_by_nation",
     """
-    SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+    SELECT r_name, n_name,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue,
            count(*) AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -165,7 +166,13 @@ def revenue_by_nation(spark, sf_dir):
         joined,
         ["r_name", "n_name"],
         [
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # integer-cents rule: sum exact cents, derive the decimal —
+            # round(sum(float),2) loses the round-half lottery at scale
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+                / 100.0,
+                2,
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         ],
     )
@@ -2300,6 +2307,231 @@ def son_frequent_itemsets(spark, sf_dir):
     )
 
 
+@query(
+    "association_rules_conf",
+    f"""
+    WITH fs AS ({_FREQ_SQL}),
+    ex AS (SELECT itemset, support AS support_rule,
+                  (u).item AS consequent, (u).i AS pos,
+                  string_split(itemset, ',') AS l
+           FROM (SELECT itemset, support,
+                        unnest(list_transform(string_split(itemset, ','),
+                                              (x, i) -> {{'item': x, 'i': i}})) AS u
+                 FROM fs WHERE size >= 2)),
+    r AS (SELECT array_to_string(
+                   list_concat(list_slice(l, 1, pos - 1),
+                               list_slice(l, pos + 1, len(l))), ',') AS antecedent,
+                 consequent, support_rule
+          FROM ex)
+    SELECT r.antecedent, r.consequent,
+           CAST(r.support_rule AS BIGINT) AS support_rule,
+           CAST(x.support AS BIGINT) AS support_antecedent
+    FROM r JOIN fs x ON x.itemset = r.antecedent
+    WHERE 3 * r.support_rule >= 2 * x.support
+    """,
+)
+def association_rules_conf(spark, sf_dir):
+    """M6 — association RULES from the frequent itemsets (the step after
+    Apriori/SON in `ppt/Ch9….pdf p.71-78`): X→y for every single-item
+    consequent of every frequent itemset, kept at confidence ≥ 2/3 by
+    integer cross-multiplication (3·sup(S) ≥ 2·sup(X)); supports are
+    exact integers, so the output is zero-float. The antecedent's support
+    comes from a self-join against the itemsets table (downward closure
+    guarantees it is present) — no second pass over the baskets."""
+    from mapreduce_big_data_processing_spark.operators import ml as ML
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokenize(docs, keep_cols=["doc_id"])
+    n = toks.select("doc_id").distinct().count()
+    fs = ML.frequent_itemsets(
+        toks, min_support=(n * 3) // 5, max_size=3,
+        basket_col="doc_id", item_col="word",
+    )
+    out = ML.association_rules(fs, min_conf_num=2, min_conf_den=3)
+    return out.select(
+        "antecedent",
+        "consequent",
+        F.col("support_rule").cast("bigint").alias("support_rule"),
+        F.col("support_antecedent").cast("bigint").alias("support_antecedent"),
+    )
+
+
+@query(
+    "forecast_peak_hour",
+    """
+    WITH hist AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(extract(hour FROM ts) AS INT) AS hour, count(*) AS cnt
+      FROM events WHERE ts < TIMESTAMP '2024-01-30 00:00:00'
+      GROUP BY event_type, day, hour),
+    pred AS (
+      SELECT event_type, hour, avg(cnt) AS pred FROM hist GROUP BY event_type, hour),
+    p1 AS (
+      SELECT event_type, hour AS pred_peak_hour FROM (
+        SELECT event_type, hour,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY pred DESC, hour) AS rn
+        FROM pred) WHERE rn = 1),
+    actual AS (
+      SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hour,
+             count(*) AS cnt
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-30 00:00:00'
+        AND ts < TIMESTAMP '2024-01-31 00:00:00'
+      GROUP BY event_type, hour),
+    a1 AS (
+      SELECT event_type, hour AS actual_peak_hour, cnt AS actual_peak_n FROM (
+        SELECT event_type, hour, cnt,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cnt DESC, hour) AS rn
+        FROM actual) WHERE rn = 1)
+    SELECT p1.event_type, p1.pred_peak_hour, a1.actual_peak_hour,
+           CAST(a1.actual_peak_n AS BIGINT) AS actual_peak_n
+    FROM p1 JOIN a1 ON a1.event_type = p1.event_type
+    """,
+)
+def forecast_peak_hour(spark, sf_dir):
+    """M7 — the forecasting family's PEAK-LOAD application: per event
+    type, the hour the same-hour-mean forecast predicts as the day's
+    busiest, joined to the held-out day's actual peak hour and its count
+    (capacity planning from `forecast_hourly_mean`, the model of
+    `…课程设计1….pdf p.3` task 5). All-integer output (zero-float
+    protocol): the argmax over predictions compares avg-of-integer-count
+    doubles, which both engines compute bit-identically (exact integer
+    sums, one correctly-rounded division — the kmeans precedent), with
+    hour as the deterministic tie-break."""
+    ev = _t(spark, sf_dir, "events")
+    pred = WIN.forecast_hourly_mean(ev, "ts", ["event_type"], "2024-01-30")
+    wp = Window.partitionBy("event_type").orderBy(F.desc("pred"), F.asc("hour"))
+    p1 = (
+        pred.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("hour").alias("pred_peak_hour"))
+    )
+    day0 = F.lit("2024-01-30").cast("timestamp")
+    day1 = F.date_add(F.lit("2024-01-30").cast("date"), 1).cast("timestamp")
+    actual = (
+        ev.filter((F.col("ts") >= day0) & (F.col("ts") < day1))
+        .groupBy("event_type", F.hour("ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wa = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("hour"))
+    a1 = (
+        actual.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("hour").alias("actual_peak_hour"),
+            F.col("cnt").cast("bigint").alias("actual_peak_n"),
+        )
+    )
+    return p1.join(a1, "event_type")
+
+
+@query(
+    "active_building_buyers",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def active_building_buyers(spark, sf_dir):
+    """U3 — set-operator composition (`intersect` then `except`, the
+    reference's multi-input union/diff jobs, SURVEY §2.6): BUILDING-segment
+    customers who have ordered, minus anyone with a still-open order —
+    i.e. segment members whose entire order history is settled. Both set
+    ops keep DISTINCT semantics (the SQL operators), each one shuffle on
+    the key."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = orders.select(F.col("o_custkey").alias("custkey"))
+    c = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b).subtract(c)
+
+
+@query(
+    "top_parts_per_brand",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             CAST(row_number() OVER (PARTITION BY p_brand
+                    ORDER BY p_retailprice DESC, p_partkey) AS INT) AS rnk
+      FROM part) WHERE rnk <= 3
+    """,
+)
+def top_parts_per_brand(spark, sf_dir):
+    """O5 — per-group top-k (the reference's per-key K-best reducer
+    buffer, `ppt/Ch5….pdf p.39-42`): the 3 highest-priced parts per brand
+    via one window, rank ties broken by part key so both engines emit
+    identical rows. Prices are raw data doubles (no arithmetic → no float
+    protocol)."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        part.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", F.col("rnk").cast("int"))
+    )
+
+
+#: project-2 character dictionary (`…课程设计2-金庸的江湖.pdf p.6-7`) plus a
+#: deliberate PREFIX PAIR (戚长 vs 戚长发) so the oracle pins greedy
+#: forward MAXIMAL matching: planted 戚长发 must never count as 戚长.
+_CJK_DICT = ["狄云", "戚芳", "戚长发", "卜垣", "戚长"]
+
+
+@query(
+    "cjk_word_count",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 4 AS j, doc_id % 3 + 1 AS rep,
+                      CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS extra
+               FROM documents),
+    c AS (SELECT CASE j WHEN 0 THEN '狄云' WHEN 1 THEN '戚芳'
+                        WHEN 2 THEN '戚长发' ELSE '卜垣' END AS word,
+                 rep AS n FROM d
+          UNION ALL SELECT '戚长发', 1 FROM d WHERE extra = 1)
+    SELECT word, CAST(sum(n) AS BIGINT) AS n FROM c GROUP BY word
+    """,
+)
+def cjk_word_count(spark, sf_dir):
+    """P3's CJK half — dictionary-aware greedy forward MAXIMAL matching
+    (`text.tokenize_cjk`; Ansj + user dictionary in the reference,
+    `…课程设计2-金庸的江湖.pdf p.6-7`) + A1 word count. The fixture corpus has
+    no CJK, so deterministic text is PLANTED from doc_id arithmetic
+    (name_{id%4} repeated id%3+1 times, joined by a non-dictionary
+    character that must be dropped; docs with id%5==0 append 戚长发). The
+    dictionary contains the prefix pair 戚长/戚长发, so the analytic
+    oracle only matches if segmentation is maximal (戚长发 never splits)
+    and non-dictionary CJK is dropped — the two semantics the reference's
+    segmenter guarantees."""
+    docs = _t(spark, sf_dir, "documents")
+    nm = F.element_at(
+        F.array(*[F.lit(w) for w in ["狄云", "戚芳", "戚长发", "卜垣"]]),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.array_join(
+                F.array_repeat(nm, (F.col("doc_id") % 3).cast("int") + 1), "之"
+            ),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("之戚长发")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    toks = TX.tokenize_cjk(planted, dictionary=_CJK_DICT, keep_cols=["doc_id"])
+    return toks.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
 def _kmeans_sql(k: int = 8, iters: int = 5) -> str:
     """DuckDB oracle for the fixed-iteration K-Means: deterministic
     lowest-id init, then ``iters`` unrolled assign/update CTE pairs —
@@ -2770,16 +3002,17 @@ def hive_style_sql_join(spark, sf_dir):
 @query(
     "hive_compound_types",
     """
-    WITH d AS (SELECT lang, source,
+    WITH d AS (SELECT lang, source, n_chars,
                       length(coalesce(text, '')) AS len,
                       length(replace(coalesce(text, ''), ' ', '')) AS len_nows
                FROM documents),
-    t AS (SELECT lang AS tag, len, len_nows FROM d
-          UNION ALL SELECT source, len, len_nows FROM d
-          UNION ALL SELECT 'corpus', len, len_nows FROM d)
+    t AS (SELECT lang AS tag, len, len_nows, n_chars FROM d
+          UNION ALL SELECT source, len, len_nows, n_chars FROM d
+          UNION ALL SELECT 'corpus', len, len_nows, n_chars FROM d)
     SELECT tag, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(len) AS BIGINT) AS sum_len,
-           CAST(sum(len_nows) AS BIGINT) AS sum_len_nows
+           CAST(sum(len_nows) AS BIGINT) AS sum_len_nows,
+           CAST(sum(n_chars) AS BIGINT) AS sum_nchars
     FROM t GROUP BY tag
     """,
 )
@@ -2789,12 +3022,15 @@ def hive_compound_types(spark, sf_dir):
     SAVED with an array<string> column (tags) and a map<string,bigint>
     column (props), then queried in SQL through LATERAL VIEW explode on
     the array and element_at on the map — the two access paths the
-    reference's DDL chapter teaches. The oracle replays the nested
-    construction flat (each doc contributes its lang/source/'corpus'
-    tags; props carries text length with and without spaces), so a wrong
-    array order, map key, or explode multiplicity all hash-mismatch."""
+    reference's DDL chapter teaches — JOINED back (J5, HiveQL join over a
+    saved table) to the documents view for its n_chars column. The oracle
+    replays the nested construction flat (each doc contributes its
+    lang/source/'corpus' tags; props carries text length with and without
+    spaces), so a wrong array order, map key, explode multiplicity, or
+    join fan-out all hash-mismatch."""
     from mapreduce_big_data_processing_spark.sources import writers as WR
 
+    catalog.register_views(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents")
     compound = docs.select(
         "doc_id",
@@ -2812,9 +3048,12 @@ def hive_compound_types(spark, sf_dir):
     return spark.sql(
         """
         SELECT tag, CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(element_at(props, 'len')) AS BIGINT) AS sum_len,
-               CAST(sum(element_at(props, 'len_nows')) AS BIGINT) AS sum_len_nows
-        FROM mbdp_doc_compound LATERAL VIEW explode(tags) tt AS tag
+               CAST(sum(element_at(c.props, 'len')) AS BIGINT) AS sum_len,
+               CAST(sum(element_at(c.props, 'len_nows')) AS BIGINT) AS sum_len_nows,
+               CAST(sum(d.n_chars) AS BIGINT) AS sum_nchars
+        FROM mbdp_doc_compound c
+        JOIN documents d ON d.doc_id = c.doc_id
+        LATERAL VIEW explode(c.tags) tt AS tag
         GROUP BY tag
         """
     )
@@ -4299,9 +4538,13 @@ def disjunctive_part_revenue(spark, sf_dir):
 @query(
     "idle_rich_customers",
     """
-    SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
-    FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    WITH m AS (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+                      count(*) AS n
+               FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment, count(*) AS numcust,
+           round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 2) AS totacctbal
+    FROM customer, m
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) * m.n > m.s
       AND c_custkey NOT IN (SELECT o_custkey FROM orders)
     GROUP BY c_mktsegment
     """,
@@ -4312,20 +4555,26 @@ def idle_rich_customers(spark, sf_dir):
     aggregate broadcast-cross-joined into the row filter — no driver-side
     collect, so the plan stays fully distributed and the mean is computed
     once. The NOT IN is a null-safe-free anti join against the orders
-    custkey projection (column-pruned scan)."""
+    custkey projection (column-pruned scan). Zero-float protocol: the
+    mean comparison is integer cross-multiplication over exact cents
+    (cents·n > Σcents — a float mean's last ulp differs between engines'
+    summation orders and can flip boundary customers), and the displayed
+    balance total derives from the identical integer."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").select("o_custkey")
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("__avg_bal")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    m = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).cast("bigint").alias("__s"), F.count(F.lit(1)).alias("__n")
     )
     return (
-        c.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        c.withColumn("__cents", cents)
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("__cents") * F.col("__n") > F.col("__s"))
         .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum("__cents") / 100.0, 2).alias("totacctbal"),
         )
     )
 
@@ -6361,69 +6610,105 @@ def svm_accuracy(spark, sf_dir):
 #: THIS list is the driver-facing contract (pinned by tests/test_registry.py,
 #: which asserts per-component window coverage rather than fixed names).
 _PRIORITY = [
-    # flagship first — the end-to-end curation pipeline must have a row
-    "curated_training_set",
-    # relational / TPC-H core (P*, J*, A*, O*, U*, §2.7)
-    "pricing_summary",        # P1 P2 A2 (TPC-H Q1)
-    "revenue_by_nation",      # J1 J4
-    "brand_volume",           # J2
-    "bloom_filtered_orders",  # J3 semi-join family (r3e rotation; was
-                              # customers_with_orders — the blocked-Bloom
-                              # pruned semi-join, same output contract)
-    "top_customers",          # O1 O4
-    "order_count_histogram",  # A8
-    "distinct_users_per_type",  # A11
-    "nation_market_share",    # A14
-    "segment_except",         # U3 (r3 rotation; was segment_set_ops)
-    "status_rollup",          # §2.7 scalar surface
-    "asof_click_before_purchase",  # temporal-join family's first external
-                              # check (r3; A4's slot — ratio-of-totals stays
-                              # in-window via nb_accuracy / svm_accuracy)
-    "orders_per_year_priority",  # A3
-    "supplier_rank_in_nation",  # O5
-    "hourly_event_stats",     # A15 + A16 fused
-    "forecast_rmse",          # A17 M7
-    "wordcount_sans_stopwords",  # A1 P2 P3 (r3 rotation; was word_count)
-    "sparse_tfidf_vectors",   # A5 A6 A7 + codec (r3 rotation; was tfidf)
-    "cooccurrence_window2",   # A12 (r3 rotation; was cooccurrence_pairs)
-    "inverted_index",         # A9 A10
-    "user_event_timeline",    # P4 O2
-    "tagged_union_counts",    # P5 U1
-    "hive_style_sql_join",    # J5 S11
-    # graph / ML (G*, M*)
-    "pagerank_converged",     # G1 G2 G3 G5 + stop rule (r3; was _top20)
-    "label_propagation",      # G4
-    "knn_weighted_predictions",  # M1 weighted vote (r3; was knn_predictions)
-    "nb_accuracy",            # M2 M3 A4 (r3 rotation; was nb_predictions)
-    "frequent_itemsets",      # M6 (r3 rotation; was son_frequent_itemsets)
-    "kmeans_clusters",        # M4 (unrolled-CTE oracle)
-    "svm_accuracy",           # M5 A4 (r3 rotation; was svm_predictions)
-    # sources / sinks / streaming / UDx (S*, §2.10, §2.11)
-    "source_roundtrip",       # S1 S2 S3 S4 S6 S7 S8
-    "jdbc_roundtrip",         # S5 S9
-    "keyed_scan_latest",      # S10 (+ cell versions)
-    "streaming_hourly_counts",  # §2.10
-    "priority_geomean_price",  # §2.11 UDAF
-    # LLM-pipeline capabilities
-    "dedup_survivors",        # exact-dedup family (r3; was exact_dedup)
-    "minhash_lsh_pairs",
-    "embedding_dup_clusters",  # closure family (r3; was near_dup_clusters)
-    "simhash_near_dup_pairs",  # SimHash family (r3; was simhash_fingerprints)
-    "lsh_similarity_topk",    # ANN family (r3; was similarity_topk)
-    "quality_scores",
-    "token_stats",            # text-stats family (r3; was language_id)
-    "embedding_near_dup",     # multi-table LSH default
-    "monthly_user_reach_hll",  # sketch family, new error-bound oracle (r3;
-                              # was heavy_hitter_users)
-    "shuffled_shard_manifest",  # sampling family (r3; was corpus_split_counts)
-    "multimodal_features",
-    "bm25_ranked_docs",
-    "duplicate_text_spans",   # sub-doc dedup family (r3e rotation; was
-                              # chunk_dedup_docs — exact-substring spans)
-    "benchmark_contamination",
-    "boilerplate_stripped_docs",
+    # ==== the 50-entry driver window (round 4) ====================
+    # r4 rotation (per the r3 verdict's top ask): every slot the
+    # component map does not force holds a NEVER-externally-checked
+    # query — 35 fresh entries, each pre-verified Spark-vs-DuckDB at
+    # sf0.001/0.01(gate)/0.1 on a plain driver-like session. Forced
+    # slots (single-representative components, all reps green in
+    # r1-r3) are marked [forced].
+    "curated_training_set",   # flagship [forced]
+    "priority_line_mix",      # P1/P2/A2 (was pricing_summary)
+    "nation_trade_flows",     # J1/J4 (was revenue_by_nation)
+    "disjunctive_part_revenue",  # J2 (was brand_volume)
+    "returned_orders_by_priority",  # J3 semi-join (was bloom_filtered_orders)
+    "global_price_rank",      # O1/O4 (was top_customers)
+    "customer_order_distribution",  # A8 (was order_count_histogram)
+    "approx_distinct_users",  # A11 HLL side (was distinct_users_per_type)
+    "regional_market_share",  # A14 (was nation_market_share)
+    "active_building_buyers",  # U3 (was segment_except)
+    "status_priority_cube",   # scalar §2.7 + A3 cube (was status_rollup)
+    "knn_accuracy",           # A4 ratio + M1/J6 (was asof... slot; covers
+                              # kNN classify end-to-end with accuracy)
+    "ivf_knn_recall",         # ann: IVF-routed kNN on the clustered
+                              # fixture (r3 verdict #7)
+    "top_parts_per_brand",    # O5 (was supplier_rank_in_nation)
+    "event_time_rollup",      # A15/A16 multi-resolution (was hourly_event_stats)
+    "forecast_peak_hour",     # A17/M7 peak application (was forecast_rmse)
+    "cjk_word_count",         # A1/P3 CJK dict segmentation (was
+                              # wordcount_sans_stopwords)
+    "tfidf_reference_semantics",  # A5-A7 quirk mode (was sparse_tfidf_vectors)
+    "pmi_collocations",       # A12 PMI (was cooccurrence_window2)
+    "inverted_index",         # A9/A10 [forced]
+    "latest_event_per_user",  # P4/O2 + S10 read (was user_event_timeline)
+    "tagged_union_counts",    # P5/U1 [forced]
+    "hive_compound_types",    # J5/S11 array/map DDL + SQL join (was
+                              # hive_style_sql_join)
+    "pagerank_converged",     # G1-G3/G5 [forced]
+    "label_propagation",      # G4 [forced]
+    "association_rules_conf",  # M6 rule generation (was frequent_itemsets)
+    "nb_predictions_reference_mode",  # M2/M3 quirk mode (was nb_accuracy)
+    "kmeans_clusters",        # M4 [forced]
+    "class_centroids",        # M5 per-class grouped-map fit (was svm_accuracy)
+    "parsed_access_log",      # S1-S4/S6-S8 log parse (was source_roundtrip)
+    "jdbc_roundtrip",         # S5/S9 [forced]
+    "keyed_table_upsert",     # S10 WRITE half (new in r4; was keyed_scan_latest)
+    "streaming_session_counts",  # §2.10 (was streaming_hourly_counts)
+    "doc_token_chunks",       # §2.11 UDTF (was priority_geomean_price)
+    "incremental_ingest_dedup",  # exact-dedup family (was dedup_survivors)
+    "minhash_lsh_pairs",      # minhash [forced]
+    "embedding_dup_clusters",  # closure family [forced; 8-plane config new in r4]
+    "simhash_near_dup_pairs",  # simhash [forced]
+    "multiprobe_lsh_topk",    # ann (was lsh_similarity_topk)
+    "value_band_counts",      # temporal joins (was asof_click_before_purchase)
+    "doc_ngram_repetition",   # quality family (was quality_scores)
+    "redacted_docs",          # textstats PII (was token_stats)
+    "embedding_near_dup",     # embedding near-dup at the PROMOTED 8-plane
+                              # config (r3 verdict #3) [forced name]
+    "user_freq_countmin",     # sketches Count-Min (was monthly_user_reach_hll)
+    "token_budget_sample",    # sampling (was shuffled_shard_manifest)
+    "multimodal_features",    # multimodal [forced]
+    "bm25_ranked_docs",       # bm25 [forced]
+    "span_stripped_docs",     # chunk-dedup family (was duplicate_text_spans)
+    "benchmark_contamination",  # decontamination [forced]
+    "boilerplate_stripped_docs",  # boilerplate [forced]
     # ---- end of the 50-entry driver window ----
-    # tail head: the displaced r2 primaries (externally green in r2)
+    # tail head: previous windows' primaries (externally green r1-r3)
+    "pricing_summary",
+    "revenue_by_nation",
+    "brand_volume",
+    "bloom_filtered_orders",
+    "top_customers",
+    "order_count_histogram",
+    "distinct_users_per_type",
+    "nation_market_share",
+    "segment_except",
+    "status_rollup",
+    "asof_click_before_purchase",
+    "orders_per_year_priority",
+    "supplier_rank_in_nation",
+    "hourly_event_stats",
+    "forecast_rmse",
+    "wordcount_sans_stopwords",
+    "sparse_tfidf_vectors",
+    "cooccurrence_window2",
+    "user_event_timeline",
+    "hive_style_sql_join",
+    "knn_weighted_predictions",
+    "nb_accuracy",
+    "frequent_itemsets",
+    "svm_accuracy",
+    "source_roundtrip",
+    "keyed_scan_latest",
+    "streaming_hourly_counts",
+    "priority_geomean_price",
+    "dedup_survivors",
+    "lsh_similarity_topk",
+    "quality_scores",
+    "token_stats",
+    "monthly_user_reach_hll",
+    "shuffled_shard_manifest",
+    "duplicate_text_spans",
     "customers_with_orders",
     "chunk_dedup_docs",
     "segment_set_ops",
@@ -6443,34 +6728,25 @@ _PRIORITY = [
     "language_id",
     "heavy_hitter_users",
     "corpus_split_counts",
-    # round-4 rotation queue: never externally checked yet
-    "hourly_event_counts",
-    "hourly_avg_value",
+    # round-5 rotation queue: never externally checked yet (all
+    # oracle-checked locally; promote ~component-matching siblings next
+    # round, pre-verifying each at sf0.01 first)
     "doc_cross_entropy",
     "bigram_lm_cross_entropy",
     "user_daily_series_filled",
     "hourly_count_anomalies",
     "hard_negative_pairs",
     "event_type_daily_trend",
-    "doc_token_chunks",       # §2.11 UDTF
-    "token_budget_sample",
-    "ngram_jaccard_pairs",
     "event_type_user_overlap",
     "value_quantile_rollup",
     "approx_value_percentiles",
-    "doc_fingerprints",
     "embedding_quantization_error",
-    "event_props_histogram",
     "per_user_daily_counts",
-    "knn_accuracy",
-    "customers_without_orders",
-    "pmi_collocations",
     "user_status_intervals",
     "doc_length_auc",
     "source_data_cards",
     "word_triangle_counts",
     "weighted_doc_sample",
-    "span_stripped_docs",
     "doc_containment_pairs",
     "streaming_dedup_counts",
     "source_distinctive_terms",
@@ -6478,12 +6754,26 @@ _PRIORITY = [
     "kcenter_coreset",
     "source_ngram_diversity",
     "streaming_interval_join_counts",
-    "incremental_ingest_dedup",
     "streaming_enriched_cohort_counts",
-    "user_freq_countmin",
     "prefix_jaccard_pairs",
     "ann_recall_eval",
     "exact_value_quartiles",
+    "embedding_near_dup_dense",
+    "banded_near_dup",
+    "local_supplier_volume",
+    "small_quantity_part_revenue",
+    "large_volume_customers",
+    "top_revenue_supplier",
+    "shipping_priority",
+    "promo_revenue_pct",
+    "forecast_revenue_change",
+    "customer_value_rank_profile",
+    "bpe_vocab_merges",
+    "bpe_token_lengths",
+    "events_profile",
+    "funnel_view_click_purchase",
+    "weekly_cohort_retention",
+    "event_transition_counts",
 ]
 
 

@@ -58,7 +58,22 @@ def save_as_table(
     """S11 — Hive-style managed table (`CREATE TABLE` + `LOAD DATA`,
     `ppt/Ch6….pdf p.52-53`). Bucketing pre-shuffles on the join key so
     later joins/aggs on it skip the exchange — the declarative form of the
-    reference's custom-Partitioner co-location."""
+    reference's custom-Partitioner co-location.
+
+    Overwrite also clears a STALE warehouse location: a managed-table
+    directory left by a previous session is unknown to a fresh in-memory
+    catalog, and saveAsTable refuses to adopt it (LOCATION_ALREADY_EXISTS)
+    — re-running the same pipeline in a new session must not require a
+    manual rm."""
+    if mode == "overwrite":
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = urlparse(wh).path or wh
+        shutil.rmtree(f"{loc.rstrip('/')}/{name.lower()}", ignore_errors=True)
     writer = df.write.mode(mode)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)

@@ -18,55 +18,71 @@ from mapreduce_big_data_processing_spark.queries import _PRIORITY, ORACLE, QUERI
 #: LEAST ONE member inside the 50-entry driver window, whichever one it is.
 _COMPONENT_REPS = {
     "flagship": {"curated_training_set"},
-    "P1/P2/A2": {"pricing_summary"},
-    "J1/J4": {"revenue_by_nation"},
-    "J2": {"brand_volume"},
+    "P1/P2/A2": {"pricing_summary", "priority_line_mix"},
+    "J1/J4": {"revenue_by_nation", "nation_trade_flows",
+               "local_supplier_volume"},
+    "J2": {"brand_volume", "disjunctive_part_revenue",
+           "small_quantity_part_revenue"},
     "J3": {"customers_with_orders", "customers_without_orders",
-           "bloom_filtered_orders"},  # semi-join family (bloom = pruned semi-join)
-    "O1/O4": {"top_customers", "top_words"},
-    "A8": {"order_count_histogram"},
-    "A11": {"distinct_users_per_type"},
-    "A14": {"nation_market_share"},
-    "U3": {"segment_set_ops", "segment_except"},
-    "scalar §2.7": {"status_rollup", "event_props_histogram"},
+           "bloom_filtered_orders",  # (bloom = pruned semi-join)
+           "returned_orders_by_priority"},  # (EXISTS -> left semi)
+    "O1/O4": {"top_customers", "top_words", "global_price_rank",
+              "large_volume_customers"},
+    "A8": {"order_count_histogram", "customer_order_distribution"},
+    "A11": {"distinct_users_per_type", "approx_distinct_users"},
+    "A14": {"nation_market_share", "regional_market_share"},
+    "U3": {"segment_set_ops", "segment_except", "active_building_buyers"},
+    "scalar §2.7": {"status_rollup", "event_props_histogram",
+                    "status_priority_cube"},
     "A4 ratio": {"finished_order_ratio", "nb_accuracy", "svm_accuracy",
                  "knn_accuracy"},
-    "A3": {"orders_per_year_priority"},
-    "O5": {"supplier_rank_in_nation"},
-    "A15/A16": {"hourly_event_stats"},  # the fused primary covers both;
+    "A3": {"orders_per_year_priority",
+           "status_priority_cube"},  # cube's finest cell IS the composite-key agg
+    "O5": {"supplier_rank_in_nation", "top_parts_per_brand"},
+    "A15/A16": {"hourly_event_stats",  # the fused primary covers both;
     # the single-sided variants are valid reps only together — keep simple
-    "A17/M7": {"forecast_rmse"},
-    "A1/P3": {"word_count", "wordcount_sans_stopwords", "top_words"},
-    "A5-A7": {"tfidf", "sparse_tfidf_vectors"},
-    "A12": {"cooccurrence_pairs", "cooccurrence_window2"},
+                "event_time_rollup"},  # hour+day+total counts AND sums
+    "A17/M7": {"forecast_rmse", "forecast_peak_hour"},
+    "A1/P3": {"word_count", "wordcount_sans_stopwords", "top_words",
+              "cjk_word_count"},  # the dictionary-segmentation half of P3
+    "A5-A7": {"tfidf", "sparse_tfidf_vectors", "tfidf_reference_semantics"},
+    "A12": {"cooccurrence_pairs", "cooccurrence_window2",
+            "pmi_collocations"},
     "A9/A10": {"inverted_index"},
-    "P4/O2": {"user_event_timeline"},
+    "P4/O2": {"user_event_timeline", "latest_event_per_user"},
     "P5/U1": {"tagged_union_counts"},
-    "J5/S11": {"hive_style_sql_join"},
+    "J5/S11": {"hive_style_sql_join", "hive_compound_types"},
     "G1-G3/G5": {"pagerank_top20", "pagerank_converged"},
     "G4": {"label_propagation"},
-    "M1/J6": {"knn_predictions", "knn_weighted_predictions"},
-    "M2/M3": {"nb_predictions", "nb_accuracy"},
-    "M6": {"son_frequent_itemsets", "frequent_itemsets"},
+    "M1/J6": {"knn_predictions", "knn_weighted_predictions",
+               "knn_accuracy"},
+    "M2/M3": {"nb_predictions", "nb_accuracy",
+               "nb_predictions_reference_mode"},
+    "M6": {"son_frequent_itemsets", "frequent_itemsets",
+           "association_rules_conf"},  # the rule-generation step
     "M4": {"kmeans_clusters"},
-    "M5": {"svm_predictions", "svm_accuracy"},
-    "S1-S4/S6-S8": {"source_roundtrip"},
+    "M5": {"svm_predictions", "svm_accuracy",
+           "class_centroids"},  # per-class grouped-map model fit
+    "S1-S4/S6-S8": {"source_roundtrip", "parsed_access_log"},
     "S5/S9": {"jdbc_roundtrip"},
-    "S10": {"keyed_scan_latest"},
+    "S10": {"keyed_scan_latest", "keyed_table_upsert",
+            "latest_event_per_user"},
     "§2.10 streaming": {"streaming_hourly_counts", "streaming_session_counts"},
     "§2.11 UDx": {"priority_geomean_price", "doc_token_chunks"},
-    "exact dedup": {"exact_dedup", "dedup_survivors"},
+    "exact dedup": {"exact_dedup", "dedup_survivors",
+                    "incremental_ingest_dedup"},
     "minhash lsh": {"minhash_lsh_pairs"},
     "dup clusters": {"near_dup_clusters", "embedding_dup_clusters"},
     "simhash": {"simhash_fingerprints", "simhash_near_dup_pairs"},
     "ann": {"similarity_topk", "lsh_similarity_topk", "multiprobe_lsh_topk",
-            "ivf_similarity_topk", "pq_similarity_topk"},
+            "ivf_similarity_topk", "pq_similarity_topk", "ivf_knn_recall"},
     "quality": {"quality_scores", "doc_repetition_scores", "doc_ngram_repetition"},
-    "textstats": {"language_id", "token_stats", "doc_fingerprints"},
+    "textstats": {"language_id", "token_stats", "doc_fingerprints",
+                  "redacted_docs"},
     "embedding near-dup": {"embedding_near_dup", "embedding_near_dup_dense"},
     "sketches": {"heavy_hitter_users", "monthly_user_reach_hll",
                  "event_type_user_overlap", "value_quantile_rollup",
-                 "approx_value_percentiles"},
+                 "approx_value_percentiles", "user_freq_countmin"},
     "sampling": {"corpus_split_counts", "shuffled_shard_manifest",
                  "token_budget_sample"},
     "multimodal": {"multimodal_features"},
