@@ -3449,19 +3449,22 @@ def multiprobe_lsh_topk(spark, sf_dir):
     )
 
 
-@query("banded_near_dup", _near_dup_lsh_sql(_NEAR_DUP_TABLES, 0.45))
+@query("banded_near_dup", _near_dup_lsh_sql(_NEAR_DUP_TABLES_DENSE, 0.45))
 def banded_near_dup(spark, sf_dir):
     """OR-amplified multi-table LSH near-duplicate pairs (4 independent
-    4-plane tables): a pair is a candidate if it collides in ANY table.
-    One shuffle on (table_id, bucket) — the self-join near-dup scale path
-    with a recall knob (subset-of-exact and recall ≥ single-table asserted
-    in tests/test_similarity.py). Deterministic planes → the oracle
-    replays the banding, so the pair set hash-matches despite recall<1."""
+    4-plane tables — the DENSE config; shares `_NEAR_DUP_TABLES_DENSE`
+    with `embedding_near_dup_dense` since the r4 8-plane promotion): a
+    pair is a candidate if it collides in ANY table. One shuffle on
+    (table_id, bucket) — the self-join near-dup scale path with a recall
+    knob (subset-of-exact and recall ≥ single-table asserted in
+    tests/test_similarity.py). Deterministic planes → the oracle replays
+    the banding, so the pair set hash-matches despite recall<1."""
     from mapreduce_big_data_processing_spark.operators import similarity as S
 
     emb = _t(spark, sf_dir, "embeddings")
-    tables = [_seeded_planes(n_planes=4, seed=s) for s in (42, 43, 44, 45)]
-    out = S.embedding_near_dup(emb, threshold=0.45, plane_tables=tables)
+    out = S.embedding_near_dup(
+        emb, threshold=0.45, plane_tables=_NEAR_DUP_TABLES_DENSE
+    )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

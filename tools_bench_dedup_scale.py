@@ -1,0 +1,68 @@
+"""Dedup/curation-family scale sweep (r3 verdict #8): the families whose
+100 TB posture matters most, measured at 10x/100x/1000x of sf0.1.
+
+The 1000x fixtures hold only documents+embeddings (the tables these
+families read — `tools_gen_scale.py 1000 scale_data/sf100g
+documents,embeddings`), so this sweep runs exactly the queries that touch
+them. AQE on (the scale posture), min-of-N timing like bench_scale.py.
+
+Usage: python tools_bench_dedup_scale.py scale_data/sf1g scale_data/sf10g scale_data/sf100g
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SAMPLES = int(os.environ.get("SPARK_GRAFT_SCALE_SAMPLES", "2"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+FAMILY = [
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "embedding_near_dup",
+    "chunk_dedup_docs",
+    "benchmark_contamination",
+    "quality_scores",
+    "token_stats",
+    "doc_cross_entropy",
+    "curated_training_set",
+    "span_stripped_docs",
+]
+
+
+def main() -> None:
+    from mapreduce_big_data_processing_spark.session import get_session
+    from mapreduce_big_data_processing_spark import queries as Q
+
+    spark = get_session("bench-dedup-scale", cpus=CPUS, adaptive=True)
+    spark.sparkContext.setLogLevel("ERROR")
+    for sf_dir in sys.argv[1:]:
+        times = {}
+        for name in FAMILY:
+            fn = Q.QUERIES[name]
+            spark.catalog.clearCache()
+            fn(spark, sf_dir).toPandas()  # warm: codegen + parquet footers
+            samples = []
+            for _ in range(SAMPLES):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).toPandas()
+                samples.append(time.perf_counter() - t0)
+            times[name] = round(min(samples), 3)
+            print(f"  {sf_dir} {name}: {times[name]}", file=sys.stderr, flush=True)
+        print(
+            json.dumps(
+                {"sf_dir": sf_dir, "total_sec": round(sum(times.values()), 3),
+                 "queries": times}
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -274,15 +274,21 @@ def gen_tables(spark: SparkSession, mult: float) -> dict[str, DataFrame]:
 def main() -> None:
     mult = float(sys.argv[1])
     outdir = os.path.abspath(sys.argv[2])
+    # optional third arg: comma-separated table subset (e.g.
+    # "documents,embeddings" for the 1000x dedup/curation sweep — the
+    # relational tables are not needed there and dominate generation time)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     from mapreduce_big_data_processing_spark.session import get_session
 
     spark = get_session("gen-scale", adaptive=True)
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(outdir, exist_ok=True)
     for name, df in gen_tables(spark, mult).items():
+        if only is not None and name not in only:
+            continue
         path = os.path.join(outdir, f"{name}.parquet")
         df.write.mode("overwrite").parquet(path)
-        print(f"wrote {path}")
+        print(f"wrote {path}", flush=True)
 
 
 if __name__ == "__main__":
