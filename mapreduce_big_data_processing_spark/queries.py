@@ -3868,7 +3868,8 @@ def segment_pivot_revenue(spark, sf_dir):
 @query(
     "small_quantity_part_revenue",
     """
-    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0, 2)
+           AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#13'
@@ -3896,7 +3897,16 @@ def small_quantity_part_revenue(spark, sf_dir):
     return (
         mine.withColumn("qty_thresh", 0.2 * F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            # integer-cents rule: exact cents sum, then the two divisions
+            # in oracle-identical order
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+                / 100.0
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -3905,12 +3915,12 @@ def small_quantity_part_revenue(spark, sf_dir):
     """
     WITH d AS (
       SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
-             sum(o_totalprice) AS rev
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
       FROM orders GROUP BY 1)
     SELECT day,
-           round(rev, 2) AS revenue,
-           round(avg(rev) OVER (
-             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+           round(rev_c / 100.0, 2) AS revenue,
+           round(avg(rev_c) OVER (
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0, 2) AS ma7
     FROM d
     """,
 )
@@ -3926,12 +3936,16 @@ def daily_revenue_moving_avg(spark, sf_dir):
         F.date_format(F.date_trunc("day", F.col("o_orderdate")), "yyyy-MM-dd").alias(
             "day"
         )
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(
+        # integer-cents rule: the day sums AND the 7-day mean derive from
+        # the identical exact integer on both engines
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("rev_c")
+    )
     w = Window.orderBy("day").rowsBetween(-6, 0)
     return daily.select(
         "day",
-        F.round("rev", 2).alias("revenue"),
-        F.round(F.avg("rev").over(w), 2).alias("ma7"),
+        F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+        F.round(F.avg("rev_c").over(w) / 100.0, 2).alias("ma7"),
     )
 
 
