@@ -97,14 +97,14 @@ def _cents4(price: str = "l_extendedprice", disc: str = "l_discount"):
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                    AS sum_qty,
-           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_base_price,
            round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2) AS sum_disc_price,
            round(sum((CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
                      * (100 + CAST(round(l_tax * 100, 0) AS BIGINT)))
                  / 1000000.0, 2) AS sum_charge,
            round(avg(l_quantity), 6)                                    AS avg_qty,
-           round(avg(l_extendedprice), 6)                               AS avg_price,
-           round(avg(l_discount), 6)                                    AS avg_disc,
+           round(avg(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 6) AS avg_price,
+           round(avg(CAST(round(l_discount * 100, 0) AS BIGINT)) / 100.0, 6) AS avg_disc,
            count(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -126,12 +126,26 @@ def pricing_summary(spark, sf_dir):
         ["l_returnflag", "l_linestatus"],
         [
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            # integer-cents rule for every 2-decimal money column: sums
+            # AND means derive from the exact integer on both engines
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+                / 100.0,
+                2,
+            ).alias("sum_base_price"),
             F.round(F.sum(disc_price_i) / 10000.0, 2).alias("sum_disc_price"),
             F.round(F.sum(charge_i) / 1000000.0, 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(
+                F.avg(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+                / 100.0,
+                6,
+            ).alias("avg_price"),
+            F.round(
+                F.avg(F.round(F.col("l_discount") * 100, 0).cast("bigint"))
+                / 100.0,
+                6,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         ],
     )
@@ -240,7 +254,8 @@ def customers_without_orders(spark, sf_dir):
 @query(
     "top_customers",
     """
-    SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue
+    SELECT c_custkey, c_name,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
     ORDER BY revenue DESC, c_custkey
@@ -254,7 +269,13 @@ def top_customers(spark, sf_dir):
     rev = R.group_agg(
         R.equi_join(c, o, c.c_custkey == o.o_custkey),
         ["c_custkey", "c_name"],
-        [F.round(F.sum("o_totalprice"), 2).alias("revenue")],
+        [
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+                / 100.0,
+                2,
+            ).alias("revenue")
+        ],
     )
     return R.top_k(rev, 10, F.desc("revenue"), F.asc("c_custkey"))
 
@@ -292,7 +313,8 @@ def distinct_users_per_type(spark, sf_dir):
     "nation_market_share",
     """
     WITH rev AS (
-      SELECT r_name, n_name, sum(o_totalprice) AS rev
+      SELECT r_name, n_name,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation   ON c_nationkey = n_nationkey
@@ -316,7 +338,10 @@ def nation_market_share(spark, sf_dir):
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey),
         ["r_name", "n_name"],
-        [F.sum("o_totalprice").alias("rev")],
+        # exact integer cents: numerator and denominator of the share
+        # are then identical integers on both engines (the ratio cancels
+        # the /100, so no decimal derivation is needed)
+        [F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("rev")],
     )
     return R.group_fraction(rev, ["r_name"], "rev", out="share").select(
         "r_name", "n_name", F.round("share", 6).alias("share")
@@ -359,7 +384,7 @@ def segment_except(spark, sf_dir):
     "status_rollup",
     """
     SELECT o_orderstatus, o_orderpriority,
-           round(sum(o_totalprice), 2) AS total, count(*) AS n
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total, count(*) AS n
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -369,7 +394,9 @@ def status_rollup(spark, sf_dir):
     `ppt/Ch6….pdf p.54-57` extended)."""
     o = _t(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100.0, 2
+        ).alias("total"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -393,7 +420,7 @@ def finished_order_ratio(spark, sf_dir):
     "orders_per_year_priority",
     """
     SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year, o_orderpriority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n, round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total
     FROM orders GROUP BY o_year, o_orderpriority
     """,
 )
@@ -406,7 +433,11 @@ def orders_per_year_priority(spark, sf_dir):
         ["o_year", "o_orderpriority"],
         [
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+                / 100.0,
+                2,
+            ).alias("total"),
         ],
     )
 
@@ -2746,7 +2777,7 @@ def wordcount_sans_stopwords(spark, sf_dir):
     "status_priority_cube",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           round(avg(o_totalprice), 6) AS avg_price
+           round(avg(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 6) AS avg_price
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
@@ -2755,7 +2786,10 @@ def status_priority_cube(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        # integer-cents rule: the mean derives from the exact cents sum
+        F.round(
+            F.avg(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100.0, 6
+        ).alias("avg_price"),
     )
 
 
@@ -2973,7 +3007,7 @@ def embedding_dup_clusters(spark, sf_dir):
     "hive_style_sql_join",
     """
     SELECT n_name, o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -2989,7 +3023,9 @@ def hive_style_sql_join(spark, sf_dir):
     return spark.sql(
         """
         SELECT n_name, o_orderpriority, count(*) AS n,
-               round(sum(o_totalprice), 2) AS total
+               -- 100.0D: Spark SQL parses a bare 100.0 as DECIMAL(4,1),
+               -- which would make the quotient (and result) a Decimal
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D, 2) AS total
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -3834,11 +3870,11 @@ def ivf_similarity_topk(spark, sf_dir):
     "segment_pivot_revenue",
     """
     SELECT n_name,
-           round(sum(o_totalprice) FILTER (c_mktsegment = 'AUTOMOBILE'), 2) AS "AUTOMOBILE",
-           round(sum(o_totalprice) FILTER (c_mktsegment = 'BUILDING'), 2) AS "BUILDING",
-           round(sum(o_totalprice) FILTER (c_mktsegment = 'FURNITURE'), 2) AS "FURNITURE",
-           round(sum(o_totalprice) FILTER (c_mktsegment = 'HOUSEHOLD'), 2) AS "HOUSEHOLD",
-           round(sum(o_totalprice) FILTER (c_mktsegment = 'MACHINERY'), 2) AS "MACHINERY"
+           coalesce(round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (c_mktsegment = 'AUTOMOBILE') / 100.0, 2), 0.0) AS "AUTOMOBILE",
+           coalesce(round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (c_mktsegment = 'BUILDING') / 100.0, 2), 0.0) AS "BUILDING",
+           coalesce(round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (c_mktsegment = 'FURNITURE') / 100.0, 2), 0.0) AS "FURNITURE",
+           coalesce(round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (c_mktsegment = 'HOUSEHOLD') / 100.0, 2), 0.0) AS "HOUSEHOLD",
+           coalesce(round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (c_mktsegment = 'MACHINERY') / 100.0, 2), 0.0) AS "MACHINERY"
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -3859,9 +3895,18 @@ def segment_pivot_revenue(spark, sf_dir):
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn(
+            "__cents", F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        )
         .groupBy("n_name")
         .pivot("c_mktsegment", segs)
-        .agg(F.round(F.sum("o_totalprice"), 2))
+        .agg(F.round(F.sum("__cents") / 100.0, 2))
+        # empty (nation, segment) cells pivot to NULL — 0.00 revenue is
+        # the honest value AND keeps numeric columns NULL-free (the
+        # driver-style row-tuple sort crashes on NULL-mixed floats)
+        .select(
+            "n_name", *[F.coalesce(F.col(s), F.lit(0.0)).alias(s) for s in segs]
+        )
     )
 
 
@@ -4035,7 +4080,8 @@ def doc_repetition_scores(spark, sf_dir):
     "customer_spend_quartiles",
     """
     WITH s AS (
-      SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+      SELECT o_custkey,
+             round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS spend
       FROM orders GROUP BY o_custkey),
     q AS (
       SELECT spend, ntile(4) OVER (ORDER BY spend, o_custkey) AS quartile
@@ -4053,7 +4099,11 @@ def customer_spend_quartiles(spark, sf_dir):
     last bits across engines; ties break on custkey). The ntile sort runs
     over per-customer aggregates, not raw orders."""
     o = _t(spark, sf_dir, "orders")
-    spend = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    spend = o.groupBy("o_custkey").agg(
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100.0, 2
+        ).alias("spend")
+    )
     w = Window.orderBy("spend", "o_custkey")
     q = spend.select("spend", F.ntile(4).over(w).alias("quartile"))
     return q.groupBy("quartile").agg(
@@ -5643,7 +5693,8 @@ def parsed_access_log(spark, sf_dir):
     "customer_value_rank_profile",
     """
     WITH spend AS (
-      SELECT c_custkey, round(sum(o_totalprice), 2) AS total_spend
+      SELECT c_custkey,
+             round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total_spend
       FROM customer JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey)
     SELECT c_custkey, total_spend,
@@ -5670,7 +5721,13 @@ def customer_value_rank_profile(spark, sf_dir):
     spend = (
         c.join(o, c.c_custkey == o.o_custkey)
         .groupBy("c_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+                / 100.0,
+                2,
+            ).alias("total_spend")
+        )
     )
     w = Window.orderBy(F.desc("total_spend"), F.asc("c_custkey"))
     return spend.select(

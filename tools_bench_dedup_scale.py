@@ -41,6 +41,16 @@ def main() -> None:
 
     spark = get_session("bench-dedup-scale", cpus=CPUS, adaptive=True)
     spark.sparkContext.setLogLevel("ERROR")
+    # get_session sizes shuffle partitions for the tiny driver fixtures
+    # (max(cores/4, 8)); at the 1000x corpus that is ~40M shuffle rows per
+    # partition and the unified memory manager cannot hold a partition's
+    # aggregation state (observed: UNABLE_TO_ACQUIRE_MEMORY in the minhash
+    # signature shuffle). Size for scale and let AQE coalesce back down on
+    # the small dirs — exactly what a real cluster config does.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", "256"),
+    )
     for sf_dir in sys.argv[1:]:
         times = {}
         for name in FAMILY:
