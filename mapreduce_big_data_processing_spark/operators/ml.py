@@ -788,3 +788,111 @@ def rank_auc(
         "n_pos",
         "n_neg",
     )
+
+
+def gram_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Distributed Gram matrix G = Σ_rows v·vᵀ over a vector column — the
+    data-sized half of PCA/covariance (the reference's ML chapter stops at
+    K-Means/SVM; this is the decomposition primitive a training-data
+    pipeline needs for embedding whitening and spectral diagnostics).
+
+    Shape: ONE Arrow mapInPandas stage computes a per-partition d×d
+    partial (`Vᵀ·V`, a NumPy matmul — the same vectorized-stage doctrine
+    as the LSH signatures), emitting only the d(d+1)/2 upper-triangle
+    cells per partition; a hash aggregation folds partials map-side, so
+    the exchange carries O(partitions · d²) scalars and the result is
+    d²-sized regardless of corpus rows. No driver collect here — callers
+    that need the matrix locally (64×64 = codebook-sized) collect the
+    RESULT, which is constant-size.
+
+    Output: (i int, j int, g double) for 0-based i ≤ j.
+    """
+    src = df.select(F.col(vec_col).alias("__v"))
+    spark = df.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < dp:
+        src = src.repartition(dp)
+
+    def partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        G = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["__v"].to_numpy()).astype("float64")
+            g = V.T @ V
+            G = g if G is None else G + g
+        if G is None:
+            return
+        iu = np.triu_indices(G.shape[0])
+        yield pd.DataFrame(
+            {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"), "g": G[iu]}
+        )
+
+    return (
+        src.mapInPandas(partial, schema="i int, j int, g double")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+    )
+
+
+def top_principal_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 12,
+    gram_decimals: int = 6,
+) -> DataFrame:
+    """First principal direction by power iteration on the Gram matrix,
+    returning each row's UNROUNDED projection onto it (callers round).
+
+    The heavy work is data-sized and distributed: one `gram_matrix` pass
+    (the only corpus-sized stage) plus one vectorized projection pass.
+    The iteration itself runs driver-side on the collected d×d matrix —
+    constant-sized work, the same codebook-collect policy as PQ/IVF
+    training — starting from the all-ones vector and normalizing each
+    step, so the sign and value of the result are a deterministic
+    function of the (rounded) Gram matrix with no eigensolver involved.
+
+    Oracle protocol: the Gram matrix is rounded to ``gram_decimals``
+    BEFORE iterating, making the recurrence input bit-identical across
+    engines (margins from the round-half boundary are fixture-verified);
+    the unrolled matvec/normalize recurrence is then replayable as
+    DuckDB CTEs (the kmeans/pagerank unroll trick), and power iteration
+    is contractive toward the dominant eigenvector, so per-step
+    summation-order noise (~1e-15) does not accumulate.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    rows = gram_matrix(df, vec_col).collect()  # d²-sized: constant, not data
+    d = max(r["j"] for r in rows) + 1
+    G = np.zeros((d, d))
+    for r in rows:
+        G[r["i"], r["j"]] = G[r["j"], r["i"]] = round(r["g"], gram_decimals)
+    v = np.ones(d)
+    for _ in range(iters):
+        w = G @ v
+        v = w / float(np.sqrt(np.dot(w, w)))
+
+    v_bc = spark.sparkContext.broadcast(v)
+    src = df.select(F.col(id_col).alias(id_col), F.col(vec_col).alias("__v"))
+    dp = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < dp:
+        src = src.repartition(dp)
+    id_type = dict(df.dtypes)[id_col]
+
+    def project(batches):
+        import numpy as np
+        import pandas as pd
+
+        v_ = v_bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["__v"].to_numpy()).astype("float64")
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "pc1": V @ v_})
+
+    return src.mapInPandas(project, schema=f"{id_col} {id_type}, pc1 double")

@@ -6848,6 +6848,12 @@ _PRIORITY = [
     "funnel_view_click_purchase",
     "weekly_cohort_retention",
     "event_transition_counts",
+    # r4-session additions (oracle-checked at 3 SFs; rotation candidates)
+    "volume_shipping",
+    "grouping_sets_revenue",
+    "embedding_gram_matrix",
+    "embedding_top_pc",
+    "streaming_upsert_state",
 ]
 
 
@@ -7328,6 +7334,282 @@ def exact_value_quartiles(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return R.exact_order_statistics(ev, "value", fractions=(0.25, 0.5, 0.75))
+
+
+# ===========================================================================
+# Round-4 additions: TPC-H Q7 shape, GROUPING SETS, spectral primitives,
+# streaming CDC upsert sink
+# ===========================================================================
+
+
+@query(
+    "volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(rev) / 10000.0, 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                           AND TIMESTAMP '1996-12-31 00:00:00')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape — bidirectional trade volume between two nations by
+    ship year (J1/J4 multi-way chain + A3). Plan notes: both nation sides
+    and supplier broadcast (dimension-sized), so the only data-sized
+    exchanges are the lineitem⋈orders⋈customer chain on their keys; the
+    nation-pair filter applies right after the broadcast joins, pruning
+    before the aggregation; the shipdate range pushes to the parquet scan.
+    Revenue follows the integer-cents protocol (exact 1e-4 units)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            _cents4().alias("rev"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("rev") / 10000.0, 2).alias("revenue"))
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                 / 10000.0, 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus))
+    """,
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """§2.7/A3 — non-hierarchical GROUPING SETS (the multi-granularity
+    rollup `status_priority_cube`'s CUBE cannot express selectively): one
+    scan feeds three grouping arrangements via Spark's Expand node — the
+    single-pass answer to "revenue by (flag,status), by flag, and by
+    status" that would otherwise be three scans unioned. Integer-cents
+    revenue; NULL group markers are coalesced to 'ALL' on both sides (the
+    fixture columns are non-null so markers are unambiguous, and the
+    driver's row-tuple sort crashes on NULL-mixed columns)."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"]],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.round(F.sum(_cents4()) / 10000.0, 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return g.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+        "revenue",
+        "n_lines",
+    )
+
+
+@query(
+    "embedding_gram_matrix",
+    """
+    WITH e AS (
+      SELECT vec_id, (u).i AS i, (u).x AS x FROM (
+        SELECT vec_id,
+               unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                                     (x, k) -> {'i': k - 1, 'x': x})) AS u
+        FROM embeddings))
+    SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+           round(sum(a.x * b.x), 4) AS g
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+)
+def embedding_gram_matrix(spark, sf_dir):
+    """Spectral primitive — the upper-triangle Gram matrix Σ v·vᵀ of the
+    embedding corpus (the data-sized half of PCA / covariance / whitening).
+    One Arrow mapInPandas stage emits a d×d NumPy partial per partition;
+    the exchange then carries O(partitions·d²) scalars, independent of
+    corpus rows — the shape that holds at 100 TB. Values rounded at 4
+    decimals on both sides (sum order differs; margins fixture-verified in
+    tests/test_decomposition.py)."""
+    from mapreduce_big_data_processing_spark.operators import ml as ML
+
+    emb = _t(spark, sf_dir, "embeddings")
+    g = ML.gram_matrix(emb, "embedding")
+    return g.select("i", "j", F.round("g", 4).alias("g"))
+
+
+def _top_pc_sql(iters: int = 12, gram_dec: int = 6, proj_dec: int = 4) -> str:
+    """DuckDB oracle for `embedding_top_pc`: the same power iteration
+    unrolled as MATERIALIZED CTEs — Gram matrix rounded at ``gram_dec``
+    decimals (bit-identical input across engines given fixture-verified
+    margins), all-ones start vector, ``iters`` matvec/normalize steps,
+    projections rounded at ``proj_dec``. Power iteration is contractive
+    toward the dominant eigenvector, so per-step summation-order noise
+    (~1e-15) does not accumulate across the unroll."""
+    sql = (
+        """
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, (u).i AS i, (u).x AS x FROM (
+        SELECT vec_id,
+               unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                                     (x, k) -> {'i': k - 1, 'x': x})) AS u
+        FROM embeddings)),
+    gram AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, round(sum(a.x * b.x), %d) AS g
+      FROM e a JOIN e b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i),
+    v0 AS (SELECT DISTINCT i, 1.0 AS x FROM e)"""
+        % gram_dec
+    )
+    prev = "v0"
+    for t in range(1, iters + 1):
+        sql += f""",
+    w{t} AS MATERIALIZED (
+      SELECT g.i AS i, sum(g.g * v.x) AS x
+      FROM gram g JOIN {prev} v ON g.j = v.i GROUP BY g.i),
+    v{t} AS MATERIALIZED (
+      SELECT i, x / sqrt((SELECT sum(x * x) FROM w{t})) AS x FROM w{t})"""
+        prev = f"v{t}"
+    sql += f"""
+    SELECT e.vec_id, round(sum(e.x * v.x), {proj_dec}) AS pc1
+    FROM e JOIN {prev} v ON e.i = v.i
+    GROUP BY e.vec_id
+    """
+    return sql
+
+
+@query("embedding_top_pc", _top_pc_sql(iters=12, gram_dec=6, proj_dec=4))
+def embedding_top_pc(spark, sf_dir):
+    """First principal component of the embedding corpus by power
+    iteration on the (rounded) Gram matrix; output is each vector's PC1
+    projection. Distributed shape: ONE corpus-sized Gram pass + ONE
+    vectorized projection pass; the 64×64 iteration itself is
+    constant-sized driver work (the PQ/IVF codebook-collect policy). The
+    all-ones start vector makes the sign deterministic on both engines —
+    no eigensolver, no sign normalization."""
+    from mapreduce_big_data_processing_spark.operators import ml as ML
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pc = ML.top_principal_component(
+        emb, "embedding", "vec_id", iters=12, gram_decimals=6
+    )
+    return pc.select("vec_id", F.round("pc1", 4).alias("pc1"))
+
+
+@query(
+    "streaming_upsert_state",
+    """
+    WITH m AS (
+      SELECT user_id, event_id AS version, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, version, event_type AS last_event, value
+    FROM m WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def streaming_upsert_state(spark, sf_dir):
+    """S10 write half, CONTINUOUS form — events replayed as a CDC mutation
+    stream (put per event, delete on 'error' — the tombstone) driven
+    through `foreachBatch` into keyed parquet table state, bootstrapped
+    from a batch MERGE over the first half. The state PERSISTS delete
+    tombstones (`keep_tombstones=True`), which is what makes convergence
+    batch-order independent — a multi-file replay orders files by mtime
+    with arbitrary ties, and without stored tombstones a reordered older
+    put resurrects deleted keys (measured before the fix: ~280 of 1206
+    users, on roughly every second replay). Oracle: latest event per user
+    with error-tombstone masking, in one batch window."""
+    from pyspark.sql import types as T
+
+    from mapreduce_big_data_processing_spark.sources import writers as W
+    from mapreduce_big_data_processing_spark.streaming import sinks as SS
+    from mapreduce_big_data_processing_spark.streaming import windows as SW
+
+    ev = _t(spark, sf_dir, "events")
+    muts = ev.select(
+        F.col("user_id"),
+        F.col("event_id").alias("version"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("put")
+        .alias("op"),
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("event_type"))
+        .alias("last_event"),
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    cut = F.lit(5000)
+    state_schema = (
+        "user_id bigint, version bigint, last_event string, value double, op string"
+    )
+    empty = spark.createDataFrame([], state_schema)
+    base = W.keyed_upsert(
+        empty,
+        muts.filter(F.col("version") < cut),
+        ["user_id"],
+        "version",
+        keep_tombstones=True,
+    )
+
+    work = _work_dir(spark, "stream_upsert")
+    src = work + "/mutations"
+    muts.filter(F.col("version") >= cut).repartitionByRange(4, "version").write.mode(
+        "overwrite"
+    ).parquet(src)
+    mut_schema = T.StructType.fromDDL(state_schema)
+    stream = SW.read_event_stream(spark, src, schema=mut_schema, max_files_per_trigger=1)
+    return SS.run_keyed_upsert_sink(
+        spark, stream, base, work, ["user_id"], "version"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -110,6 +110,7 @@ def keyed_upsert(
     version_col: str,
     op_col: str = "op",
     broadcast_keys: bool = True,
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """S10 write half — HBase put/delete as a join-based MERGE
     (`ppt/Ch6-HBase与Hive程序设计.pdf p.23-38`: Put/Delete mutations against
@@ -137,10 +138,25 @@ def keyed_upsert(
     the partitions holding mutated keys. Set ``broadcast_keys=False``
     for a mutation batch too large to broadcast (falls back to shuffle
     joins on the key).
+
+    ``keep_tombstones=True`` switches to the CONTINUOUS-ingest contract:
+    ``base`` then carries ``op_col`` itself and delete winners are KEPT
+    as tombstone rows instead of dropped. This is what makes a SEQUENCE
+    of merges commute: without a stored tombstone, a reordered or
+    retried batch holding an OLDER put for a deleted key would
+    resurrect it (the HBase/Cassandra delete-marker rationale; the
+    streaming upsert sink found this the hard way — a multi-file replay
+    is not order-deterministic). Live rows are ``op = 'put'``; readers
+    filter. Production compacts tombstones older than the replay
+    horizon, exactly like Cassandra's gc_grace.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    if keep_tombstones and op_col not in base.columns:
+        raise ValueError(
+            f"keyed_upsert(keep_tombstones=True): base must carry {op_col!r}"
+        )
     missing = [
         c for c in (*base.columns, op_col) if c not in mutations.columns
     ]
@@ -165,20 +181,20 @@ def keyed_upsert(
         keys = F.broadcast(keys)
     untouched = base.join(keys, list(key_cols), "left_anti")
 
-    touched_base = (
-        base.join(keys, list(key_cols), "left_semi")
-        .withColumn(op_col, F.lit("put"))
-        .withColumn("__src", F.lit(0))
-    )
+    touched_base = base.join(keys, list(key_cols), "left_semi")
+    if not keep_tombstones:
+        touched_base = touched_base.withColumn(op_col, F.lit("put"))
+    touched_base = touched_base.withColumn("__src", F.lit(0))
     contenders = touched_base.unionByName(
         m.select(*touched_base.columns[:-1], F.lit(1).alias("__src"))
     )
     wm = Window.partitionBy(*key_cols).orderBy(
         F.desc(version_col), F.asc(op_col), F.desc("__src")
     )
-    merged = (
-        contenders.withColumn("__rn", F.row_number().over(wm))
-        .filter((F.col("__rn") == 1) & (F.col(op_col) == "put"))
-        .select(*base.columns)
+    winners = contenders.withColumn("__rn", F.row_number().over(wm)).filter(
+        F.col("__rn") == 1
     )
+    if not keep_tombstones:
+        winners = winners.filter(F.col(op_col) == "put")
+    merged = winners.select(*base.columns)
     return untouched.unionByName(merged)

@@ -113,3 +113,63 @@ def test_upsert_untouched_rows_avoid_exchange(spark, base):
     # untouched branch must not be hash-repartitioned
     anti_branch = plan.split("LeftAnti")[0]
     assert "Exchange hashpartitioning" not in anti_branch
+
+
+# ---------------------------------------------------------------------------
+# keep_tombstones: the continuous-ingest contract (streaming/sinks.py)
+# ---------------------------------------------------------------------------
+
+TOMB_SCHEMA = "k long, version long, val string, op string"
+
+
+def _live(df):
+    return {
+        r.k: (r.version, r.val)
+        for r in df.filter(F.col("op") == "put").collect()
+    }
+
+
+def test_tombstones_commute_across_batch_orders(spark):
+    """The bug the streaming sink found: without stored tombstones, a
+    reordered batch holding an OLDER put for a deleted key resurrects
+    it. With keep_tombstones=True, every interleaving of the batches
+    converges to the same state."""
+    import itertools
+
+    empty = spark.createDataFrame([], TOMB_SCHEMA)
+    batches = [
+        [(1, 10, "a", "put"), (2, 10, "b", "put")],
+        [(1, 20, None, "delete"), (3, 21, "c", "put")],
+        [(1, 15, "stale", "put"), (2, 22, "B", "put")],  # older put for deleted k=1
+    ]
+    want = {2: (22, "B"), 3: (21, "c")}  # k=1 stays dead in every order
+    for perm in itertools.permutations(range(3)):
+        state = empty
+        for bi in perm:
+            muts = spark.createDataFrame(batches[bi], TOMB_SCHEMA)
+            state = keyed_upsert(
+                state, muts, ["k"], "version", keep_tombstones=True
+            )
+        assert _live(state) == want, f"order {perm} diverged"
+
+
+def test_tombstones_idempotent_reapply(spark):
+    empty = spark.createDataFrame([], TOMB_SCHEMA)
+    muts = spark.createDataFrame(
+        [(1, 10, "a", "put"), (2, 11, None, "delete"), (2, 9, "b", "put")],
+        TOMB_SCHEMA,
+    )
+    s1 = keyed_upsert(empty, muts, ["k"], "version", keep_tombstones=True)
+    s2 = keyed_upsert(s1, muts, ["k"], "version", keep_tombstones=True)
+    rows1 = sorted(map(tuple, s1.collect()))
+    rows2 = sorted(map(tuple, s2.collect()))
+    assert rows1 == rows2
+    # the tombstone itself is persisted (k=2 present as a delete marker)
+    assert {r.k: r.op for r in s1.collect()} == {1: "put", 2: "delete"}
+
+
+def test_tombstones_require_op_in_base(spark):
+    base = spark.createDataFrame([], "k long, version long, val string")
+    muts = spark.createDataFrame([(1, 1, "a", "put")], TOMB_SCHEMA)
+    with pytest.raises(ValueError, match="base must carry"):
+        keyed_upsert(base, muts, ["k"], "version", keep_tombstones=True)

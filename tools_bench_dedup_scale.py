@@ -35,6 +35,22 @@ FAMILY = [
 ]
 
 
+def _materialize(df) -> None:
+    """Force FULL computation without data-sized driver IO: xxhash64 over
+    the whole row struct makes every output column compute (a bare count()
+    would let Catalyst prune the projections — the r3 timing trap), and
+    the aggregation ships ONE row to the driver. At 1000x several family
+    queries emit per-doc result sets over spark.driver.maxResultSize, so
+    bench.py's toPandas() contract (fine at the driver SF) cannot be the
+    scale-materialization."""
+    from pyspark.sql import functions as F
+
+    # bit_xor, not sum: ANSI mode throws on long-sum overflow
+    df.select(
+        F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("h")
+    ).collect()
+
+
 def main() -> None:
     from mapreduce_big_data_processing_spark.session import get_session
     from mapreduce_big_data_processing_spark import queries as Q
@@ -56,12 +72,12 @@ def main() -> None:
         for name in FAMILY:
             fn = Q.QUERIES[name]
             spark.catalog.clearCache()
-            fn(spark, sf_dir).toPandas()  # warm: codegen + parquet footers
+            _materialize(fn(spark, sf_dir))  # warm: codegen + parquet footers
             samples = []
             for _ in range(SAMPLES):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).toPandas()
+                _materialize(fn(spark, sf_dir))
                 samples.append(time.perf_counter() - t0)
             times[name] = round(min(samples), 3)
             print(f"  {sf_dir} {name}: {times[name]}", file=sys.stderr, flush=True)
