@@ -6854,6 +6854,9 @@ _PRIORITY = [
     "embedding_gram_matrix",
     "embedding_top_pc",
     "streaming_upsert_state",
+    "brand_price_quantity_slope",
+    "dup_rate_by_source_pair",
+    "jsonl_roundtrip",
 ]
 
 
@@ -7609,6 +7612,148 @@ def streaming_upsert_state(spark, sf_dir):
     stream = SW.read_event_stream(spark, src, schema=mut_schema, max_files_per_trigger=1)
     return SS.run_keyed_upsert_sink(
         spark, stream, base, work, ["user_id"], "version"
+    )
+
+
+@query(
+    "brand_price_quantity_slope",
+    """
+    SELECT p_brand,
+           count(*) AS n,
+           CAST(count(*) AS BIGINT)
+             * sum(CAST(l_quantity AS BIGINT)
+                   * CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             - sum(CAST(l_quantity AS BIGINT))
+               * sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             AS slope_num,
+           CAST(count(*) AS BIGINT)
+             * sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+             - sum(CAST(l_quantity AS BIGINT)) * sum(CAST(l_quantity AS BIGINT))
+             AS slope_den
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY p_brand
+    """,
+)
+def brand_price_quantity_slope(spark, sf_dir):
+    """Per-brand OLS slope of price-vs-quantity as EXACT INTEGER
+    sufficient statistics (the zero-float protocol of
+    `event_type_daily_trend`, applied to the regression the reference's
+    forecasting chapter fits by hand): slope = slope_num / slope_den with
+    num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)² — quantities are integers
+    and prices 2-decimal by construction, so every sum is exact int64
+    (safe to ~100× the sf0.1 fixture per group; beyond that, widen to
+    decimal). Plan: part broadcasts, one partial-agg exchange carries 25
+    brand rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    q = F.col("l_quantity").cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    stats = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(q).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(q * y).alias("sxy"),
+            F.sum(q * q).alias("sxx"),
+        )
+    )
+    return stats.select(
+        "p_brand",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("slope_den"),
+    )
+
+
+@query(
+    "dup_rate_by_source_pair",
+    f"""
+    WITH pairs AS ({_MINHASH_PAIRS_SQL}),
+    lab AS (
+      SELECT least(da.source, db.source) AS source_1,
+             greatest(da.source, db.source) AS source_2
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.id_a
+      JOIN documents db ON db.doc_id = p.id_b)
+    SELECT source_1, source_2, count(*) AS dup_pairs
+    FROM lab GROUP BY source_1, source_2
+    """,
+)
+def dup_rate_by_source_pair(spark, sf_dir):
+    """Cross-source duplicate-rate matrix — the corpus diagnostic that
+    answers "which ingestion sources overlap?" (the dedup REPORTING layer
+    on top of `minhash_lsh_pairs`: same shingle→minhash→band→verify
+    chain, then each verified pair is labeled with its endpoints'
+    sources and rolled up per unordered source pair). Scale shape: the
+    verified pairs are the small side (pairs-only egress from the LSH
+    chain), so both labeling joins broadcast THEM against the
+    document-source projection; the rollup exchange is
+    source-pair-sized."""
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingles(docs, k=3).cache()
+    sig = D.minhash_signatures(sh, n_hashes=16, portable=True)
+    cand = D.lsh_candidate_pairs(sig, n_hashes=16, bands=4)
+    pairs = D.jaccard_pairs(sh, min_jaccard=0.5, candidates=cand).select(
+        "id_a", "id_b"
+    )
+    src = docs.select("doc_id", "source")
+    lab_a = src.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+        "source", "src_a"
+    ).join(F.broadcast(pairs), "id_a")
+    # broadcast the pairs-labeled side again: the big documents projection
+    # must never shuffle for a pairs-sized rollup
+    lab = src.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+        "source", "src_b"
+    ).join(F.broadcast(lab_a), "id_b")
+    return (
+        lab.select(
+            F.least("src_a", "src_b").alias("source_1"),
+            F.greatest("src_a", "src_b").alias("source_2"),
+        )
+        .groupBy("source_1", "source_2")
+        .agg(F.count(F.lit(1)).alias("dup_pairs"))
+    )
+
+
+@query(
+    "jsonl_roundtrip",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 2)
+             AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def jsonl_roundtrip(spark, sf_dir):
+    """S1/S2 sibling for the JSON-lines interchange format: events
+    projected to JSONL (one object per line — the format crawl/API dumps
+    arrive in), read back through `sources.readers.read_json` with an
+    explicit schema (schema-on-read: no inference scan at 100 TB), and
+    aggregated. The timestamp column stays OUT of the roundtrip — JSON
+    timestamp serialization is timezone-lossy by design, and binary
+    columns ride parquet, not JSON. Integer-cents totals."""
+    from mapreduce_big_data_processing_spark.sources import readers as RD
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _work_dir(spark, "jsonl_roundtrip") + "/events"
+    ev.write.mode("overwrite").json(path)
+    back = RD.read_json(
+        spark,
+        path,
+        schema="event_id bigint, user_id bigint, event_type string, value double",
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(cents) / 100.0, 2).alias("total_value"),
     )
 
 
