@@ -2856,17 +2856,13 @@ def class_centroids(spark, sf_dir):
 
 
 def _seeded_planes(n_planes: int = 3, dim: int = 64, seed: int = 42) -> list[list[float]]:
-    """Deterministic hyperplanes (seeded LCG, no numpy dependency at plan
-    build): reproducible across sessions and clusters."""
-    state = seed
-    planes = []
-    for _ in range(n_planes):
-        row = []
-        for _ in range(dim):
-            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
-        planes.append(row)
-    return planes
+    """Deterministic hyperplanes — canonical generator lives in
+    `operators.similarity.seeded_planes` (production callers size whole
+    table sets with `similarity.sized_plane_tables`); this alias keeps
+    the oracle-construction call sites stable."""
+    from mapreduce_big_data_processing_spark.operators.similarity import seeded_planes
+
+    return seeded_planes(n_planes, dim=dim, seed=seed)
 
 
 #: the OR-amplified multi-table LSH config shared by the registered
@@ -6802,9 +6798,11 @@ _PRIORITY = [
     "language_id",
     "heavy_hitter_users",
     "corpus_split_counts",
-    # round-5 rotation queue: never externally checked yet (all
-    # oracle-checked locally; promote ~component-matching siblings next
-    # round, pre-verifying each at sf0.01 first)
+    # round-5 rotation queue: never externally checked yet. ALL entries
+    # below (plus the r4-session additions at the end) were verified
+    # Spark-vs-DuckDB at sf0.01 (the gate SF) on a plain driver-like
+    # session in the r4 full-registry sweep, every one non-vacuous
+    # (>0 rows) — promotion next round needs only the component-map swap.
     "doc_cross_entropy",
     "bigram_lm_cross_entropy",
     "user_daily_series_filled",

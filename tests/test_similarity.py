@@ -344,3 +344,20 @@ def test_hard_negative_ceiling_masks_before_topk(spark):
         ).orderBy("rank").collect()
     ]
     assert got == [(100, 1), (101, 2)]
+
+
+def test_sized_plane_tables_sizing_and_determinism():
+    from mapreduce_big_data_processing_spark.operators.similarity import (
+        seeded_planes,
+        sized_plane_tables,
+    )
+
+    # mean bucket ~target: planes = ceil(log2(n/target)), clamped [4, 24]
+    assert len(sized_plane_tables(2_000)[0]) == 4          # clamp floor
+    assert len(sized_plane_tables(200_000)[0]) == 8        # the registered config's scale
+    assert len(sized_plane_tables(2_000_000)[0]) == 11     # the 1000x fixture
+    assert len(sized_plane_tables(1 << 40)[0]) == 24       # clamp ceiling
+    t = sized_plane_tables(200_000, n_tables=4)
+    assert len(t) == 4 and t == sized_plane_tables(200_000, n_tables=4)
+    # seeds line up with the registered _NEAR_DUP_TABLES generator
+    assert t[0] == seeded_planes(8, seed=42) and t[3] == seeded_planes(8, seed=45)
