@@ -545,6 +545,7 @@ def embedding_near_dup(
     block_rows: int = 4096,
     max_exact_rows: int = 100_000,
     max_bucket_rows: int = 8192,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
 
@@ -558,6 +559,18 @@ def embedding_near_dup(
     the corpus streams against a broadcast copy of itself through a NumPy
     matmul stage (bounded-corpus path; the 12.5 M-pair expression-tree
     cosine this replaced was ~100× slower).
+
+    ``n_probe`` (plane_tables path only) adds query-directed multi-probe
+    (Lv et al., VLDB'07) to the SELF-join: each vector additionally lands
+    in the ``n_probe - 1`` buckets reached by flipping its lowest-margin
+    signature bits (cost-sorted ≤3-bit flip sets, same enumeration as
+    `multiprobe_buckets`), tagged as PROBE rows; a pair is a candidate
+    when at least one side is a HOME row (probe×probe pairs are skipped —
+    they are Hamming-2 noise and double-count). This recovers
+    borderline-cosine recall that plane-count scaling prunes, at a
+    shuffle-volume cost of ~n_probe× per table — the knob pairs with
+    `sized_plane_tables`: planes track corpus growth (bucket sizes stay
+    put), probes buy recall back where the threshold demands it.
     """
     if plane_tables is not None:
         # ONE shuffle on (table_id, bucket): each row lands in T buckets
@@ -597,7 +610,20 @@ def embedding_near_dup(
         # last ulp, and a sign flip needs |dot| ≲ 1e-15·‖v‖‖p‖, which the
         # parity sweeps across every fixture have never produced.
         pmats = [np.array(t, dtype="float64") for t in plane_tables]
-        bc_planes = spark.sparkContext.broadcast(pmats)
+        # per-table flip-set incidence/masks for multi-probe (tiny driver
+        # state; enumeration order matches _flip_sets so the cost-tie
+        # break is the oracle's ORDER BY cost, fs_id)
+        probe_state = []
+        for Pt in pmats:
+            fsets = _flip_sets(Pt.shape[0])
+            inc = np.zeros((len(fsets), Pt.shape[0]))
+            masks = np.array([m for _, m in fsets], dtype="int64")
+            for j, (comb, _) in enumerate(fsets):
+                for i in comb:
+                    inc[j, i] = 1.0
+            probe_state.append((inc, masks))
+        n_probe = max(1, int(n_probe))
+        bc_planes = spark.sparkContext.broadcast((pmats, probe_state, n_probe))
         src = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
         # compute is O(n·planes·dim) while the corpus bytes may be ONE
         # input split (the r3 single-split lesson) — fan out first
@@ -610,7 +636,7 @@ def embedding_near_dup(
                 import numpy as np
                 import pandas as pd
 
-                P = bc_planes.value
+                P, pstate, np_probe = bc_planes.value
                 for pdf in batches:
                     if len(pdf) == 0:
                         continue
@@ -618,12 +644,38 @@ def embedding_near_dup(
                     ids = pdf["__id"].to_numpy()
                     frames = []
                     for t, Pt in enumerate(P):
+                        D = V @ Pt.T  # (batch, L) margins
                         w = 1 << np.arange(Pt.shape[0], dtype="int64")
-                        b = ((V @ Pt.T) > 0).astype("int64") @ w
-                        d = {"__id": ids, "table_id": np.int32(t), "bucket": b}
+                        b = (D > 0).astype("int64") @ w
+                        d = {
+                            "__id": ids,
+                            "table_id": np.int32(t),
+                            "bucket": b,
+                            "__role": np.int32(0),
+                        }
                         if with_vec:
                             d["__v"] = pdf["__v"].to_numpy()
                         frames.append(pd.DataFrame(d))
+                        if np_probe > 1:
+                            inc, masks = pstate[t]
+                            k = min(np_probe, len(masks))
+                            costs = (D * D) @ inc.T
+                            order = np.argsort(costs, axis=1, kind="stable")[:, :k]
+                            # rank 0 is the zero-cost no-flip set (= home,
+                            # already emitted); ranks 1..k-1 are probes
+                            pb = b[:, None] ^ masks[order[:, 1:]]
+                            npr = pb.shape[1]
+                            dprobe = {
+                                "__id": np.repeat(ids, npr),
+                                "table_id": np.int32(t),
+                                "bucket": pb.reshape(-1),
+                                "__role": np.int32(1),
+                            }
+                            if with_vec:
+                                dprobe["__v"] = np.repeat(
+                                    pdf["__v"].to_numpy(), npr
+                                )
+                            frames.append(pd.DataFrame(dprobe))
                     yield pd.concat(frames, ignore_index=True)
 
             return gen
@@ -632,7 +684,10 @@ def embedding_near_dup(
         vec_type = dict(corpus.dtypes)[vec_col]
         bucketed = src.mapInPandas(
             assign(True),
-            schema=f"__id {id_type}, table_id int, bucket bigint, __v {vec_type}",
+            schema=(
+                f"__id {id_type}, table_id int, bucket bigint, __role int,"
+                f" __v {vec_type}"
+            ),
         )
         thr = float(threshold)
         blk = int(block_rows)
@@ -641,7 +696,7 @@ def embedding_near_dup(
         over = (
             src.mapInPandas(
                 assign(False),
-                schema=f"__id {id_type}, table_id int, bucket bigint",
+                schema=f"__id {id_type}, table_id int, bucket bigint, __role int",
             )
             .groupBy("table_id", "bucket")
             .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -678,8 +733,12 @@ def embedding_near_dup(
                 )
             )
             expanded = tagged.select(
-                "table_id", "bucket", "__id", "__v", "__sub", groups.alias("g")
-            ).select("table_id", "bucket", "__id", "__v", "__sub", "g.ga", "g.gb")
+                "table_id", "bucket", "__id", "__role", "__v", "__sub",
+                groups.alias("g"),
+            ).select(
+                "table_id", "bucket", "__id", "__role", "__v", "__sub",
+                "g.ga", "g.gb",
+            )
         else:
             expanded = bucketed.withColumns(
                 {"__sub": F.lit(0), "ga": F.lit(0), "gb": F.lit(0)}
@@ -722,24 +781,44 @@ def embedding_near_dup(
             empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
             if len(pdf) < 2:
                 return empty
-            ga, gb = int(pdf["ga"].iloc[0]), int(pdf["gb"].iloc[0])
-            if ga == gb:  # within one sub-bucket: triangular
-                ids = pdf["__id"].to_numpy()
-                V = np.vstack(pdf["__v"].to_numpy()).astype("float64")
+
+            def _mats(rows):
+                ids = rows["__id"].to_numpy()
+                V = np.vstack(rows["__v"].to_numpy()).astype("float64")
                 n = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
-                outs = _tile_pairs(ids, V, n, ids, V, n, triangular=True)
-            else:  # cross sub-buckets: full rectangle between the sides
+                return ids, V, n
+
+            ga, gb = int(pdf["ga"].iloc[0]), int(pdf["gb"].iloc[0])
+            outs = []
+            if ga == gb:
+                # within one sub-bucket: home×home triangular, plus
+                # home×probe rectangle (probe×probe skipped — a pair of
+                # probes is Hamming-2 noise; candidates need ≥1 home side)
+                h = pdf[pdf["__role"] == 0]
+                if len(h) == 0:
+                    return empty
+                ids, V, n = _mats(h)
+                outs += _tile_pairs(ids, V, n, ids, V, n, triangular=True)
+                p = pdf[pdf["__role"] == 1]
+                if len(p) > 0:
+                    ids_p, Vp, npn = _mats(p)
+                    outs += _tile_pairs(ids, V, n, ids_p, Vp, npn, triangular=False)
+            else:  # cross sub-buckets: home_a×all_b plus probe_a×home_b
                 sa = pdf[pdf["__sub"] == ga]
                 sb = pdf[pdf["__sub"] == gb]
                 if len(sa) == 0 or len(sb) == 0:
                     return empty
-                ids_a = sa["__id"].to_numpy()
-                Va = np.vstack(sa["__v"].to_numpy()).astype("float64")
-                na = np.maximum(np.linalg.norm(Va, axis=1), 1e-12)
-                ids_b = sb["__id"].to_numpy()
-                Vb = np.vstack(sb["__v"].to_numpy()).astype("float64")
-                nb = np.maximum(np.linalg.norm(Vb, axis=1), 1e-12)
-                outs = _tile_pairs(ids_a, Va, na, ids_b, Vb, nb, triangular=False)
+                ha = sa[sa["__role"] == 0]
+                if len(ha) > 0:
+                    ids_a, Va, na = _mats(ha)
+                    ids_b, Vb, nb = _mats(sb)
+                    outs += _tile_pairs(ids_a, Va, na, ids_b, Vb, nb, triangular=False)
+                pa = sa[sa["__role"] == 1]
+                hb = sb[sb["__role"] == 0]
+                if len(pa) > 0 and len(hb) > 0:
+                    ids_a, Va, na = _mats(pa)
+                    ids_b, Vb, nb = _mats(hb)
+                    outs += _tile_pairs(ids_a, Va, na, ids_b, Vb, nb, triangular=False)
             if not outs:
                 return empty
             return pd.concat(outs, ignore_index=True)

@@ -6855,6 +6855,7 @@ _PRIORITY = [
     "brand_price_quantity_slope",
     "dup_rate_by_source_pair",
     "jsonl_roundtrip",
+    "embedding_near_dup_probed",
 ]
 
 
@@ -7753,6 +7754,99 @@ def jsonl_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(cents) / 100.0, 2).alias("total_value"),
     )
+
+
+def _near_dup_probed_sql(
+    tables: list[list[list[float]]], threshold: float, n_probe: int
+) -> str:
+    """DuckDB oracle for MULTI-PROBE multi-table near-dup: per table,
+    replay the margins, rank ≤3-bit flip sets by Σ(flipped margin²) with
+    the (cost, enumeration-order) tie-break — identical to
+    `similarity._flip_sets` + stable argsort — and keep the top
+    ``n_probe`` buckets per vector (rank 1 = the zero-cost no-flip set =
+    the HOME bucket). A candidate pair needs a probe row of one side
+    landing on a HOME row of the other (probe×probe excluded, matching
+    the kernel's role rule), then exact-cosine filter."""
+    from itertools import combinations
+
+    L = len(tables[0])
+    assert all(len(t) == L for t in tables)
+    rows = [(0, 0, ())]
+    for r in range(1, min(L, 3) + 1):
+        for comb in combinations(range(L), r):
+            rows.append((len(rows), sum(1 << i for i in comb), comb))
+    values = ", ".join(
+        "(" + ", ".join(
+            [str(fs_id), str(mask)]
+            + ["1" if i in comb else "0" for i in range(L)]
+        ) + ")"
+        for fs_id, mask, comb in rows
+    )
+    fs_cols = ", ".join(f"b{i}" for i in range(L))
+    cost = " + ".join(f"b{i} * d{i} * d{i}" for i in range(L))
+    home = " + ".join(f"(CASE WHEN d{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(L))
+    per_table = []
+    unions = []
+    for t, tbl in enumerate(tables):
+        d_exprs = ", ".join(
+            f"list_dot_product(v, [{', '.join(repr(x) for x in p)}]) AS d{i}"
+            for i, p in enumerate(tbl)
+        )
+        per_table.append(f"""
+    m{t} AS (SELECT vec_id, {d_exprs} FROM e),
+    p{t} AS MATERIALIZED (
+      SELECT vec_id, xor(home, mask) AS bucket, rn FROM (
+        SELECT vec_id, home, mask,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cost, fs_id) AS rn
+        FROM (SELECT vec_id, {home} AS home, fs_id, mask, {cost} AS cost
+              FROM m{t} CROSS JOIN fs))
+      WHERE rn <= {n_probe})""")
+        unions.append(f"SELECT {t} AS t, vec_id, bucket, rn FROM p{t}")
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    fs(fs_id, mask, {fs_cols}) AS (VALUES {values}),{",".join(per_table)},
+    p AS MATERIALIZED ({" UNION ALL ".join(unions)}),
+    h AS (SELECT t, vec_id, bucket FROM p WHERE rn = 1),
+    cand AS (
+      SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+                      greatest(a.vec_id, b.vec_id) AS id_b
+      FROM p a JOIN h b ON a.t = b.t AND a.bucket = b.bucket
+                       AND a.vec_id <> b.vec_id),
+    scored AS (
+      SELECT id_a, id_b,
+             list_dot_product(ea.v, eb.v) /
+               (sqrt(list_dot_product(ea.v, ea.v))
+                * sqrt(list_dot_product(eb.v, eb.v))) AS c
+      FROM cand
+      JOIN e ea ON ea.vec_id = id_a
+      JOIN e eb ON eb.vec_id = id_b)
+    SELECT id_a, id_b, round(c, 6) AS cosine FROM scored WHERE c >= {threshold}
+    """
+
+
+@query(
+    "embedding_near_dup_probed",
+    _near_dup_probed_sql(_NEAR_DUP_TABLES, 0.45, n_probe=4),
+)
+def embedding_near_dup_probed(spark, sf_dir):
+    """Multi-probe variant of `embedding_near_dup` (same 4×8-plane
+    tables, n_probe=4): each vector also lands in the 3 lowest-margin
+    flip buckets per table, and pairs need ≥1 HOME side. The recall/cost
+    knob that pairs with plane-count scaling — planes track corpus
+    growth (bucket size stays put), probes buy back the borderline-band
+    recall the extra planes prune, at ~n_probe× shuffle volume instead
+    of the 2^planes bucket-size blowup (BENCH_SCALE.md round-4 section).
+    Output is a strict superset of the home-only query's; the oracle
+    replays margins, cost-ranked flip sets, and the probe×home candidate
+    rule exactly."""
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.embedding_near_dup(
+        emb, threshold=0.45, plane_tables=_NEAR_DUP_TABLES, n_probe=4
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -361,3 +361,37 @@ def test_sized_plane_tables_sizing_and_determinism():
     assert len(t) == 4 and t == sized_plane_tables(200_000, n_tables=4)
     # seeds line up with the registered _NEAR_DUP_TABLES generator
     assert t[0] == seeded_planes(8, seed=42) and t[3] == seeded_planes(8, seed=45)
+
+
+def test_near_dup_multiprobe_recall_and_invariants(spark, sf_dir):
+    """Query-directed multi-probe on the self-join: probed output is a
+    SUPERSET of the home-only pair set (every home collision survives),
+    a SUBSET of the exact pair set (probes add candidates, verification
+    is exact), deduplicated, and invariant under the sub-bucket cap."""
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_dup(emb, threshold=0.45).collect()
+    }
+    tables = [_seeded_planes(n_planes=8, seed=s) for s in (42, 43)]
+    home = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_dup(
+            emb, threshold=0.45, plane_tables=tables
+        ).collect()
+    }
+    probed_rows = S.embedding_near_dup(
+        emb, threshold=0.45, plane_tables=tables, n_probe=4
+    ).collect()
+    probed = {(r.id_a, r.id_b) for r in probed_rows}
+    assert home <= probed <= exact
+    assert len(probed) > len(home)  # 8 planes on 500 vecs: probes must add
+    assert len(probed_rows) == len(probed)  # deduped across tables/probes
+    capped = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_dup(
+            emb, threshold=0.45, plane_tables=tables, n_probe=4,
+            max_bucket_rows=7,
+        ).collect()
+    }
+    assert capped == probed  # forced-skew path: identical pair set
