@@ -498,3 +498,48 @@ def test_count_min_estimate_probe_is_broadcast(spark, sf_dir):
     lookup."""
     plan = _plan(spark, sf_dir, "user_freq_countmin")
     assert "BroadcastHashJoin" in plan
+
+
+def test_volume_shipping_dims_broadcast_one_agg_exchange(spark, sf_dir):
+    """Q7: nation (both sides) and supplier must broadcast; the only
+    shuffle beyond the (size-dependent) fact joins is the one aggregation
+    exchange. At the fixtures the whole join tree is broadcast, so exactly
+    one hash exchange survives."""
+    plan = _plan(spark, sf_dir, "volume_shipping")
+    assert _count(plan, "BroadcastHashJoin") >= 3  # supplier + 2x nation
+    assert _count(plan, "Exchange hashpartitioning") == 1
+
+
+def test_grouping_sets_one_scan_through_expand(spark, sf_dir):
+    """GROUPING SETS must be ONE scan through the Expand node (three
+    grouping arrangements), never three unioned scans."""
+    plan = _plan(spark, sf_dir, "grouping_sets_revenue")
+    assert _count(plan, "Expand") == 1
+    assert _count(plan, "Scan parquet") == 1
+    assert _count(plan, "Exchange hashpartitioning") == 1
+
+
+def test_gram_matrix_exchange_is_cell_sized(spark, sf_dir):
+    """The Gram pass: one Arrow stage over the (possibly repartitioned)
+    corpus, then ONE aggregation exchange whose rows are d(d+1)/2 cells
+    per partition — never a corpus-sized shuffle after the kernel."""
+    plan = _plan(spark, sf_dir, "embedding_gram_matrix")
+    assert _count(plan, "MapInPandas") == 1
+    assert _count(plan, "Exchange hashpartitioning") == 1
+
+
+def test_slope_broadcasts_part_single_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "brand_price_quantity_slope")
+    assert _count(plan, "BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert _count(plan, "Exchange hashpartitioning") == 1
+
+
+def test_dup_rate_documents_never_shuffle_for_labeling(spark, sf_dir):
+    """Both labeling joins broadcast the pairs side: the documents
+    projection must reach its joins with no exchange of its own (the
+    LSH chain's exchanges are internal to the pairs subtree)."""
+    plan = _plan(spark, sf_dir, "dup_rate_by_source_pair")
+    # the two labeling joins are broadcast joins
+    assert _count(plan, "BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
