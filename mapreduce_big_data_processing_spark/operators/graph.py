@@ -299,3 +299,61 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Single-source breadth-first shortest-hop labeling, bounded at
+    ``max_hops`` — the reachability primitive the reference's graph
+    chapter builds toward but never ships (`ppt/Ch8-图算法.pdf` covers
+    PageRank/LPA; BFS is the textbook sibling: hop = unweighted shortest
+    path). ``source`` is a one-column DataFrame of start node(s); output
+    is ``(node, hops int)`` for every node within ``max_hops`` of a
+    source, ``hops`` = the minimum hop count (0 for the sources).
+
+    Scale shape: the edge list is symmetrized once, cached PRE-PARTITIONED
+    on the join key (the PageRank posture — only the frontier shuffles
+    per round); each round is one frontier⨝edges equi-join, a distinct,
+    and an anti-join against the visited set, all frontier-sized. Rounds
+    are bounded by ``max_hops`` (graph diameter at worst), each frontier
+    is localCheckpoint-ed so the loop's lineage stays flat, and the
+    per-round emptiness probe is a LIMIT-1 action, never a collect of
+    the frontier. Nothing in the loop depends on data volume beyond the
+    frontier/visited joins, so the plan survives a 1000-executor corpus:
+    it is label-propagation restricted to the expanding wavefront.
+    """
+    sym = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .unionByName(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition("src")
+        .cache()
+    )
+    node = source.columns[0]
+    frontier = (
+        source.select(F.col(node).alias("node")).distinct().localCheckpoint()
+    )
+    visited = frontier.withColumn("hops", F.lit(0).cast("int"))
+    for i in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier, sym["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(i).cast("int"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    sym.unpersist()
+    return visited

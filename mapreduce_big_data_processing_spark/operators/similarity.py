@@ -889,3 +889,68 @@ def embedding_near_dup(
     return corpus.select(id_col, vec_col).mapInPandas(
         pairs_fn, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
     )
+
+
+def random_projection(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: reduce ``vec_col`` to
+    ``len(planes)`` dimensions via a fixed (seeded) projection matrix,
+    scaled by 1/sqrt(out_dim) so pairwise distances are preserved in
+    expectation (Johnson & Lindenstrauss '84; Achlioptas JCSS'03 for
+    database-friendly matrices) — the cheap dimensionality-reduction
+    step ahead of clustering / ANN indexing when the native embedding
+    width is too wide to shuffle.
+
+    Output is LONG form ``(id, j int, proj double)`` — one row per
+    (vector, output dimension) — so downstream SQL and the differential
+    oracle handle scalars, never float arrays.
+
+    Scale shape: ONE zero-shuffle Arrow stage — each batch computes a
+    vectorized ``(batch, dim) @ (dim, out_dim)`` NumPy matmul against the
+    broadcast plane matrix (the hyperplane-signature pattern of
+    `embedding_near_dup`; per-element expression HOFs cost ~0.15 ms/row
+    at this width, measured at the 10x fixtures). Nothing leaves the
+    executor but the projected rows.
+    """
+    import math
+
+    import numpy as np
+
+    spark = corpus.sparkSession
+    P = np.array(planes, dtype="float64")
+    denom = math.sqrt(P.shape[0])
+    bc = spark.sparkContext.broadcast((P, denom))
+    src = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    # compute is O(n·out_dim·dim) while the corpus bytes may be ONE input
+    # split (the r3 single-split lesson) — fan out first
+    dp = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < dp:
+        src = src.repartition(dp)
+    id_type = dict(corpus.dtypes)[id_col]
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        Pm, dn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["__v"].to_numpy()).astype("float64")
+            Y = (V @ Pm.T) / dn
+            n, d = Y.shape
+            yield pd.DataFrame(
+                {
+                    "__id": np.repeat(pdf["__id"].to_numpy(), d),
+                    "j": np.tile(np.arange(d, dtype="int32"), n),
+                    "proj": Y.reshape(-1),
+                }
+            )
+
+    return src.mapInPandas(
+        gen, schema=f"__id {id_type}, j int, proj double"
+    ).withColumnRenamed("__id", id_col)

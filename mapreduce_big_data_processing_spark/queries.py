@@ -6665,6 +6665,429 @@ def svm_accuracy(spark, sf_dir):
     return ML.accuracy(joined, "label", "pred")
 
 
+
+# ===========================================================================
+# Round-4 session-3 additions: correlated-exists relational shape, BFS,
+# corpus distribution analytics, embedding-space decontamination
+# ===========================================================================
+
+
+@query(
+    "waiting_suppliers",
+    """
+    SELECT s_name, n_name,
+           CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name, n_name
+    """,
+)
+def waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept finished orders waiting),
+    adapted to the fixture schema: "late" = shipped more than 90 days
+    after the order date (lineitem carries no commit/receipt dates). The
+    oracle keeps the textbook correlated EXISTS + NOT EXISTS formulation;
+    the engine rewrites BOTH correlated subqueries into ONE per-order
+    aggregation — count distinct suppliers and the distinct set of LATE
+    suppliers per order, then keep orders with >=2 suppliers where
+    exactly one was late — so lineitem shuffles ONCE on l_orderkey
+    instead of three times (a self-join per EXISTS is the plan a naive
+    translation would run; Spark cannot decorrelate NOT EXISTS with a
+    non-equality conjunct into anything better on its own). The surviving
+    sole-late rows are orders-sized, so supplier and nation broadcast and
+    the final rollup exchanges only (s_name, n_name) cells. The late-set
+    aggregate stays bounded: a TPC-H order has <=7 lineitems, so
+    collect_set carries at most 7 entries per group at any scale."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.collect_set(F.when(late, F.col("l_suppkey"))).alias(
+                "late_supps"
+            ),
+        )
+    )
+    sole = per_order.filter(
+        (F.size("late_supps") == 1) & (F.col("n_supp") >= 2)
+    ).select(F.element_at("late_supps", 1).alias("s_suppkey"))
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        sole.join(F.broadcast(supp), "s_suppkey")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def _bfs_sql(max_hops: int = 4) -> str:
+    """DuckDB oracle for single-source BFS over the word co-occurrence
+    graph: unroll reachable-set CTEs r0..r{max_hops} (MATERIALIZED — each
+    is consumed by the next round AND the hop picker) and assign each node
+    the first round it appears in. A recursive CTE cannot express this
+    directly: (node, hops) rows grow hops monotonically, so the UNION
+    fixpoint never terminates."""
+    sql = (
+        f"WITH {_GRAPH_SQL},\n"
+        "    dfc AS (SELECT word, count(*) AS c FROM toks GROUP BY word),\n"
+        "    srcn AS (SELECT word AS node FROM dfc"
+        " ORDER BY c DESC, word LIMIT 1),\n"
+        "    r0 AS MATERIALIZED (SELECT node FROM srcn)"
+    )
+    for i in range(max_hops):
+        sql += f""",
+    r{i + 1} AS MATERIALIZED (
+      SELECT node FROM r{i}
+      UNION
+      SELECT e.dst AS node FROM edges0 e JOIN r{i} ON e.src = r{i}.node)"""
+    parts = ["SELECT node, 0 AS hops FROM r0"] + [
+        f"SELECT node, {i + 1} AS hops FROM r{i + 1}"
+        f" WHERE node NOT IN (SELECT node FROM r{i})"
+        for i in range(max_hops)
+    ]
+    sql += (
+        "\n    SELECT node, CAST(hops AS INT) AS hops FROM ("
+        + " UNION ALL ".join(parts)
+        + ") AS sel"
+    )
+    return sql
+
+
+@query("word_graph_bfs", _bfs_sql(4))
+def word_graph_bfs(spark, sf_dir):
+    """Single-source BFS hop counts (`graph.bfs_hops`) over the word
+    co-occurrence graph, rooted at the most document-frequent token
+    (ties broken by token order — fully deterministic, so the unrolled
+    reachability oracle hash-matches). Output: every node within 4 hops
+    with its shortest hop count. Same iterative posture as PageRank:
+    edges cached pre-partitioned on the join key, only the wavefront
+    shuffles per round."""
+    from mapreduce_big_data_processing_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokenize(docs, keep_cols=["doc_id"]).distinct()
+    srcn = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(1)
+        .select(F.col("word").alias("node"))
+    )
+    return G.bfs_hops(_word_graph(spark, sf_dir), srcn, max_hops=4)
+
+
+#: documents tokens with their source label (the per-source sibling of
+#: _TOKS_SQL; same split regex as text.tokenize).
+_SRC_TOKS_SQL = """
+      SELECT source, w AS word FROM (
+        SELECT source, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        FROM documents)
+      WHERE w <> ''
+"""
+
+
+@query(
+    "token_zipf_slope",
+    f"""
+    WITH tk AS ({_SRC_TOKS_SQL}),
+    c AS (SELECT source, word, count(*) AS cnt FROM tk GROUP BY source, word),
+    r AS (SELECT source, word, cnt,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY cnt DESC, word) AS rank
+          FROM c),
+    xy AS (SELECT source,
+                  CAST(round(log10(CAST(rank AS DOUBLE)) * 1000000, 0)
+                       AS BIGINT) AS x,
+                  CAST(round(log10(CAST(cnt AS DOUBLE)) * 1000000, 0)
+                       AS BIGINT) AS y
+           FROM r),
+    s AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM xy GROUP BY source HAVING count(*) >= 2)
+    SELECT source, CAST(n AS BIGINT) AS n_words,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+    FROM s
+    """,
+)
+def token_zipf_slope(spark, sf_dir):
+    """Per-source Zipf exponent: OLS slope of log10(count) vs log10(rank)
+    over the source's token rank-frequency table — the corpus-health
+    diagnostic (natural text sits near -1; generated or boilerplate text
+    drifts) a training-data pipeline runs per ingestion source. Float
+    protocol: the ONLY transcendental step (log10 of exact integer ranks
+    and counts) is rounded to 6 decimals and scaled to int64 micros, so
+    the OLS sufficient statistics are EXACT integers on both engines
+    (sums in decimal(38,0) — at Heaps-law vocabularies the squared sums
+    pass int64); the slope is one double division of two bit-identical
+    integers, rounded at 6dp (margin pinned by tests/test_zipf_entropy).
+    Scale shape: one (source, word) count exchange, a per-source
+    vocab-sized window sort (vocabulary is Heaps-sublinear in corpus
+    size), then a source-cardinality rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokenize(docs, keep_cols=["source"])
+    cnts = toks.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("word"))
+    ranked = cnts.withColumn("rank", F.row_number().over(w))
+    x = F.round(F.log10(F.col("rank").cast("double")) * 1e6, 0).cast(
+        "bigint"
+    )
+    y = F.round(F.log10(F.col("cnt").cast("double")) * 1e6, 0).cast(
+        "bigint"
+    )
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    s = (
+        ranked.select("source", x.alias("x"), y.alias("y"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d38(F.col("x"))).alias("sx"),
+            F.sum(d38(F.col("y"))).alias("sy"),
+            F.sum(d38(F.col("x") * F.col("y"))).alias("sxy"),
+            F.sum(d38(F.col("x") * F.col("x"))).alias("sxx"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    num = d38(F.col("n")) * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = d38(F.col("n")) * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_words"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias(
+            "zipf_slope"
+        ),
+    )
+
+
+@query(
+    "source_token_entropy",
+    f"""
+    WITH tk AS ({_SRC_TOKS_SQL}),
+    c AS (SELECT source, word, count(*) AS cnt FROM tk GROUP BY source, word),
+    s AS (SELECT source,
+                 CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_vocab,
+                 CAST(sum(cnt * CAST(round(log2(CAST(cnt AS DOUBLE)) * 1000000,
+                                           0) AS BIGINT))
+                      AS BIGINT) AS clog_micro
+          FROM c GROUP BY source)
+    SELECT source, n_tokens, n_vocab, clog_micro,
+           round(log2(CAST(n_tokens AS DOUBLE))
+                 - CAST(clog_micro AS DOUBLE)
+                   / (CAST(n_tokens AS DOUBLE) * 1000000.0), 6)
+             AS entropy_bits
+    FROM s
+    """,
+)
+def source_token_entropy(spark, sf_dir):
+    """Per-source Shannon entropy of the token distribution, in bits —
+    the distributional-diversity twin of `token_zipf_slope` (low entropy
+    flags boilerplate-dominated or template-generated sources; uniform
+    text approaches log2(vocab)). Identity: H = log2(N) - (sum c*log2 c)/N,
+    so the only per-token transcendental (log2 of each exact integer
+    count) is rounded to int64 micros and folded into an EXACT integer
+    sum; both engines then derive the displayed entropy from identical
+    integers via one structurally-identical double expression, rounded
+    6dp (margins pinned by tests/test_zipf_entropy). Scale shape: one
+    (source, word) count exchange + a source-cardinality rollup — no
+    window, no second pass over the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokenize(docs, keep_cols=["source"])
+    cnts = toks.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    clog = F.col("cnt") * F.round(
+        F.log2(F.col("cnt").cast("double")) * 1e6, 0
+    ).cast("bigint")
+    s = cnts.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum(clog).cast("bigint").alias("clog_micro"),
+    )
+    entropy = F.round(
+        F.log2(F.col("n_tokens").cast("double"))
+        - F.col("clog_micro").cast("double")
+        / (F.col("n_tokens").cast("double") * F.lit(1e6)),
+        6,
+    )
+    return s.select(
+        "source",
+        "n_tokens",
+        F.col("n_vocab").cast("bigint").alias("n_vocab"),
+        "clog_micro",
+        entropy.alias("entropy_bits"),
+    )
+
+
+@query(
+    "semantic_contamination",
+    f"""
+    WITH pairs AS ({_near_dup_lsh_sql(_NEAR_DUP_TABLES, 0.30)}),
+    lab AS (
+      SELECT CASE WHEN id_a % 4 = 0 THEN id_b ELSE id_a END AS train_id,
+             CASE WHEN id_a % 4 = 0 THEN id_a ELSE id_b END AS eval_id,
+             cosine
+      FROM pairs WHERE (id_a % 4 = 0) <> (id_b % 4 = 0)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY train_id
+                                       ORDER BY cosine DESC, eval_id) AS rn
+          FROM lab)
+    SELECT train_id,
+           CAST(count(*) AS BIGINT) AS n_eval_dups,
+           max(cosine) AS max_cosine,
+           max(CASE WHEN rn = 1 THEN eval_id END) AS top_eval_id
+    FROM r GROUP BY train_id
+    """,
+)
+def semantic_contamination(spark, sf_dir):
+    """Embedding-space decontamination: training vectors whose cosine to
+    ANY eval-set vector clears the contamination threshold — the SEMANTIC
+    sibling of `benchmark_contamination` (n-gram overlap catches verbatim
+    leakage; embedding cosine catches paraphrased leakage, the
+    decontamination step LLM eval hygiene actually requires). The eval
+    membership here is the deterministic id split (vec_id % 4 == 0)
+    standing in for an eval-set lookup table; threshold 0.30 suits the
+    synthetic fixtures' cosine spread. Built on the SAME multi-table
+    8-plane LSH chain as `embedding_near_dup` (one shuffle, capped
+    verify groups), then pairs straddling the split are rolled up per
+    training vector: how many eval hits, the max cosine, and the closest
+    eval doc (ties on 6dp cosine broken by id — deterministic on both
+    engines). At 100 TB the eval side is millions of vectors against
+    billions of training vectors: the LSH chain is shared, and a
+    production variant would tag sides in the kernel to skip train-train
+    tiles; here the straddle filter runs on the pairs-only egress, which
+    is already the small side."""
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = S.embedding_near_dup(
+        emb, threshold=0.30, plane_tables=_NEAR_DUP_TABLES
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    a_eval = F.col("id_a") % 4 == 0
+    b_eval = F.col("id_b") % 4 == 0
+    lab = pairs.filter(a_eval != b_eval).select(
+        F.when(a_eval, F.col("id_b")).otherwise(F.col("id_a")).alias(
+            "train_id"
+        ),
+        F.when(a_eval, F.col("id_a")).otherwise(F.col("id_b")).alias(
+            "eval_id"
+        ),
+        "cosine",
+    )
+    w = Window.partitionBy("train_id").orderBy(
+        F.desc("cosine"), F.asc("eval_id")
+    )
+    r = lab.withColumn("rn", F.row_number().over(w))
+    return r.groupBy("train_id").agg(
+        F.count(F.lit(1)).alias("n_eval_dups"),
+        F.max("cosine").alias("max_cosine"),
+        F.max(F.when(F.col("rn") == 1, F.col("eval_id"))).alias(
+            "top_eval_id"
+        ),
+    )
+
+
+def _random_projection_sql(planes, out_dim: int) -> str:
+    """DuckDB oracle for the JL projection: one UNION ALL branch per
+    output dimension, each replaying list_dot_product against the same
+    plane literals (the `_plane_bucket_sql` convention) divided by the
+    identical sqrt(out_dim); fold-order noise is last-ulp and the 6dp
+    round absorbs it (the embedding_near_dup cosine precedent)."""
+    branches = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, round(list_dot_product(v, "
+        f"[{', '.join(repr(x) for x in p)}]) / sqrt({float(out_dim)!r}), 6)"
+        f" AS proj FROM e"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id, CAST(j AS INT) AS j, proj FROM ({branches}) AS u
+    """
+
+
+_RP_PLANES = _seeded_planes(n_planes=8, seed=7)
+
+
+@query("embedding_random_projection", _random_projection_sql(_RP_PLANES, 8))
+def embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss projection of the embedding table to 8
+    dimensions (`similarity.random_projection`, seeded plane matrix) —
+    the width-reduction preprocessing step for clustering/ANN when the
+    native embedding is too wide to shuffle. Long-form (vec_id, j, proj)
+    output keeps the oracle scalar-only; one zero-shuffle Arrow matmul
+    stage."""
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.random_projection(emb, _RP_PLANES)
+    return out.select("vec_id", "j", F.round("proj", 6).alias("proj"))
+
+
+@query(
+    "cluster_balanced_sample",
+    f"""
+    WITH asg AS ({_kmeans_sql(k=8, iters=5)}),
+    r AS (SELECT vec_id, cid,
+                 row_number() OVER (
+                   PARTITION BY cid
+                   ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8),
+                            vec_id) AS rk
+          FROM asg)
+    SELECT vec_id, CAST(cid AS INT) AS cid FROM r WHERE rk <= 8
+    """,
+)
+def cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced data selection: K-Means assignment (the M4
+    operator, deterministic init) followed by a per-cluster md5 quota
+    (`sampling.quota_per_group`, 8 rows/cluster) — the
+    diversity-preserving downsampling step of an embedding-curated
+    training pipeline (cap each semantic region instead of letting the
+    densest cluster dominate a size-capped corpus; the DeepMind/Meta
+    "SemDeDup → cluster-balanced keep" recipe). Selection is hash-based,
+    so it is order-independent and reproducible across runs/engines.
+    Scale shape: assignment is the kmeans broadcast-centroid scan; the
+    quota is ONE window over cid — and since k bounds the partition
+    count, callers at corpus scale pre-filter with `hash_sample` so only
+    ~quota-sized candidates enter the window (the quota_per_group
+    docstring contract)."""
+    from mapreduce_big_data_processing_spark.operators import ml as ML
+    from mapreduce_big_data_processing_spark.operators import sampling as SA
+
+    emb = _t(spark, sf_dir, "embeddings")
+    asg = ML.kmeans(emb, k=8, max_iter=5)
+    return SA.quota_per_group(asg, ["cid"], key="vec_id", n=8).select(
+        "vec_id", F.col("cid").cast("int").alias("cid")
+    )
+
+
 #: Driver-gate ordering. The external driver's correctness window checks the
 #: first ~50 queries in `queries()` iteration order (r1 stopped at 50 of 120,
 #: leaving every later entry driver-unverified), so the registry is returned
@@ -6856,6 +7279,14 @@ _PRIORITY = [
     "dup_rate_by_source_pair",
     "jsonl_roundtrip",
     "embedding_near_dup_probed",
+    # r4-session-3 additions (oracle-checked at 3 SFs; rotation candidates)
+    "waiting_suppliers",
+    "word_graph_bfs",
+    "token_zipf_slope",
+    "source_token_entropy",
+    "semantic_contamination",
+    "embedding_random_projection",
+    "cluster_balanced_sample",
 ]
 
 

@@ -1,0 +1,76 @@
+"""BFS hop labeling (graph.bfs_hops) + the word_graph_bfs query contract.
+
+Exact small-case checks (hand-computable graphs), the max_hops bound,
+and determinism of the query's root selection.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_big_data_processing_spark.operators import graph as G
+
+
+@pytest.fixture()
+def path_graph(spark):
+    # a -- b -- c -- d -- e, plus isolated pair x -- y
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")]
+    return spark.createDataFrame(edges, "src string, dst string")
+
+
+def _src(spark, node):
+    return spark.createDataFrame([(node,)], "node string")
+
+
+def test_bfs_hops_path_graph(spark, path_graph):
+    got = {
+        r.node: r.hops
+        for r in G.bfs_hops(path_graph, _src(spark, "a"), max_hops=4).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 4}
+
+
+def test_bfs_respects_max_hops_bound(spark, path_graph):
+    got = {
+        r.node: r.hops
+        for r in G.bfs_hops(path_graph, _src(spark, "a"), max_hops=2).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2}  # d, e beyond the bound
+
+
+def test_bfs_unreached_component_excluded(spark, path_graph):
+    nodes = {
+        r.node
+        for r in G.bfs_hops(path_graph, _src(spark, "x"), max_hops=4).collect()
+    }
+    assert nodes == {"x", "y"}  # the a..e chain is unreachable
+
+
+def test_bfs_undirected_and_min_hop(spark):
+    # direction of the input rows must not matter, and a node reachable
+    # two ways gets the MINIMUM hop count: triangle a-b, b-c, c-a plus
+    # tail c-d; every node is within 1-2 hops of a.
+    edges = [("b", "a"), ("b", "c"), ("a", "c"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.node: r.hops
+        for r in G.bfs_hops(df, _src(spark, "a"), max_hops=4).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_bfs_multi_source(spark, path_graph):
+    srcs = spark.createDataFrame([("a",), ("e",)], "node string")
+    got = {
+        r.node: r.hops for r in G.bfs_hops(path_graph, srcs, max_hops=2).collect()
+    }
+    assert got == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2}
+
+
+def test_word_graph_bfs_query_root_is_deterministic(spark, sf_dir):
+    from mapreduce_big_data_processing_spark import queries as Q
+
+    a = {(r.node, r.hops) for r in Q.QUERIES["word_graph_bfs"](spark, sf_dir).collect()}
+    b = {(r.node, r.hops) for r in Q.QUERIES["word_graph_bfs"](spark, sf_dir).collect()}
+    assert a == b
+    assert sum(1 for _, h in a if h == 0) == 1  # exactly one root

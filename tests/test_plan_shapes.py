@@ -543,3 +543,59 @@ def test_dup_rate_documents_never_shuffle_for_labeling(spark, sf_dir):
     # the two labeling joins are broadcast joins
     assert _count(plan, "BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_waiting_suppliers_single_fact_pass(spark, sf_dir):
+    """Q21 shape: the two correlated EXISTS subqueries are rewritten into
+    ONE per-order aggregation — lineitem must not self-join (no cartesian,
+    no extra fact-sized exchange beyond the distinct-agg pair on
+    l_orderkey + the name rollup), and all dimension joins broadcast."""
+    plan = _plan(spark, sf_dir, "waiting_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert _count(plan, "Exchange hashpartitioning") <= 3
+    assert _count(plan, "BroadcastHashJoin") == 3
+
+
+def test_zipf_window_reuses_count_exchange(spark, sf_dir):
+    """(source, word) count exchange + per-source window; the final
+    per-source OLS rollup must reuse the window's source partitioning —
+    exactly two data-sized exchanges, no joins."""
+    plan = _plan(spark, sf_dir, "token_zipf_slope")
+    assert _count(plan, "Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_entropy_two_exchanges_no_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "source_token_entropy")
+    assert _count(plan, "Exchange hashpartitioning") == 2
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_semantic_contamination_rides_lsh_chain(spark, sf_dir):
+    """The contamination rollup runs on the pairs-only egress of the
+    near-dup LSH chain: the window on train_id and the final groupBy
+    share one exchange, and nothing reintroduces an all-pairs join."""
+    plan = _plan(spark, sf_dir, "semantic_contamination")
+    assert "CartesianProduct" not in plan
+    assert _count(plan, "Exchange hashpartitioning") <= 3
+    assert _count(plan, "Window") == 1
+
+
+def test_random_projection_zero_shuffle_arrow(spark, sf_dir):
+    """The JL projection is ONE vectorized Arrow stage on the scan — no
+    hash exchange, no join, no per-element expression HOFs."""
+    plan = _plan(spark, sf_dir, "embedding_random_projection")
+    assert _count(plan, "MapInPandas") == 1
+    assert _count(plan, "Exchange hashpartitioning") == 0
+    assert "Join" not in plan.replace("MapInPandas", "")
+
+
+def test_cluster_balanced_sample_broadcast_centroids(spark, sf_dir):
+    """Assignment must be the broadcast-centroid scan (k-row nested-loop
+    broadcast, never a shuffled join of the corpus) and the quota window
+    adds at most the cid exchange on the assignment output."""
+    plan = _plan(spark, sf_dir, "cluster_balanced_sample")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert _count(plan, "Exchange hashpartitioning") <= 2
