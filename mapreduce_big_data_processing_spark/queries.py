@@ -6977,7 +6977,11 @@ def semantic_contamination(spark, sf_dir):
     standing in for an eval-set lookup table; threshold 0.30 suits the
     synthetic fixtures' cosine spread. Built on the SAME multi-table
     8-plane LSH chain as `embedding_near_dup` (one shuffle, capped
-    verify groups), then pairs straddling the split are rolled up per
+    verify groups; pinned to the oracle's plane tables — the near-dup
+    family convention. Production corpora size planes with
+    `similarity.sized_plane_tables` instead: measured 79 s at the
+    1000x fixture vs 462 s at pinned 8 planes, identical rollup rows —
+    BENCH_SCALE.md), then pairs straddling the split are rolled up per
     training vector: how many eval hits, the max cosine, and the closest
     eval doc (ties on 6dp cosine broken by id — deterministic on both
     engines). At 100 TB the eval side is millions of vectors against

@@ -74,3 +74,4 @@ def test_cluster_balanced_sample_quota_and_stability(spark, sf_dir):
     assert per and all(c <= 8 for c in per.values())
     again = Q.QUERIES["cluster_balanced_sample"](spark, sf_dir).collect()
     assert {(r.vec_id, r.cid) for r in rows} == {(r.vec_id, r.cid) for r in again}
+
