@@ -7092,6 +7092,42 @@ def cluster_balanced_sample(spark, sf_dir):
     )
 
 
+@query(
+    "word_clustering_coefficient",
+    f"""
+    WITH t AS ({_TRIANGLE_SQL})
+    SELECT node, degree, triangles,
+           CASE WHEN degree < 2 THEN 0.0
+                ELSE round(CAST(2 * triangles AS DOUBLE)
+                           / CAST(degree * (degree - 1) AS DOUBLE), 6)
+           END AS clustering_coeff
+    FROM t
+    """,
+)
+def word_clustering_coefficient(spark, sf_dir):
+    """Per-vertex local clustering coefficient over the word
+    co-occurrence graph: C(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the
+    standard Watts-Strogatz local density measure, derived from the
+    node-iterator++ triangle counts (`graph.triangle_counts`) — both
+    inputs are EXACT integers, so the one double division is computed
+    from bit-identical operands on both engines and rounds cleanly at
+    6dp (degree<2 vertices get 0.0 — no NULLs per the driver row-sort
+    rule). Adds no exchange beyond the triangle plan."""
+    from mapreduce_big_data_processing_spark.operators import graph as G
+
+    t = G.triangle_counts(_word_graph(spark, sf_dir))
+    coeff = F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
+        F.round(
+            (2 * F.col("triangles")).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            6,
+        )
+    )
+    return t.select(
+        "node", "degree", "triangles", coeff.alias("clustering_coeff")
+    )
+
+
 #: Driver-gate ordering. The external driver's correctness window checks the
 #: first ~50 queries in `queries()` iteration order (r1 stopped at 50 of 120,
 #: leaving every later entry driver-unverified), so the registry is returned
@@ -7291,6 +7327,7 @@ _PRIORITY = [
     "semantic_contamination",
     "embedding_random_projection",
     "cluster_balanced_sample",
+    "word_clustering_coefficient",
 ]
 
 
