@@ -7128,6 +7128,150 @@ def word_clustering_coefficient(spark, sf_dir):
     )
 
 
+_CC_CTES = f"""
+    p AS (SELECT id_a, id_b FROM ({_MINHASH_PAIRS_SQL})),
+    e AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b AS a, id_a AS b FROM p),
+    reach AS (
+      SELECT a AS n, b AS m FROM e
+      UNION
+      SELECT r.n AS n, e.b AS m FROM reach r JOIN e ON r.m = e.a
+    ),
+    comp AS (SELECT n AS doc_id, least(min(m), n) AS cluster_id
+             FROM reach GROUP BY n)
+"""
+
+
+@query(
+    "leakage_free_split",
+    f"""
+    WITH RECURSIVE {_CC_CTES},
+    g AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_key
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+    SELECT doc_id, group_key,
+           CASE WHEN substr(md5(CAST(group_key AS VARCHAR)), 1, 4) < 'c000'
+                THEN 'train' ELSE 'heldout' END AS split
+    FROM g
+    """,
+)
+def leakage_free_split(spark, sf_dir):
+    """Near-dup-aware train/heldout split: every document is assigned by
+    the md5 bucket of its DEDUP GROUP (its near-dup connected component;
+    its own id when unclustered), so near-duplicate documents can NEVER
+    straddle the split — the leakage-safe version of a plain per-doc
+    hash split (a verbatim or near-copy of a heldout doc landing in
+    train is exactly the contamination `benchmark_contamination` /
+    `semantic_contamination` later have to hunt down; splitting by
+    cluster prevents it by construction). 75/25 via hex threshold
+    'c000'. Scale shape: the component table is pairs-small, so the
+    corpus-side assignment is one broadcast left join on the scan + a
+    scan-side md5 CASE — no corpus shuffle anywhere."""
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+    from mapreduce_big_data_processing_spark.operators import graph as G
+    from mapreduce_big_data_processing_spark.operators import sampling as SA
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingles(docs, k=3).cache()
+    sig = D.minhash_signatures(sh, n_hashes=16, portable=True)
+    cand = D.lsh_candidate_pairs(sig, n_hashes=16, bands=4)
+    pairs = D.jaccard_pairs(sh, min_jaccard=0.5, candidates=cand)
+    comp = G.connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    g = docs.select("doc_id").join(F.broadcast(comp), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("group_key"),
+    )
+    bucket = SA.bucket16(F.col("group_key"), 4)
+    return g.select(
+        "doc_id",
+        "group_key",
+        F.when(bucket < F.lit("c000"), F.lit("train"))
+        .otherwise(F.lit("heldout"))
+        .alias("split"),
+    )
+
+
+@query(
+    "quality_canonical_survivors",
+    f"""
+    WITH RECURSIVE {_CC_CTES},
+    base AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS words
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(words) AS INT) AS n_words,
+             CASE WHEN len(words) > 0
+                  THEN CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+                       / len(words)
+                  ELSE 0.0 END AS mean_wlen,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(text) -
+                            length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                       / length(text)
+                  ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(words) > 0
+                  THEN CAST(len(list_filter(words, w -> list_contains(
+                         ['the','is','and','of','to','a','in','that'], w))) AS DOUBLE)
+                       / len(words)
+                  ELSE 0.0 END AS stop_ratio
+      FROM base),
+    q AS (
+      SELECT doc_id,
+             round(CAST(CASE WHEN n_words BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+                 + CASE WHEN mean_wlen BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0.0 END
+                 + CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END
+                 + CASE WHEN stop_ratio >= 0.01 THEN 0.2 ELSE 0.0 END AS DOUBLE), 2)
+               AS quality
+      FROM m),
+    r AS (
+      SELECT c.cluster_id, c.doc_id, q.quality,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality DESC, c.doc_id) AS rn
+      FROM comp c JOIN q ON c.doc_id = q.doc_id)
+    SELECT cluster_id, doc_id, quality FROM r WHERE rn = 1
+    """,
+)
+def quality_canonical_survivors(spark, sf_dir):
+    """Quality-aware canonical selection: per near-dup cluster, keep the
+    HIGHEST-quality member (heuristic quality score; ties by doc_id)
+    instead of the arbitrary smallest-id doc `dedup_survivors` keeps —
+    the curation refinement real dedup pipelines apply (RefinedWeb /
+    MassiveText keep the best-scoring copy: the duplicate set often
+    mixes a clean original with boilerplate-wrapped mirrors). Quality
+    ordering is cross-engine-safe: the score is a sum of CASE constants
+    whose float predicates both engines evaluate on identical doubles
+    (the `quality_scores` oracle precedent). Scale shape: the component
+    table is pairs-small and broadcasts into the quality projection; the
+    argmax window partitions by cluster_id — cluster-sized partitions,
+    never corpus-sized."""
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+    from mapreduce_big_data_processing_spark.operators import graph as G
+    from mapreduce_big_data_processing_spark.operators import textstats as TS
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingles(docs, k=3).cache()
+    sig = D.minhash_signatures(sh, n_hashes=16, portable=True)
+    cand = D.lsh_candidate_pairs(sig, n_hashes=16, bands=4)
+    pairs = D.jaccard_pairs(sh, min_jaccard=0.5, candidates=cand)
+    comp = G.connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    q = TS.quality_score(docs).select("doc_id", "quality")
+    j = q.join(F.broadcast(comp), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", "doc_id", "quality")
+    )
+
+
 #: Driver-gate ordering. The external driver's correctness window checks the
 #: first ~50 queries in `queries()` iteration order (r1 stopped at 50 of 120,
 #: leaving every later entry driver-unverified), so the registry is returned
@@ -7328,6 +7472,8 @@ _PRIORITY = [
     "embedding_random_projection",
     "cluster_balanced_sample",
     "word_clustering_coefficient",
+    "leakage_free_split",
+    "quality_canonical_survivors",
 ]
 
 

@@ -1,0 +1,52 @@
+"""leakage_free_split + quality_canonical_survivors behavioral guards."""
+
+from __future__ import annotations
+
+from mapreduce_big_data_processing_spark import queries as Q
+
+
+def _clusters(spark, sf_dir):
+    from mapreduce_big_data_processing_spark import catalog
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+    from mapreduce_big_data_processing_spark.operators import graph as G
+
+    docs = catalog.load(spark, "documents", sf_dir)
+    sh = D.shingles(docs, k=3).cache()
+    sig = D.minhash_signatures(sh, n_hashes=16, portable=True)
+    cand = D.lsh_candidate_pairs(sig, n_hashes=16, bands=4)
+    pairs = D.jaccard_pairs(sh, min_jaccard=0.5, candidates=cand)
+    comp = G.connected_components(pairs, src="id_a", dst="id_b")
+    out = {}
+    for r in comp.collect():
+        out.setdefault(r.comp, set()).add(r.node)
+    return out
+
+
+def test_split_never_straddles_a_cluster(spark, sf_dir):
+    split = {
+        r.doc_id: r.split
+        for r in Q.QUERIES["leakage_free_split"](spark, sf_dir).collect()
+    }
+    clusters = _clusters(spark, sf_dir)
+    assert clusters  # fixture has near-dup clusters
+    for members in clusters.values():
+        assert len({split[d] for d in members}) == 1, members
+    assert {"train", "heldout"} == set(split.values())  # both sides hit
+
+
+def test_canonical_is_cluster_quality_argmax(spark, sf_dir):
+    from mapreduce_big_data_processing_spark import catalog
+    from mapreduce_big_data_processing_spark.operators import textstats as TS
+
+    docs = catalog.load(spark, "documents", sf_dir)
+    q = {r.doc_id: r.quality for r in TS.quality_score(docs).collect()}
+    clusters = _clusters(spark, sf_dir)
+    rows = Q.QUERIES["quality_canonical_survivors"](spark, sf_dir).collect()
+    assert len(rows) == len(clusters)
+    for r in rows:
+        members = clusters[r.cluster_id]
+        assert r.doc_id in members
+        best = max(q[d] for d in members)
+        assert r.quality == best == q[r.doc_id]
+        # tie-break: smallest id among the best-quality members
+        assert r.doc_id == min(d for d in members if q[d] == best)
