@@ -74,3 +74,58 @@ def test_word_graph_bfs_query_root_is_deterministic(spark, sf_dir):
     b = {(r.node, r.hops) for r in Q.QUERIES["word_graph_bfs"](spark, sf_dir).collect()}
     assert a == b
     assert sum(1 for _, h in a if h == 0) == 1  # exactly one root
+
+
+# --- property tests: BFS vs a pure-Python shortest-hop model -------------
+
+from collections import deque
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_EDGES = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)),
+    min_size=1,
+    max_size=24,
+)
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_bfs(edges, src, max_hops):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    hops = {src: 0}
+    dq = deque([src])
+    while dq:
+        u = dq.popleft()
+        if hops[u] >= max_hops:
+            continue
+        for v in adj.get(u, ()):
+            if v not in hops:
+                hops[v] = hops[u] + 1
+                dq.append(v)
+    return hops
+
+
+@_slow
+@given(edges=_EDGES, data=st.data())
+def test_bfs_matches_python_model(spark, edges, data):
+    src = data.draw(st.sampled_from(sorted({n for e in edges for n in e})))
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src long, dst long"
+    )
+    sdf = spark.createDataFrame([(int(src),)], "node long")
+    got = {r.node: r.hops for r in G.bfs_hops(df, sdf, max_hops=3).collect()}
+    want = _py_bfs(edges, src, 3)
+    # the model may include src even when its only edges are self-loops;
+    # bfs_hops always emits the source at hop 0 too
+    assert got == want
