@@ -7335,6 +7335,94 @@ def orc_roundtrip(spark, sf_dir):
     )
 
 
+@query(
+    "supplier_mkt_share_by_year",
+    """
+    SELECT o_year,
+           round(CAST(nat AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS mkt_share,
+           round(tot / 10000.0, 2) AS market_revenue
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             sum(CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE 0 END) AS nat,
+             sum(rev) AS tot
+      FROM (
+        SELECT o_orderdate, n2.n_name AS supp_nation,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = n1.n_regionkey AND r_name = 'ASIA'
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey) AS t
+      GROUP BY o_year) AS a
+    """,
+)
+def supplier_mkt_share_by_year(spark, sf_dir):
+    """TPC-H Q8 shape — one supplier nation's share of a regional market
+    per order year. The join DAG uses nation in TWO ROLES (customer-side
+    dimension restricting the market region; supplier-side dimension
+    labeling where each line's revenue came from) — the dual-role
+    dimension shape no other registered query exercises. Plan: all four
+    dimension joins broadcast (region filter applied inside its join, so
+    non-ASIA customers prune before the fact chain); the only data-sized
+    exchanges are lineitem⋈orders⋈customer on their keys plus a
+    years-sized rollup. Share = one double division of EXACT 1e-4
+    revenue units (integer-cents protocol), so the engines divide
+    bit-identical integers. sum(bigint) is int64-safe to ~1e18 units
+    (~1e5 the sf0.1 market); widen to decimal past that."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_reg")
+    )
+    asia = region.filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("bigint"))
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(asia), F.col("cn_reg") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.col("supp_nation"),
+            rev.alias("rev"),
+        )
+    )
+    agg = j.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_7", F.col("rev")).otherwise(
+                F.lit(0)
+            )
+        ).alias("nat"),
+        F.sum("rev").alias("tot"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("nat").cast("double") / F.col("tot").cast("double"), 6).alias(
+            "mkt_share"
+        ),
+        F.round(F.col("tot") / 10000.0, 2).alias("market_revenue"),
+    )
+
+
 #: Driver-gate ordering. The external driver's correctness window checks the
 #: first ~50 queries in `queries()` iteration order (r1 stopped at 50 of 120,
 #: leaving every later entry driver-unverified), so the registry is returned
@@ -7539,6 +7627,7 @@ _PRIORITY = [
     "quality_canonical_survivors",
     "csv_roundtrip",
     "orc_roundtrip",
+    "supplier_mkt_share_by_year",
 ]
 
 

@@ -599,3 +599,15 @@ def test_cluster_balanced_sample_broadcast_centroids(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert _count(plan, "Exchange hashpartitioning") <= 2
+
+
+def test_q8_dual_role_dims_broadcast(spark, sf_dir):
+    """Q8 shape: every dimension join (both nation roles, region,
+    supplier) must broadcast — the fact chain is the only shuffle
+    surface — and the region filter prunes inside its join, never as a
+    post-join filter of the full fact output."""
+    plan = _plan(spark, sf_dir, "supplier_mkt_share_by_year")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert _count(plan, "BroadcastHashJoin") >= 4
+    assert _count(plan, "Exchange hashpartitioning") <= 3
