@@ -357,3 +357,69 @@ def bfs_hops(
         frontier = nxt.select("node")
     sym.unpersist()
     return visited
+
+
+def sssp(
+    edges: DataFrame,
+    source: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_rounds: int = 6,
+) -> DataFrame:
+    """Single-source shortest paths by bounded Bellman-Ford relaxation —
+    THE canonical iterative MapReduce graph algorithm (Lin & Dyer ch.5;
+    the weighted sibling of :func:`bfs_hops`). Each round every edge
+    relaxes: ``dist' = min(dist, min over in-edges(dist[src] + w))``;
+    ``max_rounds`` bounds path length (rounds ≥ graph diameter give the
+    exact fixpoint — and once a round changes nothing the loop exits,
+    which equals running the full bound, so a round-unrolled oracle
+    replays it exactly). Integer weights keep the min-plus algebra
+    EXACT — no float fold-order exposure at any parallelism.
+
+    ``source`` is a one-column (node) DataFrame; output ``(node, dist)``
+    covers reached nodes only. Scale shape: edges cached PRE-PARTITIONED
+    on the join key; per round ONE dist⨝edges equi-join + a min
+    aggregation — dist is node-sized, edges never re-shuffle; lineage is
+    cut by localCheckpoint each round; the convergence probe is a
+    LIMIT-1 count, never a collect.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("bigint").alias("w"),
+        )
+        .repartition("src")
+        .cache()
+    )
+    node = source.columns[0]
+    dist = (
+        source.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        cand = e.join(dist, e["src"] == dist["node"]).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        nxt = (
+            cand.unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.alias("n")
+            .join(dist.alias("d"), "node", "left")
+            .filter(
+                F.col("d.dist").isNull() | (F.col("n.dist") < F.col("d.dist"))
+            )
+        )
+        progressed = changed.limit(1).count() > 0
+        dist = nxt
+        if not progressed:
+            break
+    e.unpersist()
+    return dist

@@ -7423,6 +7423,69 @@ def supplier_mkt_share_by_year(spark, sf_dir):
     )
 
 
+def _sssp_sql(rounds: int = 6) -> str:
+    """DuckDB oracle for bounded Bellman-Ford over the word graph:
+    integer edge weights w = floor(1e6 / cnt) (strong co-occurrence =
+    cheap edge), d0 = the BFS root at distance 0, then ``rounds``
+    unrolled min-plus relaxations as MATERIALIZED CTEs (each is consumed
+    by the next round) — exactly the engine loop, which exits early only
+    at the fixpoint (where further rounds change nothing)."""
+    sql = (
+        f"WITH {_GRAPH_SQL},\n"
+        "    we AS MATERIALIZED (SELECT src, dst,"
+        " CAST(floor(1000000.0 / cnt) AS BIGINT) AS w FROM edges0),\n"
+        "    dfc AS (SELECT word, count(*) AS c FROM toks GROUP BY word),\n"
+        "    srcn AS (SELECT word AS node FROM dfc"
+        " ORDER BY c DESC, word LIMIT 1),\n"
+        "    d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM srcn)"
+    )
+    for i in range(rounds):
+        sql += f""",
+    d{i + 1} AS MATERIALIZED (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM we e JOIN d{i} d ON e.src = d.node
+        UNION ALL
+        SELECT node, dist FROM d{i}) AS u
+      GROUP BY node)"""
+    sql += f"\n    SELECT node, dist FROM d{rounds}"
+    return sql
+
+
+@query("word_graph_sssp", _sssp_sql(6))
+def word_graph_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths (`graph.sssp`, bounded
+    Bellman-Ford — Lin & Dyer's canonical iterative MapReduce example,
+    the weighted sibling of `word_graph_bfs`) over the word
+    co-occurrence graph: edge cost floor(1e6 / cnt) so strongly
+    co-occurring words are "close", rooted at the most document-frequent
+    token. Integer min-plus algebra end to end — exact at any
+    parallelism; the oracle unrolls the identical relaxation rounds."""
+    from mapreduce_big_data_processing_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokenize(docs, keep_cols=["doc_id"]).distinct()
+    srcn = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(1)
+        .select(F.col("word").alias("node"))
+    )
+    pairs = TX.cooccurrence_pairs(toks, symmetric=False)  # (w1, w2, cnt)
+    edges = pairs.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst"), "cnt"
+    ).unionByName(
+        pairs.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "cnt")
+    )  # = the oracle's edges0, counts intact
+    we = edges.select(
+        "src",
+        "dst",
+        F.floor(F.lit(1000000.0) / F.col("cnt")).cast("bigint").alias("w"),
+    )
+    return G.sssp(we, srcn, weight="w", max_rounds=6)
+
+
 #: Driver-gate ordering. The external driver's correctness window checks the
 #: first ~50 queries in `queries()` iteration order (r1 stopped at 50 of 120,
 #: leaving every later entry driver-unverified), so the registry is returned
@@ -7628,6 +7691,7 @@ _PRIORITY = [
     "csv_roundtrip",
     "orc_roundtrip",
     "supplier_mkt_share_by_year",
+    "word_graph_sssp",
 ]
 
 

@@ -129,3 +129,62 @@ def test_bfs_matches_python_model(spark, edges, data):
     # the model may include src even when its only edges are self-loops;
     # bfs_hops always emits the source at hop 0 too
     assert got == want
+
+
+# --- SSSP (bounded Bellman-Ford, integer min-plus) ------------------------
+
+
+def test_sssp_hand_worked(spark):
+    # a -1- b -1- c, plus direct a -5- c and a dead-end d: shortest a->c
+    # is 2 via b, not the direct 5-edge; d unreachable.
+    edges = [("a", "b", 1), ("b", "a", 1), ("b", "c", 1), ("c", "b", 1),
+             ("a", "c", 5), ("c", "a", 5), ("d", "e", 1), ("e", "d", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    srcdf = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.dist for r in G.sssp(df, srcdf, max_rounds=6).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_sssp_round_bound_truncates_paths(spark):
+    # chain of weight-1 edges; max_rounds=2 reaches only 2 hops out
+    edges = [(i, i + 1, 1) for i in range(6)] + [(i + 1, i, 1) for i in range(6)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    srcdf = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in G.sssp(df, srcdf, max_rounds=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def _py_bellman(edges, src, rounds):
+    dist = {src: 0}
+    for _ in range(rounds):
+        cur = dict(dist)
+        for a, b, w in edges:
+            if a in dist:
+                nd = dist[a] + w
+                if b not in cur or nd < cur[b]:
+                    cur[b] = min(cur.get(b, nd), nd)
+        if cur == dist:
+            break
+        dist = cur
+    return dist
+
+
+_WEDGES = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9), st.integers(1, 7)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@_slow
+@given(edges=_WEDGES, data=st.data())
+def test_sssp_matches_python_model(spark, edges, data):
+    src = data.draw(st.sampled_from(sorted({n for a, b, _ in edges for n in (a, b)})))
+    # directed edges exactly as given (operator does not symmetrize)
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(w)) for a, b, w in edges], "src long, dst long, w long"
+    )
+    sdf = spark.createDataFrame([(int(src),)], "node long")
+    got = {r.node: r.dist for r in G.sssp(df, sdf, max_rounds=4).collect()}
+    want = _py_bellman(edges, src, 4)
+    assert got == want
