@@ -7486,6 +7486,88 @@ def word_graph_sssp(spark, sf_dir):
     return G.sssp(we, srcn, weight="w", max_rounds=6)
 
 
+@query(
+    "winsorized_event_stats",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    b AS (
+      SELECT event_type,
+             max(CASE WHEN rn = greatest(n // 8, 1) THEN cents END) AS lo,
+             max(CASE WHEN rn = greatest((7 * n) // 8, 1) THEN cents END) AS hi,
+             CAST(max(n) AS BIGINT) AS n
+      FROM v GROUP BY event_type),
+    c AS (
+      SELECT v.event_type, b.lo, b.hi, b.n,
+             least(greatest(v.cents, b.lo), b.hi) AS clipped
+      FROM v JOIN b ON v.event_type = b.event_type)
+    SELECT event_type, n, lo AS lo_cents, hi AS hi_cents,
+           round(CAST(sum(clipped) AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6)
+             AS winsorized_mean
+    FROM c GROUP BY event_type, n, lo, hi
+    """,
+)
+def winsorized_event_stats(spark, sf_dir):
+    """Winsorized per-group statistics — the outlier-robust cleaning step
+    of a feature pipeline: per event type, clip `value` into its EXACT
+    [p12.5, p87.5] order statistics (binary fractions 1/8 and 7/8, so
+    floor(n·f) agrees across engines — the `exact_value_quartiles` rule)
+    and report the clipped mean. Float protocol: bounds are rank-picked
+    raw values in integer cents (no arithmetic), the clipped sum is an
+    exact integer, and the mean is ONE double division of bit-identical
+    integers rounded 6dp. Scale shape: one exchange on event_type for
+    the rank window (group-sized sorted partitions), bounds ride the
+    same window output — no second scan, no join back to the raw table
+    (the bounds CTE is group-cardinality-sized and rejoins only the
+    windowed projection)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    wn = Window.partitionBy("event_type")
+    v = ev.select(
+        "event_type",
+        cents.alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lo_rank = F.greatest(F.floor(F.col("n") / 8), F.lit(1))
+    hi_rank = F.greatest(F.floor(F.col("n") * 7 / 8), F.lit(1))
+    b = v.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == lo_rank, F.col("cents"))).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("cents"))).alias("hi"),
+        F.max("n").cast("bigint").alias("n_g"),
+    )
+    c = v.select("event_type", "cents").join(
+        F.broadcast(b), "event_type"
+    ).select(
+        "event_type",
+        "lo",
+        "hi",
+        "n_g",
+        F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")).alias(
+            "clipped"
+        ),
+    )
+    return c.groupBy("event_type", "n_g", "lo", "hi").agg(
+        F.round(
+            F.sum("clipped").cast("double")
+            / (F.col("n_g").cast("double") * F.lit(100.0)),
+            6,
+        ).alias("winsorized_mean")
+    ).select(
+        "event_type",
+        F.col("n_g").alias("n"),
+        F.col("lo").alias("lo_cents"),
+        F.col("hi").alias("hi_cents"),
+        "winsorized_mean",
+    )
+
+
 #: Driver-gate ordering. The external driver's correctness window checks the
 #: first ~50 queries in `queries()` iteration order (r1 stopped at 50 of 120,
 #: leaving every later entry driver-unverified), so the registry is returned
@@ -7692,6 +7774,7 @@ _PRIORITY = [
     "orc_roundtrip",
     "supplier_mkt_share_by_year",
     "word_graph_sssp",
+    "winsorized_event_stats",
 ]
 
 
