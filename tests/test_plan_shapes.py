@@ -611,3 +611,13 @@ def test_q8_dual_role_dims_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert _count(plan, "BroadcastHashJoin") >= 4
     assert _count(plan, "Exchange hashpartitioning") <= 3
+
+
+def test_winsorize_single_fact_exchange_broadcast_bounds(spark, sf_dir):
+    """The rank window and the bounds aggregation share the event_type
+    exchange; the group-cardinality bounds table broadcasts back onto
+    the windowed projection (never a second fact shuffle for the clip)."""
+    plan = _plan(spark, sf_dir, "winsorized_event_stats")
+    assert "SortMergeJoin" not in plan
+    assert _count(plan, "BroadcastHashJoin") == 1
+    assert _count(plan, "Exchange hashpartitioning") <= 2
