@@ -50,3 +50,30 @@ def test_canonical_is_cluster_quality_argmax(spark, sf_dir):
         assert r.quality == best == q[r.doc_id]
         # tie-break: smallest id among the best-quality members
         assert r.doc_id == min(d for d in members if q[d] == best)
+
+
+def test_winsorized_stats_bounds_and_mean(spark, sf_dir):
+    from mapreduce_big_data_processing_spark import catalog
+
+    rows = Q.QUERIES["winsorized_event_stats"](spark, sf_dir).collect()
+    assert rows
+    ev = catalog.load(spark, "events", sf_dir).select("event_type", "value").collect()
+    vals = {}
+    for r in ev:
+        vals.setdefault(r.event_type, []).append(round(r.value * 100))
+    for r in rows:
+        s = sorted(vals[r.event_type])
+        assert r.n == len(s)
+        assert r.lo_cents in s and r.hi_cents in s  # bounds are DATA values
+        assert r.lo_cents <= r.hi_cents
+        # clipped mean replayed in Python from the same integers
+        clipped = [min(max(c, r.lo_cents), r.hi_cents) for c in s]
+        assert r.winsorized_mean == round(sum(clipped) / (len(s) * 100.0), 6)
+
+
+def test_q8_share_bounds_and_consistency(spark, sf_dir):
+    rows = Q.QUERIES["supplier_mkt_share_by_year"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mkt_share <= 1.0
+        assert r.market_revenue > 0
