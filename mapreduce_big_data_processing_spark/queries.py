@@ -7759,7 +7759,17 @@ _PRIORITY = [
     "dup_rate_by_source_pair",
     "jsonl_roundtrip",
     "embedding_near_dup_probed",
-    # r4-session-3 additions (oracle-checked at 3 SFs; rotation candidates)
+    # r4-session-3 additions (oracle-checked at 3 SFs; rotation candidates).
+    # Round-5 rotation hints (component -> fresh candidate): J-corr-exists ->
+    # waiting_suppliers; graph -> word_graph_bfs / word_graph_sssp /
+    # word_clustering_coefficient (one per round); textstats ->
+    # token_zipf_slope or source_token_entropy; decontamination ->
+    # semantic_contamination; ann/quant -> embedding_random_projection;
+    # sampling -> cluster_balanced_sample; curation -> leakage_free_split;
+    # dedup-canonical -> quality_canonical_survivors; sources ->
+    # csv_roundtrip or orc_roundtrip; J4 -> supplier_mkt_share_by_year;
+    # order-stats -> winsorized_event_stats. All verified at the gate SF
+    # (sf0.01) this round; re-run the canonical snippet before promoting.
     "waiting_suppliers",
     "word_graph_bfs",
     "token_zipf_slope",
