@@ -77,3 +77,23 @@ def test_q8_share_bounds_and_consistency(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.mkt_share <= 1.0
         assert r.market_revenue > 0
+
+
+def test_lang_agreement_matrix_partitions_corpus(spark, sf_dir):
+    from mapreduce_big_data_processing_spark import catalog
+
+    rows = Q.QUERIES["lang_label_agreement"](spark, sf_dir).collect()
+    total = catalog.load(spark, "documents", sf_dir).count()
+    assert sum(r.n_docs for r in rows) == total  # every doc in one cell
+
+
+def test_dedup_savings_consistent_with_clusters(spark, sf_dir):
+    rows = Q.QUERIES["dedup_savings_report"](spark, sf_dir).collect()
+    clusters = _clusters(spark, sf_dir)
+    assert sum(r.n_clusters for r in rows) == len(clusters)
+    assert sum(r.docs_removed for r in rows) == sum(
+        len(m) - 1 for m in clusters.values()
+    )
+    for r in rows:
+        assert r.cluster_size >= 2  # singletons never enter the pair graph
+        assert r.docs_removed == r.n_clusters * (r.cluster_size - 1)
