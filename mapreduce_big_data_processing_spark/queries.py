@@ -7656,6 +7656,60 @@ def dedup_savings_report(spark, sf_dir):
     )
 
 
+@query(
+    "semantic_contamination_dense",
+    f"""
+    WITH pairs AS ({_near_dup_lsh_sql(_NEAR_DUP_TABLES_DENSE, 0.30)}),
+    lab AS (
+      SELECT CASE WHEN id_a % 4 = 0 THEN id_b ELSE id_a END AS train_id,
+             CASE WHEN id_a % 4 = 0 THEN id_a ELSE id_b END AS eval_id,
+             cosine
+      FROM pairs WHERE (id_a % 4 = 0) <> (id_b % 4 = 0)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY train_id
+                                       ORDER BY cosine DESC, eval_id) AS rn
+          FROM lab)
+    SELECT train_id,
+           CAST(count(*) AS BIGINT) AS n_eval_dups,
+           max(cosine) AS max_cosine,
+           max(CASE WHEN rn = 1 THEN eval_id END) AS top_eval_id
+    FROM r GROUP BY train_id
+    """,
+)
+def semantic_contamination_dense(spark, sf_dir):
+    """`semantic_contamination` at the DENSE 4-plane table config — the
+    recall end of the bucket-size/recall knob, kept registered so the
+    tradeoff stays oracle-checked (the `embedding_near_dup_dense`
+    convention): denser buckets collide more candidate pairs, so at the
+    borderline 0.30 threshold this finds ~5x the contaminated vectors of
+    the 8-plane default at the fixture SFs (127 vs 27 at sf0.01) at the
+    cost of the quadratic bucket trajectory the near-dup study measured —
+    production corpora pick the plane count with
+    `similarity.sized_plane_tables` and buy borderline recall back with
+    `n_probe` instead."""
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = S.embedding_near_dup(
+        emb, threshold=0.30, plane_tables=_NEAR_DUP_TABLES_DENSE
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    a_eval = F.col("id_a") % 4 == 0
+    b_eval = F.col("id_b") % 4 == 0
+    lab = pairs.filter(a_eval != b_eval).select(
+        F.when(a_eval, F.col("id_a")).otherwise(F.col("id_b")).alias("eval_id"),
+        F.when(a_eval, F.col("id_b")).otherwise(F.col("id_a")).alias("train_id"),
+        "cosine",
+    )
+    w = Window.partitionBy("train_id").orderBy(
+        F.desc("cosine"), F.asc("eval_id")
+    )
+    r = lab.withColumn("rn", F.row_number().over(w))
+    return r.groupBy("train_id").agg(
+        F.count(F.lit(1)).alias("n_eval_dups"),
+        F.max("cosine").alias("max_cosine"),
+        F.max(F.when(F.col("rn") == 1, F.col("eval_id"))).alias("top_eval_id"),
+    )
+
+
 #: Driver-gate ordering. The external driver's correctness window checks the
 #: first ~50 queries in `queries()` iteration order (r1 stopped at 50 of 120,
 #: leaving every later entry driver-unverified), so the registry is returned
@@ -7875,6 +7929,7 @@ _PRIORITY = [
     "winsorized_event_stats",
     "lang_label_agreement",
     "dedup_savings_report",
+    "semantic_contamination_dense",
 ]
 
 
