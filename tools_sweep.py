@@ -101,9 +101,18 @@ def main():
             ds, ss = set(d), set(s)
             only_s = [r for r in s if r not in ds][:2]
             only_d = [r for r in d if r not in ss][:2]
+            # equal rows + empty diffs can only mean the COLUMN check
+            # failed — print both lists so a transient is diagnosable
+            # (hit once in a 100-query-old sweep session, r4s3; the two
+            # isolated repros under identical configs were green)
+            cols = (
+                ""
+                if sorted(sdf.columns) == sorted(rel.columns)
+                else f" cols spark={sorted(sdf.columns)} oracle={sorted(rel.columns)}"
+            )
             print(
                 f"FAIL {name} {len(s)} vs {len(d)}"
-                f" spark-only={only_s} oracle-only={only_d}",
+                f" spark-only={only_s} oracle-only={only_d}{cols}",
                 flush=True,
             )
             continue
