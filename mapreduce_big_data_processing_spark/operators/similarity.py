@@ -243,6 +243,21 @@ def seeded_planes(n_planes: int, dim: int = 64, seed: int = 42) -> list[list[flo
     return planes
 
 
+def sized_plane_count(n_rows: int, target_bucket_rows: int = 1024) -> int:
+    """Plane count for a corpus of ``n_rows``: the smallest p in [4, 24]
+    with ``target_bucket_rows * 2**p >= n_rows`` — i.e.
+    ceil(log2(n/target)) clamped, but computed in PURE INTEGER arithmetic
+    so a SQL oracle can replay the rule exactly (float log2 is not
+    guaranteed correctly rounded; an off-by-ulp at a power-of-two
+    boundary would silently pick a different plane count in one engine
+    and the bucketing would diverge wholesale)."""
+    p = 4
+    n = int(n_rows)
+    while p < 24 and (int(target_bucket_rows) << p) < n:
+        p += 1
+    return p
+
+
 def sized_plane_tables(
     n_rows: int,
     n_tables: int = 4,
@@ -266,13 +281,14 @@ def sized_plane_tables(
     and 12-plane marginal cost 100×→1000× is 6.2× for 10× data (the
     8-plane config's was 33×).
 
-    The REGISTERED query keeps a pinned 8-plane config because its DuckDB
-    oracle replays that exact bucketing; production callers size with
-    this helper instead.
+    Since r5 the sizing rule is integer-exact (`sized_plane_count`) and
+    the SQL oracle replays it together with the seeded-LCG plane
+    generator, so corpus-sized configs are themselves oracle-checkable
+    (`semantic_contamination_sized`, `embedding_near_dup_sized`); the
+    pinned 8-plane queries remain registered as the fixed-config
+    tradeoff points.
     """
-    import math
-
-    planes = max(4, min(24, math.ceil(math.log2(max(2.0, n_rows / target_bucket_rows)))))
+    planes = sized_plane_count(n_rows, target_bucket_rows)
     return [seeded_planes(planes, dim=dim, seed=s) for s in seeds[:n_tables]]
 
 

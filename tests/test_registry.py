@@ -18,80 +18,127 @@ from mapreduce_big_data_processing_spark.queries import _PRIORITY, ORACLE, QUERI
 #: LEAST ONE member inside the 50-entry driver window, whichever one it is.
 _COMPONENT_REPS = {
     "flagship": {"curated_training_set"},
-    "P1/P2/A2": {"pricing_summary", "priority_line_mix"},
+    "P1/P2/A2": {"pricing_summary", "priority_line_mix",
+                 "forecast_revenue_change",  # Q6: pure filter + partial agg
+                 "clean_corpus"},  # fused projection/filter pipeline
     "J1/J4": {"revenue_by_nation", "nation_trade_flows",
-               "local_supplier_volume"},
+               "local_supplier_volume",  # Q5 six-way chain
+               "supplier_mkt_share_by_year"},  # Q8 dual-role dim chain
     "J2": {"brand_volume", "disjunctive_part_revenue",
            "small_quantity_part_revenue"},
     "J3": {"customers_with_orders", "customers_without_orders",
            "bloom_filtered_orders",  # (bloom = pruned semi-join)
-           "returned_orders_by_priority"},  # (EXISTS -> left semi)
+           "returned_orders_by_priority",  # (EXISTS -> left semi)
+           "waiting_suppliers"},  # Q21 correlated EXISTS/NOT-EXISTS
     "O1/O4": {"top_customers", "top_words", "global_price_rank",
-              "large_volume_customers"},
-    "A8": {"order_count_histogram", "customer_order_distribution"},
-    "A11": {"distinct_users_per_type", "approx_distinct_users"},
-    "A14": {"nation_market_share", "regional_market_share"},
-    "U3": {"segment_set_ops", "segment_except", "active_building_buyers"},
+              "large_volume_customers",
+              "customer_value_rank_profile"},  # global rank profile
+    "A8": {"order_count_histogram", "customer_order_distribution",
+           "exact_value_quartiles"},  # histogram pass + in-bin rank
+    "A11": {"distinct_users_per_type", "approx_distinct_users",
+            "part_supplier_variety"},  # Q16 count-distinct per group
+    "A14": {"nation_market_share", "regional_market_share",
+            "lang_mixture_weights"},  # per-group weight normalization
+    "U3": {"segment_set_ops", "segment_except", "active_building_buyers",
+           "idle_rich_customers"},  # Q22: key-set EXCEPT as anti join
     "scalar §2.7": {"status_rollup", "event_props_histogram",
-                    "status_priority_cube"},
+                    "status_priority_cube", "grouping_sets_revenue"},
     "A4 ratio": {"finished_order_ratio", "nb_accuracy", "svm_accuracy",
-                 "knn_accuracy"},
+                 "knn_accuracy", "promo_revenue_pct"},  # Q14 ratio of totals
     "A3": {"orders_per_year_priority",
-           "status_priority_cube"},  # cube's finest cell IS the composite-key agg
-    "O5": {"supplier_rank_in_nation", "top_parts_per_brand"},
-    "A15/A16": {"hourly_event_stats",  # the fused primary covers both;
-    # the single-sided variants are valid reps only together — keep simple
-                "event_time_rollup"},  # hour+day+total counts AND sums
-    "A17/M7": {"forecast_rmse", "forecast_peak_hour"},
+           "status_priority_cube",  # cube's finest cell IS the composite-key agg
+           "grouping_sets_revenue",  # finest grouping set, likewise
+           "segment_pivot_revenue"},
+    "O5": {"supplier_rank_in_nation", "top_parts_per_brand",
+           "weighted_doc_sample",  # per-group top-w ticket window
+           "hard_negative_pairs"},  # per-query top-k window
+    "A15/A16": {"hourly_event_stats",  # the fused primary covers both
+                "event_time_rollup",  # hour+day+total counts AND sums
+                "sliding_window_counts",  # sliding-window count variant
+                "daily_revenue_moving_avg",  # window-average variant
+                "per_minute_error_counts", "trailing_hour_user_load"},
+    "A17/M7": {"forecast_rmse", "forecast_peak_hour",
+               "event_type_daily_trend",  # OLS trend — the forecasting step
+               "brand_price_quantity_slope"},
     "A1/P3": {"word_count", "wordcount_sans_stopwords", "top_words",
-              "cjk_word_count"},  # the dictionary-segmentation half of P3
-    "A5-A7": {"tfidf", "sparse_tfidf_vectors", "tfidf_reference_semantics"},
+              "cjk_word_count",  # the dictionary-segmentation half of P3
+              "bpe_token_lengths"},  # learned-subword tokenizer apply
+    "A5-A7": {"tfidf", "sparse_tfidf_vectors", "tfidf_reference_semantics",
+              "source_distinctive_terms"},  # df-based term weighting (A6's
+              # rare-term upweighting concept, cross-corpus keyness form)
     "A12": {"cooccurrence_pairs", "cooccurrence_window2",
-            "pmi_collocations"},
+            "pmi_collocations",
+            "event_transition_counts"},  # adjacent-pair counting over
+            # per-user event streams (the A12 pair rollup on a sequence)
     "A9/A10": {"inverted_index"},
-    "P4/O2": {"user_event_timeline", "latest_event_per_user"},
+    "P4/O2": {"user_event_timeline", "latest_event_per_user",
+              "user_status_intervals"},  # secondary sort -> change runs
     "P5/U1": {"tagged_union_counts"},
     "J5/S11": {"hive_style_sql_join", "hive_compound_types"},
     "G1-G3/G5": {"pagerank_top20", "pagerank_converged"},
     "G4": {"label_propagation"},
     "M1/J6": {"knn_predictions", "knn_weighted_predictions",
-               "knn_accuracy"},
+               "knn_accuracy", "ivf_knn_recall",
+               "hard_negative_pairs"},  # J6 similarity join, ANN-mined
     "M2/M3": {"nb_predictions", "nb_accuracy",
                "nb_predictions_reference_mode"},
     "M6": {"son_frequent_itemsets", "frequent_itemsets",
            "association_rules_conf"},  # the rule-generation step
-    "M4": {"kmeans_clusters"},
+    "M4": {"kmeans_clusters",
+           "cluster_balanced_sample"},  # kmeans assignment end-to-end
     "M5": {"svm_predictions", "svm_accuracy",
            "class_centroids"},  # per-class grouped-map model fit
-    "S1-S4/S6-S8": {"source_roundtrip", "parsed_access_log"},
+    "S1-S4/S6-S8": {"source_roundtrip", "parsed_access_log",
+                    "csv_roundtrip", "orc_roundtrip", "jsonl_roundtrip"},
     "S5/S9": {"jdbc_roundtrip"},
     "S10": {"keyed_scan_latest", "keyed_table_upsert",
-            "latest_event_per_user"},
-    "§2.10 streaming": {"streaming_hourly_counts", "streaming_session_counts"},
-    "§2.11 UDx": {"priority_geomean_price", "doc_token_chunks"},
+            "latest_event_per_user",
+            "streaming_upsert_state"},  # the CDC write half, continuous
+    "§2.10 streaming": {"streaming_hourly_counts", "streaming_session_counts",
+                        "streaming_upsert_state", "streaming_dedup_counts",
+                        "streaming_interval_join_counts",
+                        "streaming_enriched_cohort_counts"},
+    "§2.11 UDx": {"priority_geomean_price", "doc_token_chunks",
+                  "embedding_gram_matrix"},  # mapInPandas partition partials
     "exact dedup": {"exact_dedup", "dedup_survivors",
                     "incremental_ingest_dedup"},
-    "minhash lsh": {"minhash_lsh_pairs"},
-    "dup clusters": {"near_dup_clusters", "embedding_dup_clusters"},
+    "minhash/shingle pairs": {"minhash_lsh_pairs",
+                              "prefix_jaccard_pairs"},  # the exact-threshold
+                              # (PPJoin) sibling of the minhash path
+    "dup clusters": {"near_dup_clusters", "embedding_dup_clusters",
+                     "leakage_free_split",  # CC-group split application
+                     "quality_canonical_survivors"},
     "simhash": {"simhash_fingerprints", "simhash_near_dup_pairs"},
     "ann": {"similarity_topk", "lsh_similarity_topk", "multiprobe_lsh_topk",
-            "ivf_similarity_topk", "pq_similarity_topk", "ivf_knn_recall"},
+            "ivf_similarity_topk", "pq_similarity_topk", "ivf_knn_recall",
+            "quantized_similarity_topk", "ann_recall_eval"},
     "quality": {"quality_scores", "doc_repetition_scores", "doc_ngram_repetition"},
     "textstats": {"language_id", "token_stats", "doc_fingerprints",
-                  "redacted_docs"},
-    "embedding near-dup": {"embedding_near_dup", "embedding_near_dup_dense"},
+                  "redacted_docs", "token_zipf_slope",
+                  "source_token_entropy", "source_ngram_diversity",
+                  "lang_label_agreement"},
+    "embedding near-dup": {"embedding_near_dup", "embedding_near_dup_dense",
+                           "banded_near_dup", "embedding_near_dup_probed",
+                           "embedding_near_dup_sized"},
     "sketches": {"heavy_hitter_users", "monthly_user_reach_hll",
                  "event_type_user_overlap", "value_quantile_rollup",
                  "approx_value_percentiles", "user_freq_countmin"},
     "sampling": {"corpus_split_counts", "shuffled_shard_manifest",
-                 "token_budget_sample"},
+                 "token_budget_sample", "cluster_balanced_sample",
+                 "weighted_doc_sample", "packed_sequences",
+                 "kcenter_coreset"},
     "multimodal": {"multimodal_features"},
-    "bm25": {"bm25_ranked_docs"},
+    "bm25/bpe lexical": {"bm25_ranked_docs",  # the text.py BPE+BM25 family
+                         "bpe_vocab_merges", "bpe_token_lengths"},
     "chunk dedup": {"chunk_dedup_docs", "duplicate_text_spans",
-                    "span_stripped_docs"},  # sub-document dedup family
-    "decontamination": {"benchmark_contamination"},
+                    "span_stripped_docs",  # sub-document dedup family
+                    "doc_containment_pairs"},  # sub-document overlap stat
+    "decontamination": {"benchmark_contamination", "semantic_contamination",
+                        "semantic_contamination_sized",
+                        "semantic_contamination_dense"},
     "boilerplate": {"boilerplate_stripped_docs"},
-    "temporal joins": {"asof_click_before_purchase", "value_band_counts"},
+    "temporal joins": {"asof_click_before_purchase", "value_band_counts",
+                       "asof_next_purchase_after_signup"},
 }
 
 

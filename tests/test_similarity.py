@@ -363,6 +363,70 @@ def test_sized_plane_tables_sizing_and_determinism():
     assert t[0] == seeded_planes(8, seed=42) and t[3] == seeded_planes(8, seed=45)
 
 
+def test_sized_plane_count_integer_rule_matches_ceil_log2():
+    """The r5 integer sizing rule (smallest p in [4,24] with
+    target·2^p ≥ n) must agree with the float form it replaced at every
+    corpus size that matters — including exact power-of-two boundaries,
+    where a misrounded log2 would silently pick a different plane count
+    in one engine and diverge the whole bucketing."""
+    import math
+
+    from mapreduce_big_data_processing_spark.operators.similarity import (
+        sized_plane_count,
+    )
+
+    def ref(n, target=1024):
+        return max(4, min(24, math.ceil(math.log2(max(2.0, n / target)))))
+
+    boundary = [1024 << p for p in range(4, 25)]
+    around = [n + d for n in boundary for d in (-1, 0, 1)]
+    for n in [1, 2, 500, 2_000, 20_000, 200_000, 2_000_000, 1 << 40, *around]:
+        assert sized_plane_count(n) == ref(n), n
+
+
+def test_sized_lcg_sql_replay_bit_exact():
+    """The DuckDB recursive-CTE replay of the seeded-LCG plane generator
+    (`queries._sized_lsh_pairs_sql`) must produce BIT-IDENTICAL plane
+    values to `similarity.seeded_planes` — the property that makes
+    corpus-sized LSH configs oracle-checkable without pinned constants.
+    HUGEINT emulates the mod-2^64 walk; ((state>>11)/2^53)*2-1 is exact
+    in binary floating point on both sides."""
+    import duckdb
+
+    from mapreduce_big_data_processing_spark.operators.similarity import (
+        seeded_planes,
+    )
+
+    con = duckdb.connect()
+    rows = con.sql(
+        """
+        WITH RECURSIVE lcg AS (
+          SELECT t.t, 0 AS k, CAST(t.seed AS HUGEINT) AS state
+          FROM (SELECT unnest([0,1,2,3]) AS t,
+                       unnest([42,43,44,45]) AS seed) t
+          UNION ALL
+          SELECT t, k + 1,
+                 (state * 6364136223846793005 + 1442695040888963407)
+                   % 18446744073709551616
+          FROM lcg WHERE k < 5 * 64
+        )
+        SELECT t, CAST((k - 1) // 64 AS INT) AS i,
+               CAST((k - 1) % 64 AS INT) AS j,
+               ((state // 2048) / 9007199254740992.0) * 2.0 - 1.0 AS val
+        FROM lcg WHERE k >= 1 ORDER BY t, i, j
+        """
+    ).fetchall()
+    expected = {
+        (t, i, j): seeded_planes(5, dim=64, seed=42 + t)[i][j]
+        for t in range(4)
+        for i in range(5)
+        for j in range(64)
+    }
+    assert len(rows) == 4 * 5 * 64
+    for t, i, j, val in rows:
+        assert val == expected[(t, i, j)], (t, i, j)
+
+
 def test_near_dup_multiprobe_recall_and_invariants(spark, sf_dir):
     """Query-directed multi-probe on the self-join: probed output is a
     SUPERSET of the home-only pair set (every home collision survives),
