@@ -66,7 +66,12 @@ HEADLINE = [
 
 
 def _median(xs: list[float]) -> float:
-    return round(sorted(xs)[len(xs) // 2], 3)
+    # statistics.median averages the two middle samples for even n —
+    # taking sorted(xs)[n//2] would report the upper-middle sample and
+    # bias times high whenever SPARK_GRAFT_BENCH_SAMPLES is even.
+    import statistics
+
+    return round(statistics.median(xs), 3)
 
 
 def main() -> None:

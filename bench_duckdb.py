@@ -80,7 +80,9 @@ def main() -> None:
                 timed_out.append(name)
                 break
         else:
-            times[name] = round(sorted(samples)[len(samples) // 2], 3)
+            import statistics
+
+            times[name] = round(statistics.median(samples), 3)
             print(f"# {name} {times[name]}", file=sys.stderr, flush=True)
             continue
 

@@ -29,7 +29,15 @@ from pyspark.sql import functions as F
 
 @F.pandas_udf("double")
 def geomean(v: pd.Series) -> float:
-    """Geometric mean as a grouped-agg pandas UDAF (Arrow-batched)."""
+    """Geometric mean as a grouped-agg pandas UDAF (Arrow-batched).
+
+    §2.11 escape-hatch DEMO, not the production path: a pandas UDAF has
+    NO partial aggregation — every raw row shuffles to its group's
+    reducer — so it is only appropriate for bounded group counts (the
+    5-priority orders rollup it demos on). The scale-safe algebraic form
+    is pure built-ins and partial-aggregates map-side:
+    ``F.exp(F.avg(F.log(col)))`` — use that anywhere group cardinality
+    or rows-per-group is data-sized."""
     import numpy as np
 
     return float(np.exp(np.log(v.to_numpy()).mean()))

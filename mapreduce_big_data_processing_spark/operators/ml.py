@@ -255,9 +255,14 @@ def knn_classify(
         # payload); |train| from a count — one column-pruned scan, noise
         # against the matmul it sizes. The collect cap still applies
         # independently (the driver must hold the test matrix at all).
+        # When the test side alone already exceeds the broadcast cap the
+        # route is LSH regardless of |train| — skip the train count (one
+        # wasted full scan of a potentially huge table otherwise).
         q_rows = q.limit(max_broadcast_queries + 1).collect()
-        n_train = train.count()
-        pairs = len(q_rows) * n_train
+        if len(q_rows) <= max_broadcast_queries:
+            pairs = len(q_rows) * train.count()
+        else:
+            pairs = max_broadcast_pairs + 1
         if len(q_rows) <= max_broadcast_queries and pairs <= max_broadcast_pairs:
             method = "broadcast"
         else:
@@ -870,8 +875,16 @@ def top_principal_component(
     rows = gram_matrix(df, vec_col).collect()  # d²-sized: constant, not data
     d = max(r["j"] for r in rows) + 1
     G = np.zeros((d, d))
+    # Round HALF-AWAY-FROM-ZERO like F.round / DuckDB round — Python's
+    # built-in round() is half-to-even and would diverge from the oracle
+    # on a Gram entry sitting exactly on the gram_decimals .5 boundary.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    quant = Decimal(1).scaleb(-gram_decimals)
     for r in rows:
-        G[r["i"], r["j"]] = G[r["j"], r["i"]] = round(r["g"], gram_decimals)
+        G[r["i"], r["j"]] = G[r["j"], r["i"]] = float(
+            Decimal(r["g"]).quantize(quant, rounding=ROUND_HALF_UP)
+        )
     v = np.ones(d)
     for _ in range(iters):
         w = G @ v
