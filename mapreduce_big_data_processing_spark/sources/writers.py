@@ -67,19 +67,102 @@ def save_as_table(
     manual rm."""
     if mode == "overwrite":
         spark = df.sparkSession
+        # If the catalog knows the table, resolve its REAL location before
+        # dropping (qualified names live at <db>.db/<table>, not <table>);
+        # the guessed-path fallback only covers the stale-dir case where a
+        # previous session's directory is unknown to this catalog.
+        loc = None
+        managed = False
+        try:
+            tbl = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+            for r in tbl:
+                if r["col_name"] == "Location":
+                    loc = r["data_type"]
+                if r["col_name"] == "Type":
+                    managed = r["data_type"].upper() == "MANAGED"
+        except Exception:
+            pass
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         import shutil
         from urllib.parse import urlparse
 
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        loc = urlparse(wh).path or wh
-        shutil.rmtree(f"{loc.rstrip('/')}/{name.lower()}", ignore_errors=True)
+        def _local_dir(uri: str) -> str | None:
+            """file:-scheme (or schemeless) URIs only — a non-local
+            warehouse (hdfs:/s3a:) can't be cleaned with shutil, and
+            silently skipping it is correct: DROP TABLE already removed
+            managed data there."""
+            p = urlparse(uri)
+            if p.scheme in ("", "file"):
+                return p.path or uri
+            return None
+
+        if loc is not None:
+            # Clean only MANAGED tables' directories: an EXTERNAL
+            # location belongs to the user, and DROP TABLE deliberately
+            # leaves its data in place.
+            d = _local_dir(loc) if managed else None
+            if d:
+                shutil.rmtree(d, ignore_errors=True)
+        else:
+            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            whd = _local_dir(wh)
+            if whd:
+                parts = name.lower().split(".")
+                rel = (
+                    f"{parts[0]}.db/{parts[1]}" if len(parts) == 2 else parts[0]
+                )
+                shutil.rmtree(
+                    f"{whd.rstrip('/')}/{rel}", ignore_errors=True
+                )
     writer = df.write.mode(mode)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     if bucket_cols:
         writer = writer.bucketBy(n_buckets, *bucket_cols).sortBy(*bucket_cols)
     writer.saveAsTable(name)
+
+
+def drop_table(spark, name: str) -> None:
+    """Table-lifecycle admin: DROP (`ppt/Ch6-HBase与Hive程序设计.pdf
+    p.23-38` teaches disable+drop for HBase and DROP TABLE for Hive —
+    Spark's catalog needs no disable step). Managed data is removed by
+    the catalog; for a LOCAL file: warehouse, also clear any leftover
+    directory so a later `save_as_table` in a fresh session cannot hit
+    LOCATION_ALREADY_EXISTS (same stale-dir concern as overwrite)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    loc = None
+    managed = False
+    try:
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect():
+            if r["col_name"] == "Location":
+                loc = r["data_type"]
+            if r["col_name"] == "Type":
+                managed = r["data_type"].upper() == "MANAGED"
+    except Exception:
+        pass
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    if loc is not None and managed:
+        p = urlparse(loc)
+        if p.scheme in ("", "file"):
+            shutil.rmtree(p.path or loc, ignore_errors=True)
+
+
+def alter_table_add_columns(spark, name: str, columns: dict[str, str]) -> None:
+    """Table-lifecycle admin: ALTER TABLE … ADD COLUMNS (the Hive-side
+    alter of `ppt/Ch6….pdf p.23-38`). New columns read as NULL for
+    existing files — schema evolution without a rewrite, which is the
+    only alter that stays O(1) at 100 TB (a type change would rewrite
+    every file; use a new table + backfill for that)."""
+    cols = ", ".join(f"{c} {t}" for c, t in columns.items())
+    spark.sql(f"ALTER TABLE {name} ADD COLUMNS ({cols})")
+
+
+def rename_table(spark, old: str, new: str) -> None:
+    """Table-lifecycle admin: ALTER TABLE … RENAME TO — a catalog-only
+    metadata operation (no data movement) for managed tables."""
+    spark.sql(f"ALTER TABLE {old} RENAME TO {new}")
 
 
 def overwrite_partitions(
@@ -166,9 +249,19 @@ def keyed_upsert(
             "(deletes carry NULL value columns)"
         )
 
-    # one winner per key inside the batch (delete masks put at equal version)
+    # one winner per key inside the batch (delete masks put at equal
+    # version). Two puts for the same key at the same version have no
+    # semantic order — break the tie on the VALUE columns so the winner
+    # is at least deterministic across runs/replans instead of
+    # task-scheduling luck.
+    value_cols = [
+        c
+        for c in base.columns
+        if c not in key_cols and c not in (version_col, op_col)
+    ]
+    tiebreak = [F.asc_nulls_first(c) for c in value_cols]
     wb = Window.partitionBy(*key_cols).orderBy(
-        F.desc(version_col), F.asc(op_col)
+        F.desc(version_col), F.asc(op_col), *tiebreak
     )
     m = (
         mutations.withColumn("__rn", F.row_number().over(wb))
@@ -189,7 +282,7 @@ def keyed_upsert(
         m.select(*touched_base.columns[:-1], F.lit(1).alias("__src"))
     )
     wm = Window.partitionBy(*key_cols).orderBy(
-        F.desc(version_col), F.asc(op_col), F.desc("__src")
+        F.desc(version_col), F.asc(op_col), F.desc("__src"), *tiebreak
     )
     winners = contenders.withColumn("__rn", F.row_number().over(wm)).filter(
         F.col("__rn") == 1

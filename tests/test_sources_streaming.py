@@ -557,3 +557,37 @@ def test_multimodal_oracle_rounding_margin():
     assert len(rows) == 48
     worst = min(abs((v * 1e5) % 1 - 0.5) for _, _, v in rows)
     assert worst * 1e-5 > 1e-8, f"rounding margin too small: {worst * 1e-5}"
+
+
+def test_table_lifecycle_admin(spark, sf_dir):
+    """S11 lifecycle surface — drop/alter/rename wrappers
+    (`ppt/Ch6-HBase与Hive程序设计.pdf p.23-38` teaches create/alter/
+    disable/drop as one admin unit): ADD COLUMNS reads back NULL for
+    pre-existing rows without a rewrite, RENAME is catalog-only, DROP
+    removes both catalog entry and (managed, local-warehouse) data dir."""
+    import os
+    from urllib.parse import urlparse
+
+    from mapreduce_big_data_processing_spark import catalog
+
+    WR.drop_table(spark, "lc_nation")
+    WR.drop_table(spark, "lc_nation2")
+    n = catalog.load(spark, "nation", sf_dir)
+    WR.save_as_table(n, "lc_nation")
+
+    WR.alter_table_add_columns(spark, "lc_nation", {"note": "string"})
+    t = spark.table("lc_nation")
+    assert "note" in t.columns
+    assert t.filter(t.note.isNull()).count() == t.count()  # old files -> NULL
+
+    WR.rename_table(spark, "lc_nation", "lc_nation2")
+    assert not spark.catalog.tableExists("lc_nation")
+    assert spark.table("lc_nation2").count() == n.count()
+
+    loc = None
+    for r in spark.sql("DESCRIBE TABLE EXTENDED lc_nation2").collect():
+        if r["col_name"] == "Location":
+            loc = urlparse(r["data_type"]).path
+    WR.drop_table(spark, "lc_nation2")
+    assert not spark.catalog.tableExists("lc_nation2")
+    assert loc and not os.path.exists(loc)  # managed dir cleared
