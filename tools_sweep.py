@@ -115,6 +115,34 @@ def main():
                 f" spark-only={only_s} oracle-only={only_d}{cols}",
                 flush=True,
             )
+            # Persist the FULL mismatch payload at failure time (r4
+            # verdict ask: the one sweep transient was undiagnosable
+            # post-hoc because only the printed summary survived and the
+            # green re-runs destroyed the evidence).
+            import hashlib
+            import json
+
+            def _h(rows):
+                return hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
+
+            art = {
+                "name": name,
+                "sf_dir": sf,
+                "spark_columns": list(sdf.columns),
+                "oracle_columns": list(rel.columns),
+                "spark_rows": len(s),
+                "oracle_rows": len(d),
+                "spark_hash": _h(s),
+                "oracle_hash": _h(d),
+                "spark_sample": [repr(r) for r in s[:5]],
+                "oracle_sample": [repr(r) for r in d[:5]],
+                "spark_only_sample": [repr(r) for r in only_s],
+                "oracle_only_sample": [repr(r) for r in only_d],
+            }
+            fn = f"sweep_fail_{name}_{int(time.time())}.json"
+            with open(fn, "w") as fh:
+                json.dump(art, fh, indent=1)
+            print(f"FAIL_ARTIFACT {fn}", flush=True)
             continue
         print(
             f"OK {name} {len(s)} ({time.perf_counter() - t0:.1f}s)",

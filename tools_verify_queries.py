@@ -60,6 +60,28 @@ def main():
             fails.append(name)
             diff = [(a, b) for a, b in zip(s, d) if a != b][:3]
             print("FAIL", name, len(s), "vs", len(d), diff)
+            # persist the full mismatch payload (r4 verdict ask #6 — a
+            # transient must be diagnosable after green re-runs)
+            import hashlib
+            import json
+            import time
+
+            art = {
+                "name": name,
+                "sf_dir": sf,
+                "spark_columns": list(sdf.columns),
+                "oracle_columns": list(rel.columns),
+                "spark_rows": len(s),
+                "oracle_rows": len(d),
+                "spark_hash": hashlib.sha256(repr(s).encode()).hexdigest()[:16],
+                "oracle_hash": hashlib.sha256(repr(d).encode()).hexdigest()[:16],
+                "spark_sample": [repr(r) for r in s[:5]],
+                "oracle_sample": [repr(r) for r in d[:5]],
+            }
+            fn = f"sweep_fail_{name}_{int(time.time())}.json"
+            with open(fn, "w") as fh:
+                json.dump(art, fh, indent=1)
+            print("FAIL_ARTIFACT", fn)
         else:
             print("OK  ", name, len(s))
     print("FAILURES:", fails)
