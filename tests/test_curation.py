@@ -11,6 +11,7 @@ from mapreduce_big_data_processing_spark.operators import quantization as QZ
 from mapreduce_big_data_processing_spark.operators import similarity as S
 
 
+@pytest.mark.slow
 def test_chunk_dedup_paragraphs_golden(spark):
     docs = spark.createDataFrame(
         [
@@ -52,6 +53,7 @@ def test_split_chunks_word_windows(spark):
     ]
 
 
+@pytest.mark.slow
 def test_contamination_and_decontaminate_golden(spark):
     docs = spark.createDataFrame(
         [
@@ -307,6 +309,7 @@ def test_duplicate_spans_golden(spark):
     ]
 
 
+@pytest.mark.slow
 def test_duplicate_spans_portable_matches_default(spark):
     docs = spark.createDataFrame(
         [(i, f"pfx{i} common run of eight tokens exactly here now end{i}")
@@ -343,6 +346,7 @@ def test_strip_duplicate_spans_owner_keeps_text(spark):
     assert out[4] == ("", 0, 0)
 
 
+@pytest.mark.slow
 def test_containment_pairs_detects_embedded_doc(spark):
     """A doc fully quoted inside one 4x its size has low Jaccard but
     containment 1.0 — the asymmetric statistic must flag it, and the

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from mapreduce_big_data_processing_spark import queries as Q
 
 
@@ -22,6 +24,7 @@ def _clusters(spark, sf_dir):
     return out
 
 
+@pytest.mark.slow
 def test_split_never_straddles_a_cluster(spark, sf_dir):
     split = {
         r.doc_id: r.split
@@ -34,6 +37,7 @@ def test_split_never_straddles_a_cluster(spark, sf_dir):
     assert {"train", "heldout"} == set(split.values())  # both sides hit
 
 
+@pytest.mark.slow
 def test_canonical_is_cluster_quality_argmax(spark, sf_dir):
     from mapreduce_big_data_processing_spark import catalog
     from mapreduce_big_data_processing_spark.operators import textstats as TS
@@ -87,6 +91,7 @@ def test_lang_agreement_matrix_partitions_corpus(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == total  # every doc in one cell
 
 
+@pytest.mark.slow
 def test_dedup_savings_consistent_with_clusters(spark, sf_dir):
     rows = Q.QUERIES["dedup_savings_report"](spark, sf_dir).collect()
     clusters = _clusters(spark, sf_dir)

@@ -123,6 +123,7 @@ def test_edge_normalization_project2(spark):
     assert qf["戚长发"] == pytest.approx(0.25)
 
 
+@pytest.mark.slow
 def test_pagerank_dangling_mass(spark):
     """G3 — dangling-node handling (`ppt/Ch8….pdf p.11-14`): a→b with b a
     sink. One iteration by hand: pr(a)=0.075+0.85·(0+0.25)=0.2875,
@@ -318,6 +319,7 @@ def test_partial_aggregation_invariance(spark):
         assert out == {"a": 40, "b": 20}
 
 
+@pytest.mark.slow
 def test_connected_components_golden(spark):
     """Hash-min CC on a handmade graph: a 4-path (deeper than one round),
     a triangle, and a disjoint pair — exact component minima expected."""
@@ -331,6 +333,7 @@ def test_connected_components_golden(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+@pytest.mark.slow
 def test_pagerank_convergence_mode(spark):
     """tol-mode must stop early on a quickly-mixing graph and land within
     tol-scale distance of a long fixed-iteration run."""
@@ -348,6 +351,7 @@ def test_pagerank_convergence_mode(spark):
     assert total == pytest.approx(1.0)
 
 
+@pytest.mark.slow
 def test_svm_one_vs_rest_separable(spark):
     """M5 (`ppt/Ch9….pdf p.63-68`): one-vs-rest linear SVM on a cleanly
     separable 3-class 2-D set must classify train AND held-out points
@@ -382,6 +386,7 @@ def test_svm_one_vs_rest_separable(spark):
     assert got == {100: 0, 101: 1, 102: 2}
 
 
+@pytest.mark.slow
 def test_svm_threshold_other_bucket(spark):
     """M5 predict with a score threshold: a low-confidence point (on the
     midline, where every one-vs-rest margin is ~0) falls back to the
@@ -408,6 +413,7 @@ def test_svm_threshold_other_bucket(spark):
     assert got[11] == -1
 
 
+@pytest.mark.slow
 def test_knn_weighted_vote_disagrees_with_majority(spark):
     """M1 weighted mode (`ppt/Ch9….pdf p.55-57`): one near neighbor of
     class 0 (cos≈1) must outvote two distant class-1 neighbors
@@ -436,6 +442,7 @@ def test_knn_weighted_vote_disagrees_with_majority(spark):
     assert weighted == 0   # 0.9998 beats 0.438 + 0.438
 
 
+@pytest.mark.slow
 def test_knn_lsh_route_matches_broadcast_at_full_probe(spark, sf_dir):
     """The collect-free LSH route at full probe (every bucket scanned) is
     EXACT — predictions must equal the broadcast path's on the same

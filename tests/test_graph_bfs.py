@@ -118,6 +118,7 @@ def _py_bfs(edges, src, max_hops):
 
 @_slow
 @given(edges=_EDGES, data=st.data())
+@pytest.mark.slow
 def test_bfs_matches_python_model(spark, edges, data):
     src = data.draw(st.sampled_from(sorted({n for e in edges for n in e})))
     df = spark.createDataFrame(
@@ -178,6 +179,7 @@ _WEDGES = st.lists(
 
 @_slow
 @given(edges=_WEDGES, data=st.data())
+@pytest.mark.slow
 def test_sssp_matches_python_model(spark, edges, data):
     src = data.draw(st.sampled_from(sorted({n for a, b, _ in edges for n in (a, b)})))
     # directed edges exactly as given (operator does not symmetrize)

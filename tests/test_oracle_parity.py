@@ -16,6 +16,11 @@ import pytest
 
 import __spark_entry__ as entrymod
 
+#: full-registry sweep ≈ 6-7 min — the single biggest chunk of suite
+#: wall-clock; the pre-commit canonical verify covers the same ground
+#: at the gate SF, so the inner loop may skip it.
+pytestmark = pytest.mark.slow
+
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 

@@ -4,6 +4,8 @@ regardless of data — partition-count independence (the combiner property,
 
 from __future__ import annotations
 
+import pytest
+
 import string
 
 from hypothesis import HealthCheck, given, settings
@@ -49,6 +51,7 @@ def test_wordcount_partition_invariance(spark, docs):
 
 @given(docs=DOCS)
 @_slow
+@pytest.mark.slow
 def test_cooccurrence_union_associativity(spark, docs):
     """counting over A∪B == count(A) + count(B) merged (distributivity of
     the grouped count over disjoint unit-disjoint unions)."""
@@ -71,6 +74,7 @@ def test_cooccurrence_union_associativity(spark, docs):
 
 @given(docs=DOCS)
 @_slow
+@pytest.mark.slow
 def test_minhash_partition_invariance(spark, docs):
     df = _mkdocs(spark, docs)
     sigs = []
@@ -218,6 +222,7 @@ def test_repetition_scores_match_python_model(spark, docs):
 
 @given(docs=DOCS)
 @_slow
+@pytest.mark.slow
 def test_bpe_train_matches_python_model(spark, docs):
     """Differential: the distributed BPE trainer equals a direct Python
     implementation (freq-weighted adjacent pair counts, count-then-
@@ -358,6 +363,7 @@ def test_profile_matches_pandas_model(spark, rows):
 
 @given(docs=DOCS)
 @_slow
+@pytest.mark.slow
 def test_bigram_lm_matches_python_model(spark, docs):
     """Differential: the distributed bigram-LM filter equals a direct
     Python train-and-score of the same definitions (md5 hash-split,
@@ -474,6 +480,7 @@ def test_status_intervals_match_python_model(spark, evs):
     st.lists(st.integers(-(2**62), 2**62), min_size=0, max_size=60),
     st.sampled_from([1 << 2, 1 << 6]),
 )
+@pytest.mark.slow
 def test_bloom_semi_join_equals_plain_semi_join(spark, big_keys, small_keys, blocks):
     """Bloom pruning is exact for ANY filter sizing: an undersized (noisy)
     filter only passes more rows to the exact join, never drops a match.
@@ -490,6 +497,7 @@ def test_bloom_semi_join_equals_plain_semi_join(spark, big_keys, small_keys, blo
 
 @given(docs=DOCS, split=st.integers(min_value=0, max_value=7))
 @_slow
+@pytest.mark.slow
 def test_incremental_dedup_consistent_with_exact_dedup(spark, docs, split):
     """Incremental classification must agree with batch-wide exact dedup
     of the union: a new doc is dup_of_history iff its fingerprint occurs

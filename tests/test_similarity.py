@@ -3,6 +3,8 @@ bucket-join structure (the scale property: no crossJoin in the LSH plan)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mapreduce_big_data_processing_spark import catalog
@@ -158,6 +160,7 @@ def test_near_dup_multitable_recall(spark, sf_dir):
     assert len(rows) == len({(r.id_a, r.id_b) for r in rows})
 
 
+@pytest.mark.slow
 def test_near_dup_bucket_cap_identical_pairs(spark, sf_dir):
     """Sub-bucket salting of oversized verify groups (max_bucket_rows)
     must not change the pair set: every pair lands in exactly one
@@ -427,6 +430,7 @@ def test_sized_lcg_sql_replay_bit_exact():
         assert val == expected[(t, i, j)], (t, i, j)
 
 
+@pytest.mark.slow
 def test_near_dup_multiprobe_recall_and_invariants(spark, sf_dir):
     """Query-directed multi-probe on the self-join: probed output is a
     SUPERSET of the home-only pair set (every home collision survives),

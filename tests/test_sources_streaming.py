@@ -234,6 +234,7 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_dir, tmp):
     assert got == ev.count()
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp):
     """§2.10 extension — clicks⋈purchases within 1 hour per user, as a
     stream-stream join, must produce exactly the batch join's row set."""

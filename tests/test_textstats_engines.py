@@ -11,6 +11,8 @@ digits, punctuation runs, empty and whitespace-only strings.
 
 from __future__ import annotations
 
+import pytest
+
 from mapreduce_big_data_processing_spark.operators import textstats as TS
 
 ADVERSARIAL = [
@@ -110,6 +112,7 @@ _prop = settings(
 
 @given(texts=_TEXTS)
 @_prop
+@pytest.mark.slow
 def test_append_regex_counts_dialect_equivalence(spark, texts):
     from pyspark.sql import functions as F
 

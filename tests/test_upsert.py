@@ -129,6 +129,7 @@ def _live(df):
     }
 
 
+@pytest.mark.slow
 def test_tombstones_commute_across_batch_orders(spark):
     """The bug the streaming sink found: without stored tombstones, a
     reordered batch holding an OLDER put for a deleted key resurrects
