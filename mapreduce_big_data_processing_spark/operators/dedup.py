@@ -121,6 +121,144 @@ def incremental_dedup(
     )
 
 
+def band_keys(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, sig) band-bucket keys of a MinHash signature table — the
+    row an LSH *index* persists per accepted document. Factored out of
+    :func:`lsh_candidate_pairs` so an incremental ingest can band a new
+    batch and join it against a stored index built with the same call."""
+    rows_per_band = n_hashes // bands
+    return (
+        signatures.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("h"), F.col("minhash")))
+                        ),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("sig")
+        )
+    )
+
+
+def incremental_near_dup(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Incremental-ingest NEAR dedup: classify a new batch's MinHash
+    signatures against a persisted signature index — the near-dup sibling
+    of :func:`incremental_dedup`, and the shape a continuous-ingest
+    pipeline actually runs at 100 TB (recomputing all-corpus LSH per daily
+    drop is the anti-pattern this replaces; the index stores n_hashes
+    smallints per accepted doc and nothing else).
+
+    Both sides band with :func:`band_keys`; candidates are band-bucket
+    collisions (new×index for history, new×new smaller-id for in-batch).
+    Verification is SIGNATURE AGREEMENT — est_jaccard = matching
+    minhashes / n_hashes ≥ ``min_est_jaccard`` — because signatures are
+    all the index has: no re-read of accepted text, so the verify join
+    touches n_hashes rows per candidate. est_jaccard is an exact multiple
+    of 1/n_hashes (a binary fraction at the default 16), so no float
+    rounding protocol is needed anywhere.
+
+    Status per new doc, same precedence/convergence rule as the exact
+    variant (history wins, so re-ingesting an accepted batch classifies
+    everything ``near_dup_of_history``):
+    ``near_dup_of_history`` > ``near_dup_in_batch`` (a verified
+    smaller-id batch sibling) > ``kept``. ``matched_id`` is the
+    best-agreeing counterpart (ties to the smallest id; -1 for kept —
+    NULL would crash the driver's mixed-column row sort).
+
+    Scale shape: only the batch is shingled/hashed; the index side joins
+    pre-bucketable by (band, sig). A boilerplate-heavy corpus concentrates
+    band buckets — the new×index bucket join is a plain equi-join, so AQE
+    skew-split handles hot buckets; the new×new side reuses
+    :func:`lsh_candidate_pairs`'s explicit ``max_bucket`` salting.
+    """
+    from pyspark.sql import Window
+
+    min_matches = int(min_est_jaccard * n_hashes + 0.999999)  # ceil
+    bn = band_keys(new_sigs, id_col, n_hashes, bands)
+    bh = band_keys(index_sigs, id_col, n_hashes, bands)
+
+    def _agree(cand: DataFrame, a: str, b: str, sa: DataFrame, sb: DataFrame):
+        """matches-per-candidate via the two signature tables (n_hashes
+        rows per pair through the joins; candidates are band-bounded)."""
+        return (
+            cand.join(sa.select(F.col(id_col).alias(a), "h", F.col("minhash").alias("__ma")), a)
+            .join(
+                sb.select(F.col(id_col).alias(b), "h", F.col("minhash").alias("__mb")),
+                [b, "h"],
+            )
+            .filter(F.col("__ma") == F.col("__mb"))
+            .groupBy(a, b)
+            .agg(F.count(F.lit(1)).alias("matches"))
+            .filter(F.col("matches") >= min_matches)
+        )
+
+    hist_cand = (
+        bn.select(F.col(id_col).alias("new_id"), "band", "sig")
+        .join(bh.select(F.col(id_col).alias("hist_id"), "band", "sig"), ["band", "sig"])
+        .select("new_id", "hist_id")
+        .distinct()
+    )
+    hm = _agree(hist_cand, "new_id", "hist_id", new_sigs, index_sigs)
+    batch_cand = lsh_candidate_pairs(new_sigs, id_col, n_hashes, bands).select(
+        F.col("id_a").alias("small_id"), F.col("id_b").alias("new_id")
+    )
+    bm = _agree(batch_cand, "new_id", "small_id", new_sigs, new_sigs)
+
+    wbest_h = Window.partitionBy("new_id").orderBy(F.desc("matches"), F.asc("hist_id"))
+    hb = (
+        hm.withColumn("__rn", F.row_number().over(wbest_h))
+        .filter(F.col("__rn") == 1)
+        .select("new_id", F.col("hist_id").alias("__h_match"), F.col("matches").alias("__h_m"))
+    )
+    wbest_b = Window.partitionBy("new_id").orderBy(F.desc("matches"), F.asc("small_id"))
+    bb = (
+        bm.withColumn("__rn", F.row_number().over(wbest_b))
+        .filter(F.col("__rn") == 1)
+        .select("new_id", F.col("small_id").alias("__b_match"), F.col("matches").alias("__b_m"))
+    )
+    ids = new_sigs.select(F.col(id_col)).distinct()
+    return (
+        ids.join(hb, ids[id_col] == hb["new_id"], "left")
+        .drop("new_id")
+        .join(bb, ids[id_col] == bb["new_id"], "left")
+        .drop("new_id")
+        .select(
+            id_col,
+            F.when(F.col("__h_match").isNotNull(), F.lit("near_dup_of_history"))
+            .when(F.col("__b_match").isNotNull(), F.lit("near_dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce("__h_match", "__b_match", F.lit(-1)).alias("matched_id"),
+            (
+                F.coalesce(
+                    F.when(F.col("__h_match").isNotNull(), F.col("__h_m")),
+                    F.col("__b_m"),
+                    F.lit(0),
+                )
+                / F.lit(float(n_hashes))
+            ).alias("est_jaccard"),
+        )
+    )
+
+
 def shingles(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -355,24 +493,7 @@ def lsh_candidate_pairs(
     buckets above ``max_bucket`` ids are salted into sub-buckets and their
     pairs emitted within+across sub-buckets with bounded per-task work and
     IDENTICAL output (see _bucket_pair_rows)."""
-    rows_per_band = n_hashes // bands
-    banded = (
-        signatures.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct(F.col("h"), F.col("minhash")))
-                        ),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("sig")
-        )
-    )
+    banded = band_keys(signatures, id_col, n_hashes, bands)
     return (
         _bucket_pair_rows(banded, ["band", "sig"], id_col, max_bucket)
         .select("id_a", "id_b")

@@ -5406,6 +5406,110 @@ def incremental_ingest_dedup(spark, sf_dir):
     return D.incremental_dedup(new_batch, hist)
 
 
+_INC_NEAR_DUP_SQL = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    based AS (
+      SELECT doc_id, shingle,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647
+               AS base
+      FROM sh),
+    mh AS (
+      SELECT doc_id, h, min((a * base + b) % 2147483647) AS minhash
+      FROM based CROSS JOIN (VALUES {{mh_values}}) c(h, a, b)
+      GROUP BY doc_id, h),
+    banded AS (
+      SELECT doc_id, CAST(h // 4 AS INT) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h)) AS sig
+      FROM mh GROUP BY doc_id, band),
+    tagged AS (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                || 'ing'), 1, 15)) AS BIGINT)
+                       / 1152921504606846976.0 < 0.75
+                  THEN 1 ELSE 0 END AS is_existing
+      FROM documents),
+    signed AS (SELECT DISTINCT doc_id FROM sh),
+    newb AS (SELECT t.doc_id FROM tagged t JOIN signed s USING (doc_id)
+             WHERE t.is_existing = 0),
+    hist AS (SELECT t.doc_id FROM tagged t JOIN signed s USING (doc_id)
+             WHERE t.is_existing = 1),
+    hc AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS hist_id
+           FROM banded a JOIN newb n ON n.doc_id = a.doc_id
+           JOIN banded b ON a.band = b.band AND a.sig = b.sig
+           JOIN hist h2 ON h2.doc_id = b.doc_id),
+    hm AS (SELECT c.new_id, c.hist_id, count(*) AS matches
+           FROM hc c
+           JOIN mh x ON x.doc_id = c.new_id
+           JOIN mh y ON y.doc_id = c.hist_id AND y.h = x.h
+                     AND y.minhash = x.minhash
+           GROUP BY 1, 2 HAVING count(*) >= 8),
+    hb AS (SELECT new_id, hist_id, matches,
+                  row_number() OVER (PARTITION BY new_id
+                                     ORDER BY matches DESC, hist_id) AS rn
+           FROM hm),
+    bcand AS (SELECT DISTINCT a.doc_id AS small_id, b.doc_id AS new_id
+              FROM banded a
+              JOIN banded b ON a.band = b.band AND a.sig = b.sig
+                            AND a.doc_id < b.doc_id
+              JOIN newb n1 ON n1.doc_id = a.doc_id
+              JOIN newb n2 ON n2.doc_id = b.doc_id),
+    bmm AS (SELECT c.new_id, c.small_id, count(*) AS matches
+            FROM bcand c
+            JOIN mh x ON x.doc_id = c.new_id
+            JOIN mh y ON y.doc_id = c.small_id AND y.h = x.h
+                      AND y.minhash = x.minhash
+            GROUP BY 1, 2 HAVING count(*) >= 8),
+    bb AS (SELECT new_id, small_id, matches,
+                  row_number() OVER (PARTITION BY new_id
+                                     ORDER BY matches DESC, small_id) AS rn
+           FROM bmm)
+    SELECT n.doc_id,
+           CASE WHEN hb.new_id IS NOT NULL THEN 'near_dup_of_history'
+                WHEN bb.new_id IS NOT NULL THEN 'near_dup_in_batch'
+                ELSE 'kept' END AS status,
+           CAST(coalesce(hb.hist_id, bb.small_id, -1) AS BIGINT) AS matched_id,
+           coalesce(CASE WHEN hb.new_id IS NOT NULL THEN hb.matches END,
+                    bb.matches, 0) / 16.0 AS est_jaccard
+    FROM newb n
+    LEFT JOIN (SELECT * FROM hb WHERE rn = 1) hb ON hb.new_id = n.doc_id
+    LEFT JOIN (SELECT * FROM bb WHERE rn = 1) bb ON bb.new_id = n.doc_id
+    """
+
+
+@query(
+    "incremental_ingest_near_dup",
+    _INC_NEAR_DUP_SQL.replace("{mh_values}", _minhash_values_sql(16)),
+)
+def incremental_ingest_near_dup(spark, sf_dir):
+    """Continuous-ingest NEAR dedup — the MinHash sibling of
+    `incremental_ingest_dedup` and the shape a daily drop actually runs
+    against a 100 TB accepted corpus: the index persists 16 smallint
+    minhashes per accepted doc (plus its 4 band keys), the new batch
+    (same deterministic 25% slice as the exact variant) bands and joins
+    against it, and verification is signature agreement (≥8/16 matching
+    hashes ≈ Jaccard ≥ 0.5) — no re-shingling of history, so per-day
+    cost is batch-sized, not corpus-sized. Statuses near_dup_of_history
+    > near_dup_in_batch > kept (history precedence ⇒ retried ingests
+    converge, the incremental_dedup rule); matched_id = best-agreeing
+    counterpart (-1 for kept), est_jaccard = matches/16 (an exact binary
+    fraction — zero float protocol). See dedup.incremental_near_dup."""
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+    from mapreduce_big_data_processing_spark.operators.curation import _unit_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    # one shingle→signature pass over ALL docs, split afterwards by the
+    # deterministic ingest flag (a pure function of doc_id — no join);
+    # the signature table feeds both band_keys calls and all four verify
+    # joins, so cache it
+    sig = D.minhash_signatures(
+        D.shingles(docs, k=3), n_hashes=16, portable=True
+    ).cache()
+    flag = _unit_hash(
+        F.concat(F.col("doc_id").cast("string"), F.lit("ing"))
+    ) < F.lit(0.75)
+    return D.incremental_near_dup(sig.filter(~flag), sig.filter(flag))
+
+
 @query(
     "lang_mixture_weights",
     """
@@ -8085,6 +8189,7 @@ _PRIORITY = [
     "funnel_view_click_purchase",
     "hash_sampled_docs",
     "hourly_count_anomalies",
+    "incremental_ingest_near_dup",
     "integrity_checks",
     "jsonl_roundtrip",
     "kcenter_coreset",

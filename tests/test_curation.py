@@ -401,3 +401,44 @@ def test_incremental_dedup_statuses(spark):
         13: "dup_in_batch",
         14: "dup_of_history",
     }
+
+
+def test_incremental_near_dup_statuses_and_convergence(spark):
+    """The MinHash sibling of incremental_dedup: (1) a doc nearly
+    identical to an accepted one classifies near_dup_of_history, a
+    batch-internal near-pair marks only its larger id, a unique doc is
+    kept; (2) convergence — re-ingesting the accepted corpus against its
+    own signature index classifies EVERY doc near_dup_of_history with
+    est_jaccard 1.0 (the retried-ingest rule)."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    hist_docs = spark.createDataFrame(
+        [(1, base), (2, "completely different historical content here ok " * 4)],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base + "extra"),      # near hist doc 1
+            (11, "unrelated fresh text that matches nothing else at all " * 4),
+            (12, "twin pair in the new batch sharing every shingle yes " * 4),
+            (13, "twin pair in the new batch sharing every shingle yes " * 4 + "tail"),
+        ],
+        "doc_id bigint, text string",
+    )
+    index = D.minhash_signatures(D.shingles(hist_docs, k=3), n_hashes=16)
+    sigs = D.minhash_signatures(D.shingles(new, k=3), n_hashes=16)
+    got = {
+        r["doc_id"]: (r["status"], r["matched_id"])
+        for r in D.incremental_near_dup(sigs, index).collect()
+    }
+    assert got[10] == ("near_dup_of_history", 1)
+    assert got[11] == ("kept", -1)
+    assert got[12] == ("kept", -1)  # smaller id of the batch pair
+    assert got[13] == ("near_dup_in_batch", 12)
+
+    replay = {
+        (r["status"], r["matched_id"], r["est_jaccard"])
+        for r in D.incremental_near_dup(
+            index.withColumn("doc_id", F.col("doc_id") + 100), index
+        ).collect()
+    }
+    assert replay == {("near_dup_of_history", 1, 1.0), ("near_dup_of_history", 2, 1.0)}
