@@ -5406,6 +5406,48 @@ def incremental_ingest_dedup(spark, sf_dir):
     return D.incremental_dedup(new_batch, hist)
 
 
+@query(
+    "minhash_band_index",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    based AS (
+      SELECT doc_id, shingle,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647
+               AS base
+      FROM sh),
+    mh AS (
+      SELECT doc_id, h, min((a * base + b) % 2147483647) AS minhash
+      FROM based CROSS JOIN (VALUES {_minhash_values_sql(16)}) c(h, a, b)
+      GROUP BY doc_id, h),
+    banded AS (
+      SELECT doc_id, CAST(h // 4 AS INT) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h)) AS sig
+      FROM mh GROUP BY doc_id, band)
+    SELECT b.doc_id, b.band, b.sig
+    FROM banded b
+    WHERE CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR) || 'ing'), 1, 15))
+               AS BIGINT) / 1152921504606846976.0 < 0.75
+    """,
+)
+def minhash_band_index(spark, sf_dir):
+    """The WRITE half of the incremental near-dup story: the band-key
+    index a pipeline persists per accepted document — (doc_id, band,
+    sig), 4 rows/doc, exactly the table `incremental_ingest_near_dup`'s
+    batch side joins against (plus the 16 signature rows for verify).
+    Bucketed-by-(band, sig) storage makes the daily ingest join a
+    co-located probe. Zero-float (md5 strings + ints); same accepted
+    slice as the incremental queries so the pair compose end-to-end."""
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+    from mapreduce_big_data_processing_spark.operators.curation import _unit_hash
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        _unit_hash(F.concat(F.col("doc_id").cast("string"), F.lit("ing")))
+        < F.lit(0.75)
+    )
+    sig = D.minhash_signatures(D.shingles(docs, k=3), n_hashes=16, portable=True)
+    return D.band_keys(sig, n_hashes=16, bands=4)
+
+
 _INC_NEAR_DUP_SQL = f"""
     WITH sh AS ({_SHINGLES_SQL}),
     based AS (
@@ -8195,6 +8237,7 @@ _PRIORITY = [
     "kcenter_coreset",
     "lang_label_agreement",
     "lang_quota_sample",
+    "minhash_band_index",
     "mixture_sampled_counts",
     "orc_roundtrip",
     "packed_sequences",

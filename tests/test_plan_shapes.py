@@ -483,6 +483,16 @@ def test_incremental_dedup_batch_sized_shuffles_only(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_incremental_near_dup_no_cartesian(spark, sf_dir):
+    """The near-dup ingest is band-bucket equi-joins end to end (new x
+    index on (band, sig); verify joins on (pair, h)) — a cartesian or
+    nested-loop anywhere means the LSH candidate pruning fell out of the
+    plan and the query degraded to all-pairs."""
+    plan = _plan(spark, sf_dir, "incremental_ingest_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_prefix_jaccard_no_cartesian(spark, sf_dir):
     """The prefix-filtered Jaccard join must stay an equi-join pipeline:
     no cartesian/nested-loop anywhere (the lossless filter is pointless
