@@ -7345,7 +7345,7 @@ def _random_projection_sql(planes, out_dim: int) -> str:
     branches = " UNION ALL ".join(
         f"SELECT vec_id, {j} AS j, round(list_dot_product(v, "
         f"[{', '.join(repr(x) for x in p)}]) / sqrt({float(out_dim)!r}), 6)"
-        f" AS proj FROM e"
+        f" + 0 AS proj FROM e"
         for j, p in enumerate(planes)
     )
     return f"""
@@ -7369,7 +7369,7 @@ def embedding_random_projection(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     out = S.random_projection(emb, _RP_PLANES)
-    return out.select("vec_id", "j", F.round("proj", 6).alias("proj"))
+    return out.select("vec_id", "j", (F.round("proj", 6) + F.lit(0.0)).alias("proj"))
 
 
 @query(
@@ -8880,7 +8880,7 @@ def grouping_sets_revenue(spark, sf_dir):
                                      (x, k) -> {'i': k - 1, 'x': x})) AS u
         FROM embeddings))
     SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
-           round(sum(a.x * b.x), 4) AS g
+           round(sum(a.x * b.x), 4) + 0 AS g
     FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
     GROUP BY a.i, b.i
     """,
@@ -8897,7 +8897,10 @@ def embedding_gram_matrix(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     g = ML.gram_matrix(emb, "embedding")
-    return g.select("i", "j", F.round("g", 4).alias("g"))
+    # + 0.0 canonicalizes IEEE -0.0: a noise-signed near-zero entry would
+    # otherwise hash as a different VALUE than the oracle's despite being
+    # numerically equal (the r4 sweep-transient root cause, diagnosed r5)
+    return g.select("i", "j", (F.round("g", 4) + F.lit(0.0)).alias("g"))
 
 
 def _top_pc_sql(iters: int = 12, gram_dec: int = 6, proj_dec: int = 4) -> str:
@@ -8933,7 +8936,7 @@ def _top_pc_sql(iters: int = 12, gram_dec: int = 6, proj_dec: int = 4) -> str:
       SELECT i, x / sqrt((SELECT sum(x * x) FROM w{t})) AS x FROM w{t})"""
         prev = f"v{t}"
     sql += f"""
-    SELECT e.vec_id, round(sum(e.x * v.x), {proj_dec}) AS pc1
+    SELECT e.vec_id, round(sum(e.x * v.x), {proj_dec}) + 0 AS pc1
     FROM e JOIN {prev} v ON e.i = v.i
     GROUP BY e.vec_id
     """
@@ -8955,7 +8958,10 @@ def embedding_top_pc(spark, sf_dir):
     pc = ML.top_principal_component(
         emb, "embedding", "vec_id", iters=12, gram_decimals=6
     )
-    return pc.select("vec_id", F.round("pc1", 4).alias("pc1"))
+    # + 0.0: near-zero projections carry the engines' independent noise
+    # SIGNS into round(), yielding -0.0 vs 0.0 — numerically equal but a
+    # different byte value; canonicalize on both sides (oracle adds + 0)
+    return pc.select("vec_id", (F.round("pc1", 4) + F.lit(0.0)).alias("pc1"))
 
 
 @query(

@@ -15,7 +15,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def norm(v):
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else round(v, 9)
+        # + 0.0 canonicalizes IEEE negative zero: the engines can produce
+        # -0.0 vs 0.0 for noise-signed near-zero values (numerically equal,
+        # so the driver-style numeric sort never sees it) and the repr-based
+        # row sort here would misalign the two lists and report a phantom
+        # FAIL (the r4 "embedding_top_pc sweep transient", diagnosed r5).
+        return "NaN" if math.isnan(v) else round(v, 9) + 0.0
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     return v
