@@ -259,6 +259,107 @@ def incremental_near_dup(
     )
 
 
+def multi_epoch_near_dup(
+    sigs: DataFrame,
+    epoch_col: str = "epoch",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """N sequential ingest days classified in ONE plan: signatures carry
+    an ``epoch_col`` (the batch/day each doc arrived in) and every doc is
+    classified exactly as if :func:`incremental_near_dup` had been folded
+    over the epochs in order with an accumulating signature index —
+    ``near_dup_of_history`` if a verified match exists in ANY earlier
+    epoch, else ``near_dup_in_batch`` if a verified smaller-id sibling
+    exists in the SAME epoch, else ``kept``. The fold⇔one-shot
+    equivalence is pinned by a test (the property backfills rely on:
+    re-running the whole history as one job must agree with what the
+    daily jobs decided).
+
+    Shape: identical to the single-batch operator — one band-key pass,
+    band-bucket equi-joins with epoch inequality/equality predicates on
+    top, 16-rows-per-candidate signature verify. The epoch predicate
+    prunes AFTER bucket collision, so work is still band-bounded.
+    """
+    from pyspark.sql import Window
+
+    min_matches = int(min_est_jaccard * n_hashes + 0.999999)  # ceil
+    bk = band_keys(sigs, id_col, n_hashes, bands).join(
+        sigs.select(id_col, epoch_col).distinct(), id_col
+    )
+    a = bk.select(
+        F.col(id_col).alias("other_id"), F.col(epoch_col).alias("other_ep"),
+        "band", "sig",
+    )
+    b = bk.select(
+        F.col(id_col).alias("new_id"), F.col(epoch_col).alias("new_ep"),
+        "band", "sig",
+    )
+    hist_cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("other_ep") < F.col("new_ep"))
+        .select("new_id", "other_id")
+        .distinct()
+    )
+    batch_cand = (
+        a.join(b, ["band", "sig"])
+        .filter((F.col("other_ep") == F.col("new_ep")) & (F.col("other_id") < F.col("new_id")))
+        .select("new_id", "other_id")
+        .distinct()
+    )
+
+    sl = sigs.select(F.col(id_col).alias("new_id"), "h", F.col("minhash").alias("__ma"))
+    sr = sigs.select(F.col(id_col).alias("other_id"), "h", F.col("minhash").alias("__mb"))
+
+    def _agree(cand):
+        return (
+            cand.join(sl, "new_id")
+            .join(sr, ["other_id", "h"])
+            .filter(F.col("__ma") == F.col("__mb"))
+            .groupBy("new_id", "other_id")
+            .agg(F.count(F.lit(1)).alias("matches"))
+            .filter(F.col("matches") >= min_matches)
+        )
+
+    w = Window.partitionBy("new_id").orderBy(F.desc("matches"), F.asc("other_id"))
+    hb = (
+        _agree(hist_cand).withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("new_id", F.col("other_id").alias("__h_match"), F.col("matches").alias("__h_m"))
+    )
+    bb = (
+        _agree(batch_cand).withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("new_id", F.col("other_id").alias("__b_match"), F.col("matches").alias("__b_m"))
+    )
+    ids = sigs.select(id_col, epoch_col).distinct()
+    return (
+        ids.join(hb, ids[id_col] == hb["new_id"], "left")
+        .drop("new_id")
+        .join(bb, ids[id_col] == bb["new_id"], "left")
+        .drop("new_id")
+        .select(
+            id_col,
+            epoch_col,
+            F.when(F.col("__h_match").isNotNull(), F.lit("near_dup_of_history"))
+            .when(F.col("__b_match").isNotNull(), F.lit("near_dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce("__h_match", "__b_match", F.lit(-1)).alias("matched_id"),
+            (
+                F.coalesce(
+                    F.when(F.col("__h_match").isNotNull(), F.col("__h_m")),
+                    F.col("__b_m"),
+                    F.lit(0),
+                )
+                / F.lit(float(n_hashes))
+            ).alias("est_jaccard"),
+        )
+    )
+
+
 def shingles(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -5448,6 +5448,85 @@ def minhash_band_index(spark, sf_dir):
     return D.band_keys(sig, n_hashes=16, bands=4)
 
 
+@query(
+    "multi_epoch_ingest_near_dup",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    based AS (
+      SELECT doc_id, shingle,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647
+               AS base
+      FROM sh),
+    mh AS (
+      SELECT doc_id, h, min((a * base + b) % 2147483647) AS minhash
+      FROM based CROSS JOIN (VALUES {_minhash_values_sql(16)}) c(h, a, b)
+      GROUP BY doc_id, h),
+    banded AS (
+      SELECT doc_id, CAST(h // 4 AS INT) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h)) AS sig
+      FROM mh GROUP BY doc_id, band),
+    ep AS (SELECT DISTINCT doc_id, CAST(doc_id % 3 AS INT) AS epoch FROM sh),
+    bk AS (SELECT b.doc_id, e.epoch, b.band, b.sig
+           FROM banded b JOIN ep e USING (doc_id)),
+    hc AS (SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS other_id
+           FROM bk a JOIN bk b ON a.band = b.band AND a.sig = b.sig
+                              AND a.epoch < b.epoch),
+    bc AS (SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS other_id
+           FROM bk a JOIN bk b ON a.band = b.band AND a.sig = b.sig
+                              AND a.epoch = b.epoch
+                              AND a.doc_id < b.doc_id),
+    hm AS (SELECT c.new_id, c.other_id, count(*) AS matches
+           FROM hc c
+           JOIN mh x ON x.doc_id = c.new_id
+           JOIN mh y ON y.doc_id = c.other_id AND y.h = x.h
+                     AND y.minhash = x.minhash
+           GROUP BY 1, 2 HAVING count(*) >= 8),
+    bm AS (SELECT c.new_id, c.other_id, count(*) AS matches
+           FROM bc c
+           JOIN mh x ON x.doc_id = c.new_id
+           JOIN mh y ON y.doc_id = c.other_id AND y.h = x.h
+                     AND y.minhash = x.minhash
+           GROUP BY 1, 2 HAVING count(*) >= 8),
+    hb AS (SELECT new_id, other_id, matches,
+                  row_number() OVER (PARTITION BY new_id
+                                     ORDER BY matches DESC, other_id) AS rn
+           FROM hm),
+    bb AS (SELECT new_id, other_id, matches,
+                  row_number() OVER (PARTITION BY new_id
+                                     ORDER BY matches DESC, other_id) AS rn
+           FROM bm)
+    SELECT e.doc_id, e.epoch,
+           CASE WHEN hb.new_id IS NOT NULL THEN 'near_dup_of_history'
+                WHEN bb.new_id IS NOT NULL THEN 'near_dup_in_batch'
+                ELSE 'kept' END AS status,
+           CAST(coalesce(hb.other_id, bb.other_id, -1) AS BIGINT) AS matched_id,
+           coalesce(CASE WHEN hb.new_id IS NOT NULL THEN hb.matches END,
+                    bb.matches, 0) / 16.0 AS est_jaccard
+    FROM ep e
+    LEFT JOIN (SELECT * FROM hb WHERE rn = 1) hb ON hb.new_id = e.doc_id
+    LEFT JOIN (SELECT * FROM bb WHERE rn = 1) bb ON bb.new_id = e.doc_id
+    """,
+)
+def multi_epoch_ingest_near_dup(spark, sf_dir):
+    """Three sequential ingest days (epoch = doc_id % 3) classified in ONE
+    plan by `dedup.multi_epoch_near_dup`: near_dup_of_history if a
+    verified match (signature agreement ≥8/16) exists in ANY earlier
+    epoch, near_dup_in_batch for a same-epoch smaller-id sibling, else
+    kept. The index semantics record EVERY ingested doc's signatures
+    (kept or dup — near-of-near must still attribute to history even when
+    its neighbor was itself discarded), which is exactly what makes the
+    daily fold and this one-shot backfill agree — the equivalence a
+    pipeline relies on when it reprocesses history, pinned by
+    tests/test_curation.py. Zero-float (est = matches/16)."""
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(
+        D.shingles(docs, k=3), n_hashes=16, portable=True
+    ).withColumn("epoch", (F.col("doc_id") % 3).cast("int"))
+    return D.multi_epoch_near_dup(sig.cache())
+
+
 _INC_NEAR_DUP_SQL = f"""
     WITH sh AS ({_SHINGLES_SQL}),
     based AS (
@@ -8239,6 +8318,7 @@ _PRIORITY = [
     "lang_quota_sample",
     "minhash_band_index",
     "mixture_sampled_counts",
+    "multi_epoch_ingest_near_dup",
     "orc_roundtrip",
     "packed_sequences",
     "per_minute_error_counts",

@@ -442,3 +442,39 @@ def test_incremental_near_dup_statuses_and_convergence(spark):
         ).collect()
     }
     assert replay == {("near_dup_of_history", 1, 1.0), ("near_dup_of_history", 2, 1.0)}
+
+
+def test_multi_epoch_near_dup_equals_sequential_fold(spark, sf_dir):
+    """The property a backfill relies on: classifying N ingest days in
+    ONE plan (multi_epoch_near_dup) must agree row-for-row with actually
+    folding incremental_near_dup over the days with an accumulating
+    signature index (the index records EVERY ingested doc's signatures,
+    kept or dup — near-of-near still attributes to history even when its
+    neighbor was itself discarded)."""
+    from mapreduce_big_data_processing_spark import catalog
+
+    docs = catalog.load(spark, "documents", sf_dir)
+    sig = D.minhash_signatures(D.shingles(docs, k=3), n_hashes=16).cache()
+    sigs = sig.withColumn("epoch", (F.col("doc_id") % 3).cast("int"))
+
+    one_shot = {
+        r["doc_id"]: (r["status"], r["matched_id"], r["est_jaccard"])
+        for r in D.multi_epoch_near_dup(sigs).collect()
+    }
+
+    folded = {}
+    index = None
+    for ep in range(3):
+        batch = sigs.filter(F.col("epoch") == ep).drop("epoch")
+        if index is None:
+            # day 0 has no history: classify against an empty index
+            empty = batch.limit(0)
+            out = D.incremental_near_dup(batch, empty)
+        else:
+            out = D.incremental_near_dup(batch, index)
+        for r in out.collect():
+            folded[r["doc_id"]] = (r["status"], r["matched_id"], r["est_jaccard"])
+        index = batch if index is None else index.unionByName(batch)
+
+    assert folded == one_shot
+    assert any(v[0] == "near_dup_of_history" for v in folded.values())
