@@ -8282,10 +8282,45 @@ _PRIORITY = [
     "heavy_hitter_users",
     "corpus_split_counts",
     "per_user_daily_counts",
-    # round-6 rotation queue: the 59 registered queries never externally
-    # checked after r5 (oracle-verified locally; re-verify any candidate
-    # at sf0.01 on a plain session before promoting — and check
-    # non-vacuity: >0 rows at the gate SF):
+    # round-6 rotation queue: the 62 registered queries never externally
+    # checked after r5 (every one verified at the gate SF this round via
+    # the canonical full-registry sweep or per-query spot parity;
+    # re-verify at sf0.01 on a plain session before promoting — and
+    # check non-vacuity: >0 rows at the gate SF).
+    # Round-6 per-component rotation hints (component -> fresh sibling):
+    # P1/P2 -> clean_corpus; J1/J4 -> volume_shipping or shipping_priority;
+    # O1/O4 -> top_revenue_supplier or customer_value_rank_profile;
+    # A8 -> customer_spend_quartiles or value_percentiles;
+    # A15/A16 -> daily_revenue_moving_avg / per_minute_error_counts /
+    # trailing_hour_user_load; A17/M7 -> brand_price_quantity_slope;
+    # A3/scalar -> segment_pivot_revenue; textstats ->
+    # source_token_entropy / source_ngram_diversity / lang_label_agreement;
+    # sketches -> approx_value_percentiles / value_quantile... (used r5) /
+    # event_type_user_overlap; near-dup family -> embedding_near_dup_sized
+    # (the 100 TB path!) / _probed / _dense; incremental family ->
+    # incremental_ingest_near_dup / multi_epoch_ingest_near_dup /
+    # minhash_band_index (all new r5); decontamination ->
+    # semantic_contamination (pinned sibling, checked never) /
+    # semantic_contamination_dense; ann/quant -> pq_similarity_topk /
+    # quantized_similarity_topk / ann_recall_eval /
+    # embedding_quantization_error; spectral -> embedding_top_pc (NOTE:
+    # signed-zero canonicalization landed r5 — safe to window now) /
+    # embedding_random_projection; graph -> word_graph_sssp /
+    # word_triangle_counts / word_clustering_coefficient; curation
+    # reporting -> source_data_cards / dedup_savings_report /
+    # dup_rate_by_source_pair / doc_length_auc; sampling ->
+    # hash_sampled_docs / lang_quota_sample / mixture_sampled_counts /
+    # packed_sequences / kcenter_coreset; LM filters -> doc_cross_entropy
+    # / bigram_lm_cross_entropy; time series -> user_daily_series_filled
+    # / hourly_count_anomalies / user_value_deltas; streaming ->
+    # streaming_dedup_counts / streaming_interval_join_counts /
+    # streaming_enriched_cohort_counts; sources -> jsonl_roundtrip /
+    # orc_roundtrip; events QA -> events_profile / events_quality_checks
+    # / integrity_checks; funnels -> funnel_view_click_purchase /
+    # weekly_cohort_retention; J4-Q8 -> supplier_mkt_share_by_year;
+    # order stats -> winsorized_event_stats; skew -> salted_user_value_totals.
+    # word_clustering_coefficient / word_triangle_counts oracles are
+    # 10x-intractable (documented) — fixture-SF parity is their gate.
     "ann_recall_eval",
     "approx_value_percentiles",
     "bigram_lm_cross_entropy",
