@@ -74,12 +74,16 @@ def save_as_table(
         loc = None
         managed = False
         try:
-            tbl = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
-            for r in tbl:
-                if r["col_name"] == "Location":
-                    loc = r["data_type"]
-                if r["col_name"] == "Type":
-                    managed = r["data_type"].upper() == "MANAGED"
+            # tableExists first: DESCRIBE on a missing table raises an
+            # AnalysisException that Spark logs at ERROR level before we
+            # could catch it — pure log spam on the common first-write path
+            if spark.catalog.tableExists(name):
+                tbl = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+                for r in tbl:
+                    if r["col_name"] == "Location":
+                        loc = r["data_type"]
+                    if r["col_name"] == "Type":
+                        managed = r["data_type"].upper() == "MANAGED"
         except Exception:
             pass
         spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -135,11 +139,12 @@ def drop_table(spark, name: str) -> None:
     loc = None
     managed = False
     try:
-        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect():
-            if r["col_name"] == "Location":
-                loc = r["data_type"]
-            if r["col_name"] == "Type":
-                managed = r["data_type"].upper() == "MANAGED"
+        if spark.catalog.tableExists(name):
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect():
+                if r["col_name"] == "Location":
+                    loc = r["data_type"]
+                if r["col_name"] == "Type":
+                    managed = r["data_type"].upper() == "MANAGED"
     except Exception:
         pass
     spark.sql(f"DROP TABLE IF EXISTS {name}")
