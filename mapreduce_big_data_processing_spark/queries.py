@@ -2525,6 +2525,35 @@ def top_parts_per_brand(spark, sf_dir):
     )
 
 
+@query(
+    "cheapest_parts_per_type",
+    """
+    SELECT p.p_type, p.p_partkey, p.p_name, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                             WHERE p2.p_type = p.p_type)
+    """,
+)
+def cheapest_parts_per_type(spark, sf_dir):
+    """TPC-H Q2 shape: groupwise-min WITH TIES — every part matching its
+    type's minimum price (the correlated scalar-subquery pattern
+    `price = (SELECT min(...) WHERE same group)`), distinct from
+    `top_parts_per_brand`'s row_number top-k which drops ties. Spark-first
+    form: a window min over the group, filter on equality — one exchange
+    on p_type, no self-join, no subquery re-scan (Catalyst would rewrite
+    the correlated form into the same agg+join; the window states it
+    directly and reuses one scan). The equality compares RAW parquet
+    doubles — both engines read identical bits and no arithmetic touches
+    them, so no float protocol is needed."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    return (
+        part.withColumn("__mn", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("__mn"))
+        .select("p_type", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
 #: project-2 character dictionary (`…课程设计2-金庸的江湖.pdf p.6-7`) plus a
 #: deliberate PREFIX PAIR (戚长 vs 戚长发) so the oracle pins greedy
 #: forward MAXIMAL matching: planted 戚长发 must never count as 戚长.
@@ -8325,6 +8354,7 @@ _PRIORITY = [
     "approx_value_percentiles",
     "bigram_lm_cross_entropy",
     "brand_price_quantity_slope",
+    "cheapest_parts_per_type",
     "clean_corpus",
     "customer_spend_quartiles",
     "customer_value_rank_profile",
