@@ -1596,17 +1596,21 @@ def weekly_cohort_retention(spark, sf_dir):
     """
     WITH a AS (
       SELECT count(*) AS n,
-             sum(CASE WHEN event_id IS NOT NULL THEN 0 ELSE 1 END) AS v_id_not_null,
-             sum(CASE WHEN coalesce(event_type IN
+             -- CASTs: DuckDB sum(int) widens to HUGEINT, whose driver
+             -- value-hash differs from int64 (the r5 bpe_vocab_merges
+             -- hazard class)
+             CAST(sum(CASE WHEN event_id IS NOT NULL THEN 0 ELSE 1 END)
+               AS BIGINT) AS v_id_not_null,
+             CAST(sum(CASE WHEN coalesce(event_type IN
                    ('view','click','purchase','signup','error'), FALSE)
-                 THEN 0 ELSE 1 END) AS v_type_in_domain,
-             sum(CASE WHEN coalesce(value >= 0, FALSE) THEN 0 ELSE 1 END)
-               AS v_value_nonneg,
-             sum(CASE WHEN coalesce(ts >= TIMESTAMP '2024-01-01'
+                 THEN 0 ELSE 1 END) AS BIGINT) AS v_type_in_domain,
+             CAST(sum(CASE WHEN coalesce(value >= 0, FALSE) THEN 0 ELSE 1 END)
+               AS BIGINT) AS v_value_nonneg,
+             CAST(sum(CASE WHEN coalesce(ts >= TIMESTAMP '2024-01-01'
                    AND ts < TIMESTAMP '2025-01-01', FALSE) THEN 0 ELSE 1 END)
-               AS v_ts_in_2024,
-             sum(CASE WHEN coalesce(user_id >= 0, FALSE) THEN 0 ELSE 1 END)
-               AS v_user_nonneg
+               AS BIGINT) AS v_ts_in_2024,
+             CAST(sum(CASE WHEN coalesce(user_id >= 0, FALSE) THEN 0 ELSE 1 END)
+               AS BIGINT) AS v_user_nonneg
       FROM events)
     SELECT 'id_not_null' AS rule, n AS n_rows, v_id_not_null AS violations,
            v_id_not_null = 0 AS passed FROM a
@@ -1835,8 +1839,13 @@ def _bpe_sql(n_merges: int = 10, final_select: str | None = None) -> str:
       GROUP BY word, freq)"""
     if final_select is None:
         final_select = "\n    UNION ALL ".join(
+            # CAST is load-bearing: cnt is sum(BIGINT) which DuckDB
+            # widens to HUGEINT; the driver value-hash serializes
+            # HUGEINT differently from int64 even when values are equal
+            # (r5's one red row). Same hazard class as -0.0: cast every
+            # DuckDB aggregate that can widen past int64.
             f"SELECT {t} AS step, a AS lhs, b AS rhs, a || b AS merged,"
-            f" cnt AS pair_count FROM b{t}"
+            f" CAST(cnt AS BIGINT) AS pair_count FROM b{t}"
             for t in range(1, n_merges + 1)
         )
     sql += "\n    " + final_select
@@ -9182,16 +9191,16 @@ def streaming_upsert_state(spark, sf_dir):
     """
     SELECT p_brand,
            count(*) AS n,
-           CAST(count(*) AS BIGINT)
+           CAST(CAST(count(*) AS BIGINT)
              * sum(CAST(l_quantity AS BIGINT)
                    * CAST(round(l_extendedprice * 100, 0) AS BIGINT))
              - sum(CAST(l_quantity AS BIGINT))
                * sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
-             AS slope_num,
-           CAST(count(*) AS BIGINT)
+             AS BIGINT) AS slope_num,
+           CAST(CAST(count(*) AS BIGINT)
              * sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
              - sum(CAST(l_quantity AS BIGINT)) * sum(CAST(l_quantity AS BIGINT))
-             AS slope_den
+             AS BIGINT) AS slope_den
     FROM lineitem JOIN part ON p_partkey = l_partkey
     GROUP BY p_brand
     """,
