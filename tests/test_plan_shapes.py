@@ -631,3 +631,27 @@ def test_winsorize_single_fact_exchange_broadcast_bounds(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert _count(plan, "BroadcastHashJoin") == 1
     assert _count(plan, "Exchange hashpartitioning") <= 2
+
+
+def test_q20_aggregates_below_joins_prefix_semi_pushed(spark, sf_dir):
+    """Q20 shape (excess_stock_parts): the correlated scalar subquery must
+    NOT become a lineitem self-join — the per-part total is a window over
+    the already-aggregated (part, supplier) rollup. The part-prefix filter
+    broadcast-semi-joins against the fact scan BELOW the rollup (the scan
+    prunes to shipdate+prefix before the only fact-sized exchange), and
+    supplier/nation broadcast onto the dominated rows."""
+    plan = _plan(spark, sf_dir, "excess_stock_parts")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # dims + prefix semi all broadcast; exactly one FileScan of lineitem
+    assert _count(plan, "BroadcastHashJoin") == 3
+    assert plan.count("lineitem.parquet") == 1
+    # fact rollup + window repartition + final cell rollup
+    assert _count(plan, "Exchange hashpartitioning") <= 3
+    # shipdate range and p_name prefix reach the parquet scans
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "StringStartsWith(p_name" in plan or "StartsWith(p_name" in plan
+    # semi join sits below the first aggregate exchange
+    semi = plan.index("LeftSemi")
+    first_agg_exchange = plan.index("Exchange hashpartitioning(l_partkey")
+    assert semi > first_agg_exchange  # deeper in the printed tree = below

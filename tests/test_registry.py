@@ -22,18 +22,25 @@ _COMPONENT_REPS = {
                  "forecast_revenue_change",  # Q6: pure filter + partial agg
                  "clean_corpus"},  # fused projection/filter pipeline
     "J1/J4": {"revenue_by_nation", "nation_trade_flows",
+               "volume_shipping", "shipping_priority",  # Q7 / Q3
+
                "local_supplier_volume",  # Q5 six-way chain
                "supplier_mkt_share_by_year"},  # Q8 dual-role dim chain
     "J2": {"brand_volume", "disjunctive_part_revenue",
            "small_quantity_part_revenue"},
     "J3": {"customers_with_orders", "customers_without_orders",
+           "excess_stock_parts",  # Q20: IN -> broadcast semi + correlated agg
+
            "bloom_filtered_orders",  # (bloom = pruned semi-join)
            "returned_orders_by_priority",  # (EXISTS -> left semi)
            "waiting_suppliers"},  # Q21 correlated EXISTS/NOT-EXISTS
     "O1/O4": {"top_customers", "top_words", "global_price_rank",
-              "large_volume_customers",
+              "large_volume_customers", "top_revenue_supplier",  # Q15 view
+
               "customer_value_rank_profile"},  # global rank profile
     "A8": {"order_count_histogram", "customer_order_distribution",
+           "customer_spend_quartiles", "value_percentiles",
+
            "exact_value_quartiles"},  # histogram pass + in-bin rank
     "A11": {"distinct_users_per_type", "approx_distinct_users",
             "part_supplier_variety"},  # Q16 count-distinct per group
@@ -50,6 +57,8 @@ _COMPONENT_REPS = {
            "grouping_sets_revenue",  # finest grouping set, likewise
            "segment_pivot_revenue"},
     "O5": {"supplier_rank_in_nation", "top_parts_per_brand",
+           "cheapest_parts_per_type",  # Q2 groupwise-min-with-ties
+
            "weighted_doc_sample",  # per-group top-w ticket window
            "hard_negative_pairs"},  # per-query top-k window
     "A15/A16": {"hourly_event_stats",  # the fused primary covers both
@@ -99,10 +108,17 @@ _COMPONENT_REPS = {
                         "streaming_interval_join_counts",
                         "streaming_enriched_cohort_counts"},
     "§2.11 UDx": {"priority_geomean_price", "doc_token_chunks",
-                  "embedding_gram_matrix"},  # mapInPandas partition partials
+                  "embedding_gram_matrix",  # mapInPandas partition partials
+                  "embedding_top_pc",  # power iteration ON the gram pass
+                  "embedding_random_projection"},  # zero-shuffle Arrow matmul
     "exact dedup": {"exact_dedup", "dedup_survivors",
                     "incremental_ingest_dedup"},
-    "minhash/shingle pairs": {"minhash_lsh_pairs",
+    "incremental ingest": {"incremental_ingest_dedup",
+                           "incremental_ingest_near_dup",
+                           "multi_epoch_ingest_near_dup",
+                           "minhash_band_index"},  # the persisted-index family
+    "minhash/shingle pairs": {"minhash_lsh_pairs", "minhash_band_index",
+
                               "prefix_jaccard_pairs"},  # the exact-threshold
                               # (PPJoin) sibling of the minhash path
     "dup clusters": {"near_dup_clusters", "embedding_dup_clusters",
@@ -125,6 +141,8 @@ _COMPONENT_REPS = {
                  "approx_value_percentiles", "user_freq_countmin"},
     "sampling": {"corpus_split_counts", "shuffled_shard_manifest",
                  "token_budget_sample", "cluster_balanced_sample",
+                 "lang_quota_sample", "hash_sampled_docs",
+                 "mixture_sampled_counts",
                  "weighted_doc_sample", "packed_sequences",
                  "kcenter_coreset"},
     "multimodal": {"multimodal_features"},
@@ -151,14 +169,39 @@ def test_priority_has_no_duplicates():
     assert len(_PRIORITY) == len(set(_PRIORITY))
 
 
+def _green_names_from_correctness_files() -> set[str]:
+    """Names with at least one fully-green external CORRECTNESS row."""
+    import glob
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        for name, row in json.load(open(path)).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                green.add(name)
+    return green
+
+
 def test_driver_window_covers_every_component():
+    """Rotation policy (r6+): the window is fresh-first — every component
+    must either have an in-window representative THIS round, or be
+    resting on a prior-round green external CORRECTNESS row for at least
+    one of its representatives. A component with neither is a coverage
+    hole the driver can't see."""
     window = set(list(entrymod.queries())[:50])
-    missing = {
+    prior_green = _green_names_from_correctness_files()
+    holes = {
         comp: sorted(reps)
         for comp, reps in _COMPONENT_REPS.items()
-        if not (reps & window)
+        if not (reps & window) and not (reps & prior_green)
     }
-    assert not missing, f"components with no in-window representative: {missing}"
+    assert not holes, f"components with no in-window rep AND no prior green row: {holes}"
 
 
 def test_window_entries_all_have_oracles():
