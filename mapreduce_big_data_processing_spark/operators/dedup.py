@@ -126,15 +126,19 @@ def band_keys(
     id_col: str = "doc_id",
     n_hashes: int = 16,
     bands: int = 4,
+    extra_key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, band, sig) band-bucket keys of a MinHash signature table — the
     row an LSH *index* persists per accepted document. Factored out of
     :func:`lsh_candidate_pairs` so an incremental ingest can band a new
-    batch and join it against a stored index built with the same call."""
+    batch and join it against a stored index built with the same call.
+    ``extra_key_cols`` widen the document key (e.g. the ingest epoch) so
+    a table whose ids repeat across batches bands each instance
+    separately instead of silently merging their signature rows."""
     rows_per_band = n_hashes // bands
     return (
         signatures.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
+        .groupBy(id_col, *extra_key_cols, "band")
         .agg(
             F.md5(
                 F.array_join(
@@ -282,12 +286,23 @@ def multi_epoch_near_dup(
     band-bucket equi-joins with epoch inequality/equality predicates on
     top, 16-rows-per-candidate signature verify. The epoch predicate
     prunes AFTER bucket collision, so work is still band-bounded.
+
+    The document key is (id, epoch) THROUGHOUT — banding, candidates,
+    verification, and the final classification all carry the epoch (r5
+    ADVICE: keying windows/joins on the id alone fanned one
+    classification out to every epoch instance of a re-ingested id, so
+    an earlier arrival could be labeled ``near_dup_of_history`` from its
+    own later copy). A doc re-ingested in a later epoch therefore
+    classifies per instance: the later instance matches the earlier one
+    as history (exactly what the daily fold does — the index already
+    holds its signatures), the earlier instance only sees epochs before
+    its own.
     """
     from pyspark.sql import Window
 
     min_matches = int(min_est_jaccard * n_hashes + 0.999999)  # ceil
-    bk = band_keys(sigs, id_col, n_hashes, bands).join(
-        sigs.select(id_col, epoch_col).distinct(), id_col
+    bk = band_keys(
+        sigs, id_col, n_hashes, bands, extra_key_cols=(epoch_col,)
     )
     a = bk.select(
         F.col(id_col).alias("other_id"), F.col(epoch_col).alias("other_ep"),
@@ -300,46 +315,64 @@ def multi_epoch_near_dup(
     hist_cand = (
         a.join(b, ["band", "sig"])
         .filter(F.col("other_ep") < F.col("new_ep"))
-        .select("new_id", "other_id")
+        .select("new_id", "new_ep", "other_id", "other_ep")
         .distinct()
     )
     batch_cand = (
         a.join(b, ["band", "sig"])
         .filter((F.col("other_ep") == F.col("new_ep")) & (F.col("other_id") < F.col("new_id")))
-        .select("new_id", "other_id")
+        .select("new_id", "new_ep", "other_id", "other_ep")
         .distinct()
     )
 
-    sl = sigs.select(F.col(id_col).alias("new_id"), "h", F.col("minhash").alias("__ma"))
-    sr = sigs.select(F.col(id_col).alias("other_id"), "h", F.col("minhash").alias("__mb"))
+    sl = sigs.select(
+        F.col(id_col).alias("new_id"), F.col(epoch_col).alias("new_ep"),
+        "h", F.col("minhash").alias("__ma"),
+    )
+    sr = sigs.select(
+        F.col(id_col).alias("other_id"), F.col(epoch_col).alias("other_ep"),
+        "h", F.col("minhash").alias("__mb"),
+    )
 
     def _agree(cand):
         return (
-            cand.join(sl, "new_id")
-            .join(sr, ["other_id", "h"])
+            cand.join(sl, ["new_id", "new_ep"])
+            .join(sr, ["other_id", "other_ep", "h"])
             .filter(F.col("__ma") == F.col("__mb"))
-            .groupBy("new_id", "other_id")
+            # per (new instance, other INSTANCE): an other_id present in
+            # two earlier epochs must not sum its agreements across them
+            .groupBy("new_id", "new_ep", "other_id", "other_ep")
             .agg(F.count(F.lit(1)).alias("matches"))
             .filter(F.col("matches") >= min_matches)
         )
 
-    w = Window.partitionBy("new_id").orderBy(F.desc("matches"), F.asc("other_id"))
+    w = Window.partitionBy("new_id", "new_ep").orderBy(
+        F.desc("matches"), F.asc("other_id"), F.asc("other_ep")
+    )
     hb = (
         _agree(hist_cand).withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("new_id", F.col("other_id").alias("__h_match"), F.col("matches").alias("__h_m"))
+        .select("new_id", "new_ep", F.col("other_id").alias("__h_match"), F.col("matches").alias("__h_m"))
     )
     bb = (
         _agree(batch_cand).withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("new_id", F.col("other_id").alias("__b_match"), F.col("matches").alias("__b_m"))
+        .select("new_id", "new_ep", F.col("other_id").alias("__b_match"), F.col("matches").alias("__b_m"))
     )
     ids = sigs.select(id_col, epoch_col).distinct()
     return (
-        ids.join(hb, ids[id_col] == hb["new_id"], "left")
-        .drop("new_id")
-        .join(bb, ids[id_col] == bb["new_id"], "left")
-        .drop("new_id")
+        ids.join(
+            hb,
+            (ids[id_col] == hb["new_id"]) & (ids[epoch_col] == hb["new_ep"]),
+            "left",
+        )
+        .drop("new_id", "new_ep")
+        .join(
+            bb,
+            (ids[id_col] == bb["new_id"]) & (ids[epoch_col] == bb["new_ep"]),
+            "left",
+        )
+        .drop("new_id", "new_ep")
         .select(
             id_col,
             epoch_col,

@@ -875,7 +875,11 @@ def top_principal_component(
     rows = gram_matrix(df, vec_col).collect()  # d²-sized: constant, not data
     d = max(r["j"] for r in rows) + 1
     G = np.zeros((d, d))
-    # Round HALF-AWAY-FROM-ZERO like F.round / DuckDB round — Python's
+    # Round HALF-AWAY-FROM-ZERO on the exact binary value, matching
+    # DuckDB's round() (what the oracle computes). NOT the same as
+    # Spark's F.round, which rounds the shortest-decimal repr via
+    # BigDecimal.valueOf (2.675 -> 2.68 there, 2.67 here) — don't route
+    # gram values through F.round expecting parity with this. Python's
     # built-in round() is half-to-even and would diverge from the oracle
     # on a Gram entry sitting exactly on the gram_decimals .5 boundary.
     from decimal import ROUND_HALF_UP, Decimal

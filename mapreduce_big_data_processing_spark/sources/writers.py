@@ -111,9 +111,15 @@ def save_as_table(
             wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
             whd = _local_dir(wh)
             if whd:
+                # Last two segments handle qualified names of any depth:
+                # "tbl" -> tbl, "db.tbl" -> db.db/tbl, and
+                # "spark_catalog.db.tbl" -> db.db/tbl (the catalog prefix
+                # is never a warehouse directory).
                 parts = name.lower().split(".")
                 rel = (
-                    f"{parts[0]}.db/{parts[1]}" if len(parts) == 2 else parts[0]
+                    f"{parts[-2]}.db/{parts[-1]}"
+                    if len(parts) >= 2
+                    else parts[0]
                 )
                 shutil.rmtree(
                     f"{whd.rstrip('/')}/{rel}", ignore_errors=True

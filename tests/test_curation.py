@@ -478,3 +478,37 @@ def test_multi_epoch_near_dup_equals_sequential_fold(spark, sf_dir):
 
     assert folded == one_shot
     assert any(v[0] == "near_dup_of_history" for v in folded.values())
+
+
+def test_multi_epoch_near_dup_reingested_id_classifies_per_instance(spark):
+    """r5 ADVICE regression: a doc_id appearing in MORE than one epoch
+    must classify per (id, epoch) instance — the epoch-0 arrival judged
+    only against epochs before it (kept, here), the epoch-2 re-ingest
+    against its own earlier instance (near_dup_of_history matched to its
+    own id, exactly what the daily fold's accumulating index decides).
+    Before the fix the id-keyed windows/joins fanned ONE classification
+    to both rows, so the first arrival could be labeled a dup of its own
+    future copy."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, 0, base),
+            (2, 1, "completely different content in the middle epoch ok " * 4),
+            (1, 2, base),  # identical re-ingest of doc 1 two epochs later
+        ],
+        "doc_id bigint, epoch int, text string",
+    )
+    # build per-instance signatures: shingle each (id, epoch) row
+    sigs = None
+    for ep in [0, 1, 2]:
+        part = D.minhash_signatures(
+            D.shingles(docs.filter(F.col("epoch") == ep), k=3), n_hashes=16
+        ).withColumn("epoch", F.lit(ep))
+        sigs = part if sigs is None else sigs.unionByName(part)
+    got = {
+        (r["doc_id"], r["epoch"]): (r["status"], r["matched_id"], r["est_jaccard"])
+        for r in D.multi_epoch_near_dup(sigs).collect()
+    }
+    assert got[(1, 0)] == ("kept", -1, 0.0)
+    assert got[(2, 1)] == ("kept", -1, 0.0)
+    assert got[(1, 2)] == ("near_dup_of_history", 1, 1.0)

@@ -389,43 +389,45 @@ def test_sized_plane_count_integer_rule_matches_ceil_log2():
 
 def test_sized_lcg_sql_replay_bit_exact():
     """The DuckDB recursive-CTE replay of the seeded-LCG plane generator
-    (`queries._sized_lsh_pairs_sql`) must produce BIT-IDENTICAL plane
-    values to `similarity.seeded_planes` — the property that makes
-    corpus-sized LSH configs oracle-checkable without pinned constants.
-    HUGEINT emulates the mod-2^64 walk; ((state>>11)/2^53)*2-1 is exact
-    in binary floating point on both sides."""
+    must produce BIT-IDENTICAL plane values to `similarity.seeded_planes`
+    — the property that makes corpus-sized LSH configs oracle-checkable
+    without pinned constants. HUGEINT emulates the mod-2^64 walk;
+    ((state>>11)/2^53)*2-1 is exact in binary floating point on both
+    sides. The SQL under test is built FROM the production oracle body
+    (`queries._sized_lsh_pairs_sql`), so the exact recursive-CTE shape
+    the registered oracles run — including the plane-count derivation
+    coupled into the recursion bound via `FROM lcg, pc WHERE
+    k < pc.p * 64` — is what this pins (r5 ADVICE: a hardcoded `k < 5*64`
+    copy left that coupling covered only by the slow full sweep)."""
     import duckdb
 
     from mapreduce_big_data_processing_spark.operators.similarity import (
         seeded_planes,
+        sized_plane_count,
+    )
+    from mapreduce_big_data_processing_spark.queries import (
+        _sized_lsh_pairs_sql,
     )
 
     con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS "
+        "SELECT * FROM '/root/testdata/sf0.001/embeddings.parquet'"
+    )
+    n = con.sql("SELECT count(*) FROM embeddings").fetchone()[0]
+    p = sized_plane_count(n)
     rows = con.sql(
-        """
-        WITH RECURSIVE lcg AS (
-          SELECT t.t, 0 AS k, CAST(t.seed AS HUGEINT) AS state
-          FROM (SELECT unnest([0,1,2,3]) AS t,
-                       unnest([42,43,44,45]) AS seed) t
-          UNION ALL
-          SELECT t, k + 1,
-                 (state * 6364136223846793005 + 1442695040888963407)
-                   % 18446744073709551616
-          FROM lcg WHERE k < 5 * 64
-        )
-        SELECT t, CAST((k - 1) // 64 AS INT) AS i,
-               CAST((k - 1) % 64 AS INT) AS j,
-               ((state // 2048) / 9007199254740992.0) * 2.0 - 1.0 AS val
-        FROM lcg WHERE k >= 1 ORDER BY t, i, j
-        """
+        "WITH RECURSIVE "
+        + _sized_lsh_pairs_sql(0.45)
+        + " SELECT t, i, j, val FROM planes ORDER BY t, i, j"
     ).fetchall()
     expected = {
-        (t, i, j): seeded_planes(5, dim=64, seed=42 + t)[i][j]
+        (t, i, j): seeded_planes(p, dim=64, seed=42 + t)[i][j]
         for t in range(4)
-        for i in range(5)
+        for i in range(p)
         for j in range(64)
     }
-    assert len(rows) == 4 * 5 * 64
+    assert len(rows) == 4 * p * 64
     for t, i, j, val in rows:
         assert val == expected[(t, i, j)], (t, i, j)
 
