@@ -110,3 +110,28 @@ def test_containment_pairs_capped_matches_join_formulation(spark):
     got = {tuple(r) for r in capped.select("id_a", "id_b", "shared", "size_a", "size_b").collect()}
     want = {tuple(r) for r in ref.select("id_a", "id_b", "shared", "size_a", "size_b").collect()}
     assert got == want and len(got) > 0
+
+
+def test_materialized_sizes_gate_identical_output(spark):
+    """materialize_sizes=True (the observed-max gate, r5 verdict ask #3)
+    must be output-identical to the lazy plan on BOTH shapes: a skewed
+    input (gate keeps the salted branch) and an unskewed one (gate drops
+    it — the plan is small-branch-only)."""
+    rows = (
+        [("big", i) for i in range(120)]
+        + [("s1", i) for i in range(5)]
+        + [("s2", 900 + i) for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "k string, doc_id int")
+    lazy = _pairs_set(D._bucket_pair_rows(df, ["k"], "doc_id", max_bucket=16))
+    skewed = D._bucket_pair_rows(
+        df, ["k"], "doc_id", max_bucket=16, materialize_sizes=True
+    )
+    unskewed = D._bucket_pair_rows(
+        df, ["k"], "doc_id", max_bucket=1000, materialize_sizes=True
+    )
+    assert _pairs_set(skewed) == lazy
+    assert _pairs_set(unskewed) == lazy
+    # the gate must actually prune: no union branch in the unskewed plan
+    plan = unskewed._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
