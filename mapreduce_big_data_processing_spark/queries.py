@@ -1903,23 +1903,30 @@ def bpe_token_lengths(spark, sf_dir):
 # Graph (SURVEY §2.8) — word co-occurrence graph from documents
 # ===========================================================================
 
+# MATERIALIZED is load-bearing at scale (the r2 unrolled-recurrence
+# lesson, hit again r6): pagerank/lpa/bfs oracles reference edges/verts
+# once PER UNROLLED ITERATION, and a plain CTE re-inlines the toks
+# self-join (the expensive pair enumeration) per reference — the
+# 15-iteration converged oracle spilled >33 GB at the 10x fixture
+# before these marks; with them every graph table computes once.
 _GRAPH_SQL = f"""
-    toks AS (SELECT DISTINCT doc_id, word FROM ({_TOKS_SQL})),
-    pairs AS (
+    toks AS MATERIALIZED (SELECT DISTINCT doc_id, word FROM ({_TOKS_SQL})),
+    pairs AS MATERIALIZED (
       SELECT a.word AS w1, b.word AS w2, count(*) AS cnt
       FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.word < b.word
       GROUP BY w1, w2),
-    edges0 AS (
+    edges0 AS MATERIALIZED (
       SELECT w1 AS src, w2 AS dst, cnt FROM pairs
       UNION ALL
       SELECT w2 AS src, w1 AS dst, cnt FROM pairs),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT src, dst,
              CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY src) AS weight,
              cnt
       FROM edges0),
-    verts AS (SELECT src AS node FROM edges0 UNION SELECT dst FROM edges0),
-    nn AS (SELECT count(*) AS n FROM verts)
+    verts AS MATERIALIZED (
+      SELECT src AS node FROM edges0 UNION SELECT dst FROM edges0),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM verts)
 """
 
 
@@ -1972,17 +1979,17 @@ def _word_graph(spark, sf_dir, integer_weights: bool = False):
 
 _TRIANGLE_SQL = f"""
     WITH {_GRAPH_SQL},
-    und AS (
+    und AS MATERIALIZED (
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
       FROM edges0 WHERE src <> dst),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT node, CAST(count(*) AS BIGINT) AS deg
       FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
       GROUP BY node),
     wd AS (
       SELECT u.a, u.b, da.deg AS da, db.deg AS db
       FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node),
-    ori AS (
+    ori AS MATERIALIZED (
       SELECT CASE WHEN lo THEN a ELSE b END AS u,
              CASE WHEN lo THEN b ELSE a END AS v,
              CASE WHEN lo THEN db ELSE da END AS dv
@@ -1991,7 +1998,7 @@ _TRIANGLE_SQL = f"""
       SELECT e1.u, e1.v AS x, e2.v AS y
       FROM ori e1 JOIN ori e2 ON e1.u = e2.u
       WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
-    tri AS (
+    tri AS MATERIALIZED (
       SELECT w.u, w.x, w.y
       FROM wedge w JOIN ori o ON o.u = w.x AND o.v = w.y),
     credit AS (

@@ -50,11 +50,25 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # bound oracle spill: an intractable unrolled replay can fill the
+    # disk faster than the interrupt timer notices (r6: pagerank oracle
+    # at a 10x fixture spilled 6 GB/min into .tmp) — cap it and record
+    # the abort as an honest ORACLE_TIMEOUT-class resource limit
+    con.sql(
+        "SET max_temp_directory_size = '"
+        + os.environ.get("SPARK_GRAFT_DUCK_TEMP_CAP", "15GB")
+        + "'"
+    )
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
     ):
         path = f"{sf}/{t}.parquet"
+        if not os.path.exists(path):
+            # partial fixture dirs (e.g. the documents-only Heaps-vocab
+            # scale dirs) are fine when --only targets queries that read
+            # the tables that DO exist
+            continue
         src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     qs, osql = E.queries(), E.oracle_sql()
