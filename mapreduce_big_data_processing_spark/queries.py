@@ -8371,9 +8371,19 @@ _PRIORITY = [
     "corpus_split_counts",
     "per_user_daily_counts",
     # round-7 rotation queue: the 16 registered queries still never
-    # externally checked after r6 (every one gate-SF-verified; all
-    # are family siblings of r6-window members, so each component
-    # they represent already has a fresher external row):
+    # externally checked after r6 (every one gate-SF-verified in the
+    # r6 full-registry driver sim — 213/213 green; all are family
+    # siblings of r6-window members, so each component they represent
+    # already has a fresher external row). r7 window plan: these 16 +
+    # the flagship fill 17 slots; the other 33 should rotate DIFFERENT
+    # previously-green siblings back through the resting components
+    # (tests/test_registry.py `_COMPONENT_REPS` lists the choices —
+    # prefer names whose last external row is oldest, e.g. the r1-r2
+    # window members word_count/tfidf/cooccurrence_pairs/
+    # knn_predictions/similarity_topk/language_id and the S/J/A
+    # primaries), so every component regains a recent row after its
+    # r6 rest. Before promoting ANY name: re-verify at sf0.01 on a
+    # plain session + check non-vacuity (the verify skill's rule).
     "customer_value_rank_profile",
     "doc_cross_entropy",
     "dup_rate_by_source_pair",
