@@ -655,3 +655,112 @@ def test_q20_aggregates_below_joins_prefix_semi_pushed(spark, sf_dir):
     semi = plan.index("LeftSemi")
     first_agg_exchange = plan.index("Exchange hashpartitioning(l_partkey")
     assert semi > first_agg_exchange  # deeper in the printed tree = below
+
+
+def test_sized_near_dup_two_exchanges_arrow_verify(spark, sf_dir):
+    """The 100 TB dedup path (embedding_near_dup_sized): corpus-sized
+    plane signatures and the tiled NumPy verify are Arrow stages, pairs
+    flow through at most two hash exchanges, and nothing falls back to a
+    sort-merge self-join, a cartesian pair expansion, or a row-at-a-time
+    Python UDF."""
+    plan = _plan(spark, sf_dir, "embedding_near_dup_sized")
+    assert _count(plan, "Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") + plan.count("ArrowEvalPython") >= 1
+
+
+def test_band_index_single_exchange(spark, sf_dir):
+    """The persisted LSH index write half (minhash_band_index) is ONE
+    aggregation pass: a single hash exchange builds the per-(doc, band)
+    signatures; no joins anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "minhash_band_index")
+    assert _count(plan, "Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_multi_epoch_ingest_no_cartesian_no_python(spark, sf_dir):
+    """The N-epoch backfill classifies every doc in one plan built from
+    band-bucket EQUI-joins (shuffle joins are correct here — both sides
+    are corpus indexes) with epoch predicates on top: no cartesian pair
+    expansion, no Python row UDFs, and the small helper tables broadcast."""
+    plan = _plan(spark, sf_dir, "multi_epoch_ingest_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pq_topk_bucketed_probe_arrow_stages(spark, sf_dir):
+    """PQ/ADC top-k: codebook training collects a bounded sample but the
+    query-side probe is Arrow-staged against the bucketed corpus — one
+    exchange, one broadcast, no sort-merge or cartesian fallback."""
+    plan = _plan(spark, sf_dir, "pq_similarity_topk")
+    assert _count(plan, "Exchange hashpartitioning") <= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") + plan.count("ArrowEvalPython") >= 1
+
+
+def test_top_pc_projection_is_shuffle_free(spark, sf_dir):
+    """Power iteration's corpus work (the Gram pass and the projection
+    pass) is mapInPandas partition partials — the STRONGEST plan property
+    an operator can have: ZERO hash exchanges end to end."""
+    plan = _plan(spark, sf_dir, "embedding_top_pc")
+    assert _count(plan, "Exchange hashpartitioning") == 0
+    assert "BatchEvalPython" not in plan
+
+
+def test_q2_groupwise_min_single_exchange(spark, sf_dir):
+    """Q2's groupwise-min-with-ties: the per-type minimum is a window
+    over ONE exchange of the dimension projection — no join, no second
+    pass."""
+    plan = _plan(spark, sf_dir, "cheapest_parts_per_type")
+    assert _count(plan, "Exchange hashpartitioning") <= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_q15_agg_below_broadcast_dims(spark, sf_dir):
+    """Q15 view shape (top_revenue_supplier): the revenue rollup is the
+    only fact-sized exchange and sits BELOW the supplier/nation joins,
+    which broadcast onto the aggregated rows."""
+    plan = _plan(spark, sf_dir, "top_revenue_supplier")
+    assert _count(plan, "Exchange hashpartitioning") <= 2
+    assert _count(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    first_join = plan.index("Join")
+    assert "HashAggregate" in plan[first_join:]
+
+
+def test_spend_quartiles_single_exchange(spark, sf_dir):
+    """NTILE spend quartiles: per-customer rollup and the quartile window
+    share ONE exchange (the window reuses the aggregation partitioning)."""
+    plan = _plan(spark, sf_dir, "customer_spend_quartiles")
+    assert _count(plan, "Exchange hashpartitioning") <= 1
+
+
+def test_salted_totals_two_phase_exchanges(spark, sf_dir):
+    """The skew demo (salted_user_value_totals): exactly the two-phase
+    shape — a salted partial-aggregate exchange then the final per-key
+    exchange; no joins involved."""
+    plan = _plan(spark, sf_dir, "salted_user_value_totals")
+    assert _count(plan, "Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_kcenter_coreset_is_shuffle_free(spark, sf_dir):
+    """Greedy FPS coreset: every round is a broadcast-centroid distance
+    scan — zero hash exchanges (the iterative sibling of the
+    mapInPandas-only property)."""
+    plan = _plan(spark, sf_dir, "kcenter_coreset")
+    assert _count(plan, "Exchange hashpartitioning") == 0
+
+
+def test_theta_overlap_joins_are_sketch_sized(spark, sf_dir):
+    """Theta-sketch overlap: the per-type sketches are aggregated rows, so
+    the pairwise-overlap join may be a nested-loop of SKETCH-sized inputs
+    — what must never appear is a sort-merge join (that would mean a
+    row-level join of the raw events)."""
+    plan = _plan(spark, sf_dir, "event_type_user_overlap")
+    assert "SortMergeJoin" not in plan
+    assert _count(plan, "Exchange hashpartitioning") <= 2
