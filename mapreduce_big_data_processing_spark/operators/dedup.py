@@ -558,7 +558,15 @@ def _bucket_pair_rows(
     )
     skip_big = False
     if materialize_sizes:
-        sized = sized.localCheckpoint()
+        from pyspark import StorageLevel
+
+        # DISK_ONLY: checkpoint blocks live until the DataFrame is
+        # GC'd, so repeated invocations in one long session would
+        # accumulate — on the default MEMORY_AND_DISK level that
+        # exhausted a 16 g heap after three 1000×-fixture runs; on disk
+        # the leak is bounded by free disk and the read-back cost is a
+        # sequential scan of an index-sized table
+        sized = sized.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
         max_ns = sized.agg(F.max("__ns")).first()[0]
         skip_big = max_ns is None or max_ns <= 1
 
