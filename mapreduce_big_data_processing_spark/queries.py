@@ -2034,7 +2034,13 @@ def pagerank_top20(spark, sf_dir):
     from mapreduce_big_data_processing_spark.operators import graph as G
 
     ranks = G.pagerank(_word_graph(spark, sf_dir), damping=0.85, max_iter=10)
-    return G.top_ranked(ranks, 20).select("node", F.round("pr", 6).alias("pr"))
+    # rank on the ROUNDED value with the node tiebreak: the top-k
+    # boundary is a round-half lottery otherwise — at the 100x fixture a
+    # rank-20 tie at 6dp made the engines (ordering last-ulp-different
+    # raw doubles) pick different nodes. Same both sides: the oracle's
+    # ORDER BY pr resolves to the rounded select alias.
+    rounded = ranks.select("node", F.round("pr", 6).alias("pr"))
+    return rounded.orderBy(F.desc("pr"), F.asc("node")).limit(20)
 
 
 def _pagerank_converged_sql(
@@ -2097,7 +2103,9 @@ def pagerank_converged(spark, sf_dir):
     ranks = G.pagerank(
         _word_graph(spark, sf_dir), damping=0.85, max_iter=15, tol=1e-4
     )
-    return G.top_ranked(ranks, 20).select("node", F.round("pr", 6).alias("pr"))
+    # rounded-then-ranked for the same tie-boundary reason as pagerank_top20
+    rounded = ranks.select("node", F.round("pr", 6).alias("pr"))
+    return rounded.orderBy(F.desc("pr"), F.asc("node")).limit(20)
 
 
 @query("label_propagation", _lpa_sql(iters=5))
