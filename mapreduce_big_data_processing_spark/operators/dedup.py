@@ -644,6 +644,7 @@ def lsh_candidate_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     max_bucket: int = 4096,
+    materialize_sizes: bool = True,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs (id_a < id_b) sharing at
     least one band — never all-pairs.
@@ -656,15 +657,22 @@ def lsh_candidate_pairs(
     giant bucket whose n²/2 expansion would run inside a single task — so
     buckets above ``max_bucket`` ids are salted into sub-buckets and their
     pairs emitted within+across sub-buckets with bounded per-task work and
-    IDENTICAL output (see _bucket_pair_rows)."""
+    IDENTICAL output (see _bucket_pair_rows).
+
+    ``materialize_sizes=True`` (the default) makes CONSTRUCTION eager: it
+    ``localCheckpoint``\\ s the banded table and runs a max-bucket action at
+    build time so the skew branch is dropped from the plan when no bucket
+    exceeds ``max_bucket`` (see _bucket_pair_rows). The banded table is
+    index-sized (n_docs × bands rows), so this is cheap — but it freezes
+    the input as of the call (a source that changes between build and
+    execution is not re-read), the checkpointed blocks are not recomputed
+    on executor loss, and it cannot run on a streaming input. Library
+    callers needing the lazy two-branch plan pass ``False``."""
     banded = band_keys(signatures, id_col, n_hashes, bands)
-    # banded is INDEX-sized (n_docs × bands rows), so materializing it to
-    # gate the skew branch on the observed max bucket is cheap — and the
-    # window that sizes buckets runs once instead of once per branch
     return (
         _bucket_pair_rows(
             banded, ["band", "sig"], id_col, max_bucket,
-            materialize_sizes=True,
+            materialize_sizes=materialize_sizes,
         )
         .select("id_a", "id_b")
         .distinct()

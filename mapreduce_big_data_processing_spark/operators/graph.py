@@ -29,13 +29,20 @@ def build_cooccurrence_graph(pair_counts: DataFrame) -> DataFrame:
     weights normalized to sum to 1 per src — the project-2 adjacency
     normalization (`…课程设计2….pdf p.4`: 1/(1+1+2)=0.25 …).
     """
-    fwd = pair_counts.select(
-        F.col("w1").alias("src"), F.col("w2").alias("dst"), F.col("cnt")
+    # ONE pass: explode each undirected pair into both directions instead
+    # of unioning two selects over the same lazy input — the union form
+    # executed the whole upstream (tokenize→pairs→count) twice per action,
+    # a 2× corpus-read tax that the exchange reuse does not save (only the
+    # shuffle was shared, not the scan+explode below it)
+    both = F.explode(
+        F.array(
+            F.struct(F.col("w1").alias("src"), F.col("w2").alias("dst")),
+            F.struct(F.col("w2").alias("src"), F.col("w1").alias("dst")),
+        )
     )
-    rev = pair_counts.select(
-        F.col("w2").alias("src"), F.col("w1").alias("dst"), F.col("cnt")
+    edges = pair_counts.select(both.alias("e"), "cnt").select(
+        "e.src", "e.dst", "cnt"
     )
-    edges = fwd.unionByName(rev)
     w = Window.partitionBy("src")
     return edges.withColumn("weight", F.col("cnt") / F.sum("cnt").over(w)).drop("cnt")
 
@@ -57,78 +64,113 @@ def pagerank(
     for differential testing; convergence-threshold mode is a trivial
     driver-loop variant. Output: (node, pr).
     """
+    import math
+
     from mapreduce_big_data_processing_spark.plans.iterate import iterate
 
     # edges are consumed once per iteration: materialize them, or a lazy
     # upstream (tokenize→pairs→normalize) re-executes 10× — the Spark twin
     # of the reference's per-iteration HDFS re-read, and the first thing
-    # that kills iterative jobs at scale. Cache them PRE-PARTITIONED on the
-    # join key: the cached partitioning satisfies every iteration's join
-    # requirement, so only the (smaller) ranks side ever shuffles
-    edges = edges.repartition("src").cache()
-    vertices = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .cache()
-    )
-    n = vertices.count()  # scalar driver value; tiny; also warms the caches
-    out_nodes = edges.select(F.col("src").alias("node")).distinct()
-    # graph structure is fixed across iterations: detect dangling nodes ONCE;
-    # graphs without them (e.g. symmetric co-occurrence graphs) skip the
-    # per-iteration anti-join + aggregate entirely — one job less per round
-    dangling_nodes = vertices.join(out_nodes, "node", "left_anti").cache()
-    has_dangling = dangling_nodes.limit(1).count() > 0
-
-    def step(ranks: DataFrame, i: int) -> DataFrame:
-        contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .select(F.col("dst").alias("node"), (F.col("pr") * F.col("weight")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("contrib"))
+    # that kills iterative jobs at scale. Cache (NOT localCheckpoint: a
+    # checkpoint's LogicalRDD loses size statistics, demoting every
+    # iteration's ranks join from broadcast to sort-merge — measured 4×
+    # slower checkpoint jobs), count once, then re-cache PRE-PARTITIONED
+    # on the join key so the cached partitioning satisfies every
+    # iteration's join requirement and only the (smaller) ranks side ever
+    # shuffles.
+    staged = edges.cache()
+    n_edges = staged.count()
+    # Size the ITERATION partitioning from the measured edge count — the
+    # coalescing AQE would apply at runtime, made deterministic and
+    # available when AQE is off (the bench protocol). Every per-round
+    # stage (ranks exchange, contrib groupBy, vertices join) schedules
+    # `nparts` tasks 10×+ over, so a conf-default 200/32 on a small graph
+    # is pure scheduler tax; at 100 TB the same formula yields thousands
+    # of partitions.
+    nparts = max(1, math.ceil(n_edges / 100_000))
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    try:
+        edges = staged.repartition(nparts, "src").cache()
+        vertices = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .cache()
         )
-        new_ranks = vertices.join(contrib, "node", "left")
-        if has_dangling:
-            dangling = (
-                ranks.join(dangling_nodes, "node", "left_semi")
-                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+        n = vertices.count()  # scalar driver value; tiny; also warms the caches
+        out_nodes = edges.select(F.col("src").alias("node")).distinct()
+        # graph structure is fixed across iterations: detect dangling nodes
+        # ONCE; graphs without them (e.g. symmetric co-occurrence graphs)
+        # skip the per-iteration anti-join + aggregate entirely — one job
+        # less per round
+        dangling_nodes = vertices.join(out_nodes, "node", "left_anti").cache()
+        has_dangling = dangling_nodes.limit(1).count() > 0
+        # the counts above warmed the partitioned cache; drop the staging
+        # copy so edge bytes are held once, not twice
+        staged.unpersist()
+
+        def step(ranks: DataFrame, i: int) -> DataFrame:
+            contrib = (
+                edges.join(ranks, edges.src == ranks.node)
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("pr") * F.col("weight")).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("contrib"))
             )
-            return new_ranks.crossJoin(F.broadcast(dangling)).select(
+            new_ranks = vertices.join(contrib, "node", "left")
+            if has_dangling:
+                dangling = (
+                    ranks.join(dangling_nodes, "node", "left_semi")
+                    .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+                )
+                return new_ranks.crossJoin(F.broadcast(dangling)).select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / n)
+                    ).alias("pr"),
+                )
+            return new_ranks.select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / n)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("pr"),
             )
-        return new_ranks.select(
-            "node",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-            ).alias("pr"),
+
+        ranks = vertices.withColumn("pr", F.lit(1.0 / n))
+        if tol is None:
+            return iterate(ranks, step, max_iter, checkpoint_every)
+
+        # convergence mode (`ppt/Ch8….pdf p.26` alternative 2): stop when
+        # the total rank movement Σ|Δpr| drops under tol — one extra scalar
+        # job per round, the price of not running fixed iterations
+        from mapreduce_big_data_processing_spark.plans.iterate import iterate_until
+
+        def converged(prev: DataFrame, cur: DataFrame) -> bool:
+            delta = (
+                prev.select("node", F.col("pr").alias("p0"))
+                .join(cur.select("node", F.col("pr").alias("p1")), "node")
+                .agg(F.sum(F.abs(F.col("p1") - F.col("p0"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            return delta is not None and delta < tol
+
+        state, _rounds = iterate_until(
+            ranks, step, converged, max_iter, checkpoint_every
         )
-
-    ranks = vertices.withColumn("pr", F.lit(1.0 / n))
-    if tol is None:
-        return iterate(ranks, step, max_iter, checkpoint_every)
-
-    # convergence mode (`ppt/Ch8….pdf p.26` alternative 2): stop when the
-    # total rank movement Σ|Δpr| drops under tol — one extra scalar job
-    # per round, the price of not running fixed iterations
-    from mapreduce_big_data_processing_spark.plans.iterate import iterate_until
-
-    def converged(prev: DataFrame, cur: DataFrame) -> bool:
-        delta = (
-            prev.select("node", F.col("pr").alias("p0"))
-            .join(cur.select("node", F.col("pr").alias("p1")), "node")
-            .agg(F.sum(F.abs(F.col("p1") - F.col("p0"))).alias("d"))
-            .collect()[0]["d"]
-        )
-        return delta is not None and delta < tol
-
-    state, _rounds = iterate_until(ranks, step, converged, max_iter, checkpoint_every)
-    return state
+        return state
+    finally:
+        # the scoped partition count only needs to cover the loop's OWN
+        # materializations (iterate's eager checkpoints / the convergence
+        # collects); any still-lazy tail re-plans under the caller's conf,
+        # which affects partition counts only, never values
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def label_propagation(

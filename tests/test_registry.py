@@ -170,7 +170,13 @@ def test_priority_has_no_duplicates():
 
 
 def _green_names_from_correctness_files() -> set[str]:
-    """Names with at least one fully-green external CORRECTNESS row."""
+    """Names with at least one fully-green external CORRECTNESS row.
+
+    Reads every CORRECTNESS_r*.json in the checkout, so the invariant is
+    only checkout-independent if the newest round's file is COMMITTED
+    before the window rotation that rests components on its rows (r6
+    advice): a clean clone missing an untracked round would see fewer
+    green names and could fail where the working tree passes."""
     import glob
     import json
     import os

@@ -10,6 +10,7 @@ ORACLE_TIMEOUT instead of hanging the sweep.
 
 import math
 import os
+import re
 import sys
 import threading
 import time
@@ -54,11 +55,13 @@ def main():
     # disk faster than the interrupt timer notices (r6: pagerank oracle
     # at a 10x fixture spilled 6 GB/min into .tmp) — cap it and record
     # the abort as an honest ORACLE_TIMEOUT-class resource limit
-    con.sql(
-        "SET max_temp_directory_size = '"
-        + os.environ.get("SPARK_GRAFT_DUCK_TEMP_CAP", "15GB")
-        + "'"
-    )
+    cap = os.environ.get("SPARK_GRAFT_DUCK_TEMP_CAP", "15GB")
+    if not re.fullmatch(r"[0-9]+(\.[0-9]+)?\s*[KMGT]i?B", cap, re.IGNORECASE):
+        raise SystemExit(
+            f"SPARK_GRAFT_DUCK_TEMP_CAP={cap!r} is not a size literal "
+            "(expected e.g. 15GB, 500MB)"
+        )
+    con.sql(f"SET max_temp_directory_size = '{cap}'")
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
