@@ -8174,71 +8174,121 @@ def semantic_contamination_dense(spark, sf_dir):
 #: THIS list is the driver-facing contract (pinned by tests/test_registry.py,
 #: which asserts per-component window coverage rather than fixed names).
 _PRIORITY = [
-    # ==== the 50-entry driver window (round 6) ====================
-    # r6 rotation (per the r5 verdict asks #1/#2): the window goes
-    # fresh-first — 48 of 50 slots hold queries with NO external
-    # CORRECTNESS row yet (47 from the r5 never-checked queue + the
-    # new Q20 shape), slot 2 re-runs the one red r5 row after its
-    # oracle cast fix, slot 1 is the flagship. Components whose
-    # siblings are ALL already externally green rest this round on
-    # their r1-r5 rows (see tests/test_registry.py: the coverage
-    # assertion distinguishes in-window reps from prior-green rest).
-    # Every window name was pre-verified Spark-vs-DuckDB at sf0.01
-    # (the gate SF) on a plain session this round, non-vacuous.
-    "curated_training_set",  # flagship [forced]
-    "bpe_vocab_merges",  # r5's ONE red row — oracle HUGEINT cast fixed; judge ask #1
-    "excess_stock_parts",  # TPC-H Q20 shape, NEW this round (judge ask #5) [fresh]
-    "embedding_near_dup_sized",  # the 100 TB dedup path (judge ask #2, top name) [fresh]
-    "incremental_ingest_near_dup",  # near-dup ingest vs persisted index [fresh]
-    "multi_epoch_ingest_near_dup",  # N-epoch backfill ingest [fresh]
-    "minhash_band_index",  # persisted (doc_id, band, sig) index write half [fresh]
-    "semantic_contamination",  # pinned-plane sibling, never checked [fresh]
-    "embedding_top_pc",  # safe post--0.0-fix (r5) [fresh]
-    "pq_similarity_topk",  # PQ/ADC ANN [fresh]
-    "ann_recall_eval",  # recall harness vs brute force [fresh]
-    "word_graph_sssp",  # Bellman-Ford min-plus [fresh]
-    "word_triangle_counts",  # triangle counting (oracle 10x-intractable; gate-SF row) [fresh]
-    "brand_price_quantity_slope",  # A17/M7 + oracle HUGEINT cast fixed this round [fresh]
-    "events_quality_checks",  # validation gate + oracle HUGEINT cast fixed [fresh]
-    "supplier_mkt_share_by_year",  # J1/J4 — Q8 dual-role dim chain [fresh]
-    "volume_shipping",  # J1/J4 — Q7 shipping volume [fresh]
-    "cheapest_parts_per_type",  # O5 — Q2 groupwise-min-with-ties [fresh]
-    "top_revenue_supplier",  # O1/O4 — Q15 view shape [fresh]
-    "customer_spend_quartiles",  # A8 — NTILE spend quartiles [fresh]
-    "clean_corpus",  # P1/P2 — fused projection/filter pipeline [fresh]
-    "segment_pivot_revenue",  # A3/scalar — pivot composite agg [fresh]
-    "approx_value_percentiles",  # sketches — KLL percentiles [fresh]
-    "event_type_user_overlap",  # sketches — theta overlap [fresh]
-    "daily_revenue_moving_avg",  # A15/A16 — window moving average [fresh]
-    "hourly_count_anomalies",  # time series — rolling z-score [fresh]
-    "user_daily_series_filled",  # time series — calendar gap fill [fresh]
-    "winsorized_event_stats",  # order stats — integer-cents clipping [fresh]
-    "salted_user_value_totals",  # skew — salted two-phase agg [fresh]
-    "weekly_cohort_retention",  # funnels — cohort retention [fresh]
-    "funnel_view_click_purchase",  # funnels — ordered-step match [fresh]
-    "source_token_entropy",  # textstats — integer-micros entropy [fresh]
-    "source_ngram_diversity",  # textstats — distinct-ngram ratios [fresh]
-    "lang_label_agreement",  # textstats — heuristic-vs-label confusion [fresh]
-    "bigram_lm_cross_entropy",  # LM filters — bigram cross-entropy [fresh]
-    "doc_length_auc",  # curation reporting — rank AUC [fresh]
-    "dedup_savings_report",  # curation reporting — bytes saved [fresh]
-    "source_data_cards",  # curation reporting — per-source cards [fresh]
-    "quality_canonical_survivors",  # dup clusters — canonical selection [fresh]
-    "lang_quota_sample",  # sampling — per-lang quota [fresh]
-    "packed_sequences",  # sampling — FFD sequence packing [fresh]
-    "kcenter_coreset",  # sampling — greedy k-center [fresh]
-    "embedding_random_projection",  # JL projection — zero-shuffle Arrow matmul [fresh]
-    "embedding_quantization_error",  # SQ8 reconstruction error [fresh]
-    "streaming_dedup_counts",  # SS — dropDuplicates state [fresh]
-    "streaming_interval_join_counts",  # SS — stream-stream interval join [fresh]
-    "streaming_enriched_cohort_counts",  # SS — static-enriched cohorts [fresh]
-    "jsonl_roundtrip",  # sources — JSONL write/read [fresh]
-    "events_profile",  # events QA — one-scan profile [fresh]
-    "integrity_checks",  # events QA — referential checks [fresh]
+    # ==== the 50-entry driver window (round 7) ====================
+    # r7 rotation (per the r6 queue plan): slot 1 is the flagship;
+    # slots 2-17 are the 16 registered queries that had NEVER been
+    # externally driver-checked after r6 (each gate-SF-verified this
+    # round in a full 213/213 plain-session driver sim, non-vacuous) —
+    # with them green, every registered query will have at least one
+    # external CORRECTNESS row. Slots 18-50 rotate previously-green
+    # siblings whose last external row is OLDEST back through the
+    # resting components: the 9 names last green in r1, the 13 last
+    # green in r2, and 11 component-diverse names last green in r3
+    # (TPC-H primaries, text stats, streaming, sources, sketches, ML,
+    # as-of), so recency is spread across the whole registry. Every
+    # resting component keeps a prior-round green row
+    # (tests/test_registry.py distinguishes in-window reps from
+    # prior-green rest).
+    "curated_training_set",
+    "customer_value_rank_profile",
+    "doc_cross_entropy",
+    "dup_rate_by_source_pair",
+    "embedding_near_dup_dense",
+    "embedding_near_dup_probed",
+    "hash_sampled_docs",
+    "mixture_sampled_counts",
+    "orc_roundtrip",
+    "per_minute_error_counts",
+    "quantized_similarity_topk",
+    "semantic_contamination_dense",
+    "shipping_priority",
+    "trailing_hour_user_load",
+    "user_value_deltas",
+    "value_percentiles",
+    "word_clustering_coefficient",
+    "doc_fingerprints",
+    "doc_frequency",
+    "event_props_histogram",
+    "hourly_avg_value",
+    "hourly_event_counts",
+    "ngram_jaccard_pairs",
+    "per_user_daily_counts",
+    "top_words",
+    "user_session_counts",
+    "chunk_dedup_docs",
+    "cooccurrence_pairs",
+    "corpus_split_counts",
+    "customers_with_orders",
+    "finished_order_ratio",
+    "heavy_hitter_users",
+    "knn_predictions",
+    "language_id",
+    "near_dup_clusters",
+    "segment_set_ops",
+    "similarity_topk",
+    "tfidf",
+    "word_count",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "quality_scores",
+    "token_stats",
+    "forecast_rmse",
+    "streaming_hourly_counts",
+    "source_roundtrip",
+    "monthly_user_reach_hll",
+    "svm_accuracy",
+    "asof_click_before_purchase",
     # ---- end of the 50-entry driver window ----
-    # displaced externally-green names (every name below this line
-    # and above the queue has at least one green external
-    # CORRECTNESS row from r1-r5):
+    "bpe_vocab_merges",
+    "excess_stock_parts",
+    "embedding_near_dup_sized",
+    "incremental_ingest_near_dup",
+    "multi_epoch_ingest_near_dup",
+    "minhash_band_index",
+    "semantic_contamination",
+    "embedding_top_pc",
+    "pq_similarity_topk",
+    "ann_recall_eval",
+    "word_graph_sssp",
+    "word_triangle_counts",
+    "brand_price_quantity_slope",
+    "events_quality_checks",
+    "supplier_mkt_share_by_year",
+    "volume_shipping",
+    "cheapest_parts_per_type",
+    "top_revenue_supplier",
+    "customer_spend_quartiles",
+    "clean_corpus",
+    "segment_pivot_revenue",
+    "approx_value_percentiles",
+    "event_type_user_overlap",
+    "daily_revenue_moving_avg",
+    "hourly_count_anomalies",
+    "user_daily_series_filled",
+    "winsorized_event_stats",
+    "salted_user_value_totals",
+    "weekly_cohort_retention",
+    "funnel_view_click_purchase",
+    "source_token_entropy",
+    "source_ngram_diversity",
+    "lang_label_agreement",
+    "bigram_lm_cross_entropy",
+    "doc_length_auc",
+    "dedup_savings_report",
+    "source_data_cards",
+    "quality_canonical_survivors",
+    "lang_quota_sample",
+    "packed_sequences",
+    "kcenter_coreset",
+    "embedding_random_projection",
+    "embedding_quantization_error",
+    "streaming_dedup_counts",
+    "streaming_interval_join_counts",
+    "streaming_enriched_cohort_counts",
+    "jsonl_roundtrip",
+    "events_profile",
+    "integrity_checks",
     "forecast_revenue_change",
     "local_supplier_volume",
     "small_quantity_part_revenue",
@@ -8330,21 +8380,16 @@ _PRIORITY = [
     "bm25_ranked_docs",
     "span_stripped_docs",
     "benchmark_contamination",
-    "pricing_summary",
-    "revenue_by_nation",
     "brand_volume",
     "bloom_filtered_orders",
-    "top_customers",
     "order_count_histogram",
     "distinct_users_per_type",
     "nation_market_share",
     "segment_except",
     "status_rollup",
-    "asof_click_before_purchase",
     "orders_per_year_priority",
     "supplier_rank_in_nation",
     "hourly_event_stats",
-    "forecast_rmse",
     "wordcount_sans_stopwords",
     "sparse_tfidf_vectors",
     "cooccurrence_window2",
@@ -8352,62 +8397,12 @@ _PRIORITY = [
     "knn_weighted_predictions",
     "nb_accuracy",
     "frequent_itemsets",
-    "svm_accuracy",
-    "source_roundtrip",
     "keyed_scan_latest",
-    "streaming_hourly_counts",
     "priority_geomean_price",
     "dedup_survivors",
     "lsh_similarity_topk",
-    "quality_scores",
-    "token_stats",
-    "monthly_user_reach_hll",
     "shuffled_shard_manifest",
     "duplicate_text_spans",
-    "customers_with_orders",
-    "chunk_dedup_docs",
-    "segment_set_ops",
-    "finished_order_ratio",
-    "word_count",
-    "tfidf",
-    "cooccurrence_pairs",
-    "knn_predictions",
-    "near_dup_clusters",
-    "similarity_topk",
-    "language_id",
-    "heavy_hitter_users",
-    "corpus_split_counts",
-    "per_user_daily_counts",
-    # round-7 rotation queue: the 16 registered queries still never
-    # externally checked after r6 (every one gate-SF-verified in the
-    # r6 full-registry driver sim — 213/213 green; all are family
-    # siblings of r6-window members, so each component they represent
-    # already has a fresher external row). r7 window plan: these 16 +
-    # the flagship fill 17 slots; the other 33 should rotate DIFFERENT
-    # previously-green siblings back through the resting components
-    # (tests/test_registry.py `_COMPONENT_REPS` lists the choices —
-    # prefer names whose last external row is oldest, e.g. the r1-r2
-    # window members word_count/tfidf/cooccurrence_pairs/
-    # knn_predictions/similarity_topk/language_id and the S/J/A
-    # primaries), so every component regains a recent row after its
-    # r6 rest. Before promoting ANY name: re-verify at sf0.01 on a
-    # plain session + check non-vacuity (the verify skill's rule).
-    "customer_value_rank_profile",
-    "doc_cross_entropy",
-    "dup_rate_by_source_pair",
-    "embedding_near_dup_dense",
-    "embedding_near_dup_probed",
-    "hash_sampled_docs",
-    "mixture_sampled_counts",
-    "orc_roundtrip",
-    "per_minute_error_counts",
-    "quantized_similarity_topk",
-    "semantic_contamination_dense",
-    "shipping_priority",
-    "trailing_hour_user_load",
-    "user_value_deltas",
-    "value_percentiles",
-    "word_clustering_coefficient",
 ]
 
 
