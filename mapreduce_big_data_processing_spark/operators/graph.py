@@ -273,6 +273,94 @@ def connected_components(
     return out
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 §3) — the deep-graph path the hash-min loop's docstring
+    points at: hash-min needs O(diameter) rounds, this needs O(log² n)
+    regardless of diameter, so a 10 000-hop path costs ~the same as a
+    clique. Same contract as `connected_components`: output (node, comp)
+    with comp = the smallest node id in the component, so the two are
+    interchangeable and differential-test against the same
+    transitive-closure oracle.
+
+    Each round rewrites the edge set (never grows past the input edge
+    count after the first distinct):
+    - large-star(u): every neighbor v > u re-attaches to
+      m = min(Γ(u) ∪ {u}) — computed over the UNDIRECTED neighborhood;
+    - small-star(v): every parent p < v (all edges point downward after
+      a large-star) re-attaches to m = min(parents), and v itself does.
+    Both preserve the component partition exactly (paper lemmas 1-2), so
+    at the fixpoint the edge set IS one star per component rooted at its
+    minimum. The fixpoint test compares consecutive edge sets exactly
+    (count + anti-join) — no probabilistic checksum in an oracle-checked
+    operator. Rounds: 2 key shuffles (one per star) + the compare, on an
+    edge-sized, shrinking table; each round is localCheckpoint'ed so the
+    plan stays bounded (same trade as `iterate`).
+    """
+    from pyspark.sql import Window
+
+    # canonicalize to (bigger, smaller) KEEPING self-loops, and checkpoint:
+    # the vertex set then derives from the materialized edge table instead
+    # of re-executing the (typically expensive — an LSH/jaccard pipeline)
+    # upstream a second time
+    e0 = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("src"),
+            F.least(F.col(src), F.col(dst)).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vertices = (
+        e0.select(F.col("src").alias("node"))
+        .unionByName(e0.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        w = Window.partitionBy("src")
+        m = F.least(F.min("dst").over(w), F.col("src"))
+        return (
+            sym.select("src", "dst", m.alias("m"))
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # input invariant: dst < src (large-star output); group by child
+        w = Window.partitionBy("src")
+        m = F.min("dst").over(w)
+        withm = e.select("src", "dst", m.alias("m"))
+        parents = withm.filter(F.col("dst") != F.col("m")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+        selfedge = withm.select("src", F.col("m").alias("dst"))
+        return parents.unionByName(selfedge).distinct()
+
+    e = e0.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nxt = small_star(large_star(e)).localCheckpoint(eager=True)
+        same_count = nxt.count() == e.count()
+        if same_count and nxt.join(e, ["src", "dst"], "left_anti").isEmpty():
+            e = nxt
+            break
+        e = nxt
+    assignment = e.select(F.col("src").alias("node"), F.col("dst").alias("comp"))
+    return vertices.join(assignment, "node", "left").select(
+        "node", F.coalesce("comp", F.col("node")).alias("comp")
+    )
+
+
 def top_ranked(ranks: DataFrame, k: int = 10) -> DataFrame:
     """G5 — rank viewer: global descending order (`ppt/Ch8….pdf p.25`)."""
     return ranks.orderBy(F.desc("pr"), F.asc("node")).limit(k)

@@ -871,6 +871,45 @@ def near_dup_clusters(spark, sf_dir):
 
 
 @query(
+    "near_dup_clusters_star",
+    f"""
+    WITH RECURSIVE
+    p AS (SELECT id_a, id_b FROM ({_MINHASH_PAIRS_SQL})),
+    e AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b AS a, id_a AS b FROM p),
+    reach AS (
+      SELECT a AS n, b AS m FROM e
+      UNION
+      SELECT r.n AS n, e.b AS m FROM reach r JOIN e ON r.m = e.a
+    )
+    SELECT n AS doc_id, least(min(m), n) AS cluster_id
+    FROM reach GROUP BY n
+    """,
+)
+def near_dup_clusters_star(spark, sf_dir):
+    """`near_dup_clusters` computed by the alternating large-star/
+    small-star algorithm (`graph.connected_components_star`, Kiveris et
+    al. SoCC'14) instead of hash-min label propagation: O(log² n) rounds
+    independent of graph DIAMETER where hash-min needs O(diameter) — the
+    100 TB path for adversarially deep dup graphs (chained paraphrases,
+    template drift) that the hash-min docstring points at. Same oracle as
+    `near_dup_clusters` because the output contract is identical: the
+    hash-match proves the two operators are interchangeable."""
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+    from mapreduce_big_data_processing_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingles(docs, k=3).cache()
+    sig = D.minhash_signatures(sh, n_hashes=16, portable=True)
+    cand = D.lsh_candidate_pairs(sig, n_hashes=16, bands=4)
+    pairs = D.jaccard_pairs(sh, min_jaccard=0.5, candidates=cand)
+    comp = G.connected_components_star(pairs, src="id_a", dst="id_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
+@query(
     "dedup_survivors",
     f"""
     WITH RECURSIVE
@@ -7785,6 +7824,77 @@ def orc_roundtrip(spark, sf_dir):
 
 
 @query(
+    "part_profit_by_nation_year",
+    """
+    SELECT supp_nation, o_year,
+           round(CAST(sum(profit) AS BIGINT) / 10000.0, 4) AS profit,
+           count(*) AS n_lines
+    FROM (
+      SELECT n_name AS supp_nation,
+             CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+             - CAST(round(p_retailprice * 100, 0) AS BIGINT) * 100
+               * CAST(round(l_quantity, 0) AS BIGINT) AS profit
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%blue%'
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey) AS t
+    GROUP BY supp_nation, o_year
+    """,
+)
+def part_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape — profit per (supplier nation, order year) over
+    parts whose name matches a pattern, the classic star-join-with-
+    selective-dimension-filter planning shape (the testdata schema has no
+    partsupp, so supply cost is proxied by p_retailprice·quantity; the
+    join DAG and the LIKE-filtered dimension are the point). Plan: the
+    filtered part dimension, supplier, and nation all broadcast — the
+    part filter prunes ~87% of lineitem BEFORE the orders join, so the
+    only data-sized exchange is the surviving fact slice ⋈ orders.
+    Profit accumulates in EXACT 1e-4 dollar units (integer-cents
+    protocol: cents × (100−disc) minus cents × 100 × integer quantity),
+    one int64 sum per group, displayed at the grid-aligned 4dp;
+    sum(bigint) is int64-safe to ~1e18 units — widen to decimal past
+    that. Oracle casts the DuckDB sum back to BIGINT (HUGEINT hazard)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%blue%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("bigint"))
+        - F.round(F.col("p_retailprice") * 100, 0).cast("bigint")
+        * 100
+        * F.round(F.col("l_quantity"), 0).cast("bigint")
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            profit.alias("profit"),
+        )
+    )
+    return j.groupBy("supp_nation", "o_year").agg(
+        F.round(F.sum("profit") / 10000.0, 4).alias("profit"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
     "supplier_mkt_share_by_year",
     """
     SELECT o_year,
@@ -8403,6 +8513,11 @@ _PRIORITY = [
     "lsh_similarity_topk",
     "shuffled_shard_manifest",
     "duplicate_text_spans",
+    # round-8 rotation queue: new this round, never externally checked —
+    # promote into the r8 window (pre-verify at sf0.01 + non-vacuity per
+    # the verify skill's rule first)
+    "near_dup_clusters_star",
+    "part_profit_by_nation_year",
 ]
 
 

@@ -764,3 +764,16 @@ def test_theta_overlap_joins_are_sketch_sized(spark, sf_dir):
     plan = _plan(spark, sf_dir, "event_type_user_overlap")
     assert "SortMergeJoin" not in plan
     assert _count(plan, "Exchange hashpartitioning") <= 2
+
+
+def test_q9_like_filter_reaches_part_scan(spark, sf_dir):
+    """TPC-H Q9 shape (part_profit_by_nation_year): the name pattern must
+    compile to a parquet-pushed StringContains on the part scan (so the
+    ~87% fact prune happens before any join), the dimension joins must
+    not demote to sort-merge at fixture scale, and the rollup is a single
+    hash exchange."""
+    plan = _plan(spark, sf_dir, "part_profit_by_nation_year")
+    assert "StringContains(p_name,blue)" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert _count(plan, "Exchange hashpartitioning") == 1
