@@ -240,11 +240,18 @@ def connected_components(
     """
     from mapreduce_big_data_processing_spark.plans.iterate import iterate_until
 
-    sym = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .unionByName(
-            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    # one-pass symmetrization (explode, not a union of two selects over
+    # the same lazy input — the union form executed the upstream, here a
+    # whole LSH/jaccard pipeline, TWICE on first materialization)
+    both = F.explode(
+        F.array(
+            F.struct(F.col(src).alias("src"), F.col(dst).alias("dst")),
+            F.struct(F.col(dst).alias("src"), F.col(src).alias("dst")),
         )
+    )
+    sym = (
+        edges.select(both.alias("e"))
+        .select("e.src", "e.dst")
         .distinct()
         .cache()  # loop-invariant; lazy upstream would re-execute per round
     )
@@ -457,11 +464,17 @@ def bfs_hops(
     frontier/visited joins, so the plan survives a 1000-executor corpus:
     it is label-propagation restricted to the expanding wavefront.
     """
-    sym = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .unionByName(
-            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    # one-pass symmetrization via explode (see connected_components: the
+    # union-of-two-selects form re-executes the lazy upstream twice)
+    both = F.explode(
+        F.array(
+            F.struct(F.col(src).alias("src"), F.col(dst).alias("dst")),
+            F.struct(F.col(dst).alias("src"), F.col(src).alias("dst")),
         )
+    )
+    sym = (
+        edges.select(both.alias("e"))
+        .select("e.src", "e.dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .repartition("src")
