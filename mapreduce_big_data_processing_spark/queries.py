@@ -5540,9 +5540,11 @@ def minhash_band_index(spark, sf_dir):
     return D.band_keys(sig, n_hashes=16, bands=4)
 
 
-@query(
-    "multi_epoch_ingest_near_dup",
-    f"""
+#: shared by multi_epoch_ingest_near_dup (one-shot backfill) and
+#: streaming_near_dup_ingest (the per-epoch streaming fold): the two are
+#: fold-equivalent by the index-records-every-doc rule, so they check
+#: against ONE oracle — keep a single definition so they can't drift
+_MULTI_EPOCH_NEAR_DUP_SQL = f"""
     WITH sh AS ({_SHINGLES_SQL}),
     based AS (
       SELECT doc_id, shingle,
@@ -5597,8 +5599,10 @@ def minhash_band_index(spark, sf_dir):
     FROM ep e
     LEFT JOIN (SELECT * FROM hb WHERE rn = 1) hb ON hb.new_id = e.doc_id
     LEFT JOIN (SELECT * FROM bb WHERE rn = 1) bb ON bb.new_id = e.doc_id
-    """,
-)
+    """
+
+
+@query("multi_epoch_ingest_near_dup", _MULTI_EPOCH_NEAR_DUP_SQL)
 def multi_epoch_ingest_near_dup(spark, sf_dir):
     """Three sequential ingest days (epoch = doc_id % 3) classified in ONE
     plan by `dedup.multi_epoch_near_dup`: near_dup_of_history if a
@@ -5617,6 +5621,80 @@ def multi_epoch_ingest_near_dup(spark, sf_dir):
         D.shingles(docs, k=3), n_hashes=16, portable=True
     ).withColumn("epoch", (F.col("doc_id") % 3).cast("int"))
     return D.multi_epoch_near_dup(sig.cache())
+
+
+@query("streaming_near_dup_ingest", _MULTI_EPOCH_NEAR_DUP_SQL)
+def streaming_near_dup_ingest(spark, sf_dir):
+    """§2.10 × dedup — the multi-epoch near-dup ingest run THROUGH
+    Structured Streaming: three epoch files (epoch = doc_id % 3, the
+    backfill query's split) replayed one file per trigger with STRICTLY
+    INCREASING mtimes (a multi-file replay orders by mtime and same-write
+    mtimes tie — and ingest dedup is genuinely order-dependent: history
+    precedence), each micro-batch classified against the PERSISTED
+    signature index of prior batches and appended to it via the
+    idempotent partition-overwrite sink (streaming/sinks.py
+    run_near_dup_ingest_sink). The oracle is the SAME one-shot backfill
+    SQL as `multi_epoch_ingest_near_dup` — the hash-match proves the
+    streaming fold ≡ the batch backfill, the fold-equivalence a pipeline
+    relies on when it reprocesses history. epoch is taken from the
+    STREAM's batch id (not re-derived from doc_id), so a replay-order
+    break would surface as a mismatch instead of being papered over.
+    Zero-float (est_jaccard = matches/16, an exact binary fraction)."""
+    import os
+    import shutil as _shutil
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from mapreduce_big_data_processing_spark.streaming import sinks as SKS
+
+    wd = _work_dir(spark, "stream_near_dup")
+    src = os.path.join(wd, "days")
+    _shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _time.time() - 3600
+    for ep in range(3):
+        tmp = os.path.join(wd, f"tmp_e{ep}")
+        docs.filter((F.col("doc_id") % 3) == ep).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"epoch{ep}.parquet")
+        _shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (base + ep, base + ep))
+        _shutil.rmtree(tmp, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(
+            T.StructType.fromDDL("doc_id bigint, text string")
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # a plain driver session runs the foreachBatch joins at the conf
+    # default 200 shuffle partitions (AQE is off inside a stream run);
+    # scope them to the core count like the other streaming queries
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        out = SKS.run_near_dup_ingest_sink(spark, stream, wd)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+    return out.select(
+        "doc_id",
+        F.col("ingest_epoch").cast("int").alias("epoch"),
+        "status",
+        "matched_id",
+        "est_jaccard",
+    )
 
 
 _INC_NEAR_DUP_SQL = f"""
@@ -8518,6 +8596,7 @@ _PRIORITY = [
     # the verify skill's rule first)
     "near_dup_clusters_star",
     "part_profit_by_nation_year",
+    "streaming_near_dup_ingest",
 ]
 
 
