@@ -25,7 +25,8 @@ _COMPONENT_REPS = {
                "volume_shipping", "shipping_priority",  # Q7 / Q3
 
                "local_supplier_volume",  # Q5 six-way chain
-               "supplier_mkt_share_by_year"},  # Q8 dual-role dim chain
+               "supplier_mkt_share_by_year",  # Q8 dual-role dim chain
+               "part_profit_by_nation_year"},  # Q9 LIKE-filtered star join
     "J2": {"brand_volume", "disjunctive_part_revenue",
            "small_quantity_part_revenue"},
     "J3": {"customers_with_orders", "customers_without_orders",
@@ -116,12 +117,14 @@ _COMPONENT_REPS = {
     "incremental ingest": {"incremental_ingest_dedup",
                            "incremental_ingest_near_dup",
                            "multi_epoch_ingest_near_dup",
+                           "streaming_near_dup_ingest",  # the SS fold twin
                            "minhash_band_index"},  # the persisted-index family
     "minhash/shingle pairs": {"minhash_lsh_pairs", "minhash_band_index",
 
                               "prefix_jaccard_pairs"},  # the exact-threshold
                               # (PPJoin) sibling of the minhash path
     "dup clusters": {"near_dup_clusters", "embedding_dup_clusters",
+                     "near_dup_clusters_star",  # diameter-independent CC
                      "leakage_free_split",  # CC-group split application
                      "quality_canonical_survivors"},
     "simhash": {"simhash_fingerprints", "simhash_near_dup_pairs"},
