@@ -2156,9 +2156,18 @@ def label_propagation(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     toks = TX.tokenize(docs, keep_cols=["doc_id"])
     pairs = TX.cooccurrence_pairs(toks, symmetric=False)
-    fwd = pairs.select(F.col("w1").alias("src"), F.col("w2").alias("dst"), F.col("cnt").alias("weight"))
-    rev = pairs.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), F.col("cnt").alias("weight"))
-    return G.label_propagation(fwd.unionByName(rev), max_iter=5)
+    # one-pass symmetrization (the union-of-two-selects form executes the
+    # tokenize->pairs upstream twice on the first job — the r7 lesson)
+    both = F.explode(
+        F.array(
+            F.struct(F.col("w1").alias("src"), F.col("w2").alias("dst")),
+            F.struct(F.col("w2").alias("src"), F.col("w1").alias("dst")),
+        )
+    )
+    edges = pairs.select(both.alias("e"), F.col("cnt").alias("weight")).select(
+        "e.src", "e.dst", "weight"
+    )
+    return G.label_propagation(edges, max_iter=5)
 
 
 # ===========================================================================
@@ -8110,11 +8119,15 @@ def word_graph_sssp(spark, sf_dir):
         .select(F.col("word").alias("node"))
     )
     pairs = TX.cooccurrence_pairs(toks, symmetric=False)  # (w1, w2, cnt)
-    edges = pairs.select(
-        F.col("w1").alias("src"), F.col("w2").alias("dst"), "cnt"
-    ).unionByName(
-        pairs.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "cnt")
-    )  # = the oracle's edges0, counts intact
+    # one-pass symmetrization = the oracle's edges0, counts intact (the
+    # union-of-two-selects form executes tokenize->pairs twice — r7 lesson)
+    both = F.explode(
+        F.array(
+            F.struct(F.col("w1").alias("src"), F.col("w2").alias("dst")),
+            F.struct(F.col("w2").alias("src"), F.col("w1").alias("dst")),
+        )
+    )
+    edges = pairs.select(both.alias("e"), "cnt").select("e.src", "e.dst", "cnt")
     we = edges.select(
         "src",
         "dst",
