@@ -85,10 +85,14 @@ def pagerank(
     # available when AQE is off (the bench protocol). Every per-round
     # stage (ranks exchange, contrib groupBy, vertices join) schedules
     # `nparts` tasks 10×+ over, so a conf-default 200/32 on a small graph
-    # is pure scheduler tax; at 100 TB the same formula yields thousands
-    # of partitions.
-    nparts = max(1, math.ceil(n_edges / 100_000))
+    # is pure scheduler tax. Capped at 4× the cluster's parallelism
+    # (floor 1024): the row-count divisor is tuned for small-graph
+    # latency and would otherwise explode a trillion-edge graph into
+    # ~10M tasks/stage — past ~4 waves per core the extra partitions buy
+    # nothing and the scheduler pays per task, every round.
     spark = edges.sparkSession
+    cap = max(4 * spark.sparkContext.defaultParallelism, 1024)
+    nparts = max(1, min(math.ceil(n_edges / 100_000), cap))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
     try:
