@@ -71,32 +71,37 @@ def pagerank(
     # edges are consumed once per iteration: materialize them, or a lazy
     # upstream (tokenize→pairs→normalize) re-executes 10× — the Spark twin
     # of the reference's per-iteration HDFS re-read, and the first thing
-    # that kills iterative jobs at scale. Cache (NOT localCheckpoint: a
-    # checkpoint's LogicalRDD loses size statistics, demoting every
-    # iteration's ranks join from broadcast to sort-merge — measured 4×
-    # slower checkpoint jobs), count once, then re-cache PRE-PARTITIONED
-    # on the join key so the cached partitioning satisfies every
-    # iteration's join requirement and only the (smaller) ranks side ever
-    # shuffles.
-    staged = edges.cache()
-    n_edges = staged.count()
-    # Size the ITERATION partitioning from the measured edge count — the
-    # coalescing AQE would apply at runtime, made deterministic and
-    # available when AQE is off (the bench protocol). Every per-round
-    # stage (ranks exchange, contrib groupBy, vertices join) schedules
-    # `nparts` tasks 10×+ over, so a conf-default 200/32 on a small graph
-    # is pure scheduler tax. Capped at 4× the cluster's parallelism
-    # (floor 1024): the row-count divisor is tuned for small-graph
-    # latency and would otherwise explode a trillion-edge graph into
-    # ~10M tasks/stage — past ~4 waves per core the extra partitions buy
-    # nothing and the scheduler pays per task, every round.
+    # that kills iterative jobs at scale. Cache PRE-PARTITIONED on the
+    # join key (NOT localCheckpoint: a checkpoint's LogicalRDD loses size
+    # statistics, demoting every iteration's ranks join from broadcast to
+    # sort-merge — measured 4× slower checkpoint jobs): the cached
+    # partitioning satisfies every iteration's join requirement, so only
+    # the (smaller) ranks side ever shuffles.
     spark = edges.sparkSession
-    cap = max(4 * spark.sparkContext.defaultParallelism, 1024)
-    nparts = max(1, min(math.ceil(n_edges / 100_000), cap))
+    edges = edges.repartition("src").cache()
+    n_edges = edges.count()
+    # SMALL-GRAPH latency gate: when the measured edge count implies
+    # fewer partitions than the cluster has cores, the conf-default
+    # partitioning is pure scheduler tax — every per-round stage (ranks
+    # exchange, contrib groupBy, vertices join) schedules empty tasks
+    # 10×+ over. Re-cache at the measured size (cheap: reads the warm
+    # cache) and scope the loop's shuffle partitions to match — the
+    # coalescing AQE would apply, made deterministic and available when
+    # AQE is off (the bench protocol). LARGE graphs keep the session's
+    # partitioning untouched: forcing ceil(n/100k) partitions on a
+    # Zipf-skewed 10× graph measured 35% SLOWER than conf+AQE (hot-word
+    # partitions straggle every round), so the gate only ever narrows.
+    dp = spark.sparkContext.defaultParallelism
+    nparts = max(1, math.ceil(n_edges / 100_000))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    scoped = nparts < dp
+    if scoped:
+        small = edges.repartition(nparts, "src").cache()
+        small.count()  # materialize before dropping the wide cache
+        edges.unpersist()
+        edges = small
+        spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
     try:
-        edges = staged.repartition(nparts, "src").cache()
         vertices = (
             edges.select(F.col("src").alias("node"))
             .unionByName(edges.select(F.col("dst").alias("node")))
@@ -111,9 +116,6 @@ def pagerank(
         # less per round
         dangling_nodes = vertices.join(out_nodes, "node", "left_anti").cache()
         has_dangling = dangling_nodes.limit(1).count() > 0
-        # the counts above warmed the partitioned cache; drop the staging
-        # copy so edge bytes are held once, not twice
-        staged.unpersist()
 
         def step(ranks: DataFrame, i: int) -> DataFrame:
             contrib = (
@@ -174,7 +176,8 @@ def pagerank(
         # materializations (iterate's eager checkpoints / the convergence
         # collects); any still-lazy tail re-plans under the caller's conf,
         # which affects partition counts only, never values
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if scoped:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def label_propagation(
