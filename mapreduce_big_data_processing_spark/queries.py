@@ -7982,6 +7982,76 @@ def part_profit_by_nation_year(spark, sf_dir):
 
 
 @query(
+    "returned_revenue_top_customers",
+    """
+    SELECT c_custkey, c_name, n_name,
+           round(units / 10000.0, 4) AS revenue
+    FROM (
+      SELECT c_custkey, c_name, n_name,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                  AS BIGINT) AS units
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+                    AND o_orderdate >= TIMESTAMP '1996-10-01'
+                    AND o_orderdate <  TIMESTAMP '1997-01-01'
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation   ON n_nationkey = c_nationkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY units DESC, c_custkey
+      LIMIT 20)
+    """,
+)
+def returned_revenue_top_customers(spark, sf_dir):
+    """TPC-H Q10 shape — revenue lost to returns per customer in one
+    quarter, top 20: a selective fact predicate (returnflag + date
+    window, both parquet-pushed), a 4-table join with the dims
+    broadcast, and a global top-k that plans as TakeOrderedAndProject
+    (never a full sort). The rank key is the EXACT integer 1e-4 revenue
+    units with the custkey tiebreak — an integer sort is deterministic
+    on both engines by construction, so this top-k has no
+    rounded-boundary hazard at any fixture scale (the pagerank lesson
+    applied preemptively); the displayed revenue is the grid-aligned
+    4dp quotient of the same integer."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("bigint"))
+    )
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # customer is unhinted: fixture-scale stats broadcast it, cluster
+        # scale lets AQE decide (a forced broadcast of a 100 TB run's
+        # customer dim would be wrong)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("units"))
+    )
+    return (
+        agg.orderBy(F.desc("units"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("units") / 10000.0, 4).alias("revenue"),
+        )
+    )
+
+
+@query(
     "supplier_mkt_share_by_year",
     """
     SELECT o_year,
@@ -8610,6 +8680,7 @@ _PRIORITY = [
     "near_dup_clusters_star",
     "part_profit_by_nation_year",
     "streaming_near_dup_ingest",
+    "returned_revenue_top_customers",
 ]
 
 

@@ -777,3 +777,16 @@ def test_q9_like_filter_reaches_part_scan(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert _count(plan, "Exchange hashpartitioning") == 1
+
+
+def test_q10_pushdowns_and_topk(spark, sf_dir):
+    """TPC-H Q10 shape (returned_revenue_top_customers): the returnflag
+    and date-window predicates must reach their parquet scans, the top-20
+    must plan as TakeOrderedAndProject (never a full sort), and the
+    rollup is a single hash exchange."""
+    plan = _plan(spark, sf_dir, "returned_revenue_top_customers")
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert _count(plan, "Exchange hashpartitioning") == 1

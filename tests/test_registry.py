@@ -26,7 +26,8 @@ _COMPONENT_REPS = {
 
                "local_supplier_volume",  # Q5 six-way chain
                "supplier_mkt_share_by_year",  # Q8 dual-role dim chain
-               "part_profit_by_nation_year"},  # Q9 LIKE-filtered star join
+               "part_profit_by_nation_year",  # Q9 LIKE-filtered star join
+               "returned_revenue_top_customers"},  # Q10 returns top-k
     "J2": {"brand_volume", "disjunctive_part_revenue",
            "small_quantity_part_revenue"},
     "J3": {"customers_with_orders", "customers_without_orders",
