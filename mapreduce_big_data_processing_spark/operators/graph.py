@@ -63,6 +63,18 @@ def pagerank(
     count (`ppt/Ch8….pdf p.26` alternative 1) keeps the plan deterministic
     for differential testing; convergence-threshold mode is a trivial
     driver-loop variant. Output: (node, pr).
+
+    CONCURRENCY CAVEAT: the small-graph latency gate scopes the
+    session-global ``spark.sql.shuffle.partitions`` for the duration of
+    the loop (restored in a ``finally``; pinned by test_conf_scope). That
+    mutation assumes the driver-protocol model of ONE query at a time on
+    the session — it is not safe under concurrent queries sharing the
+    SparkSession, and not reentrant (a nested operator doing the same
+    scoping captures the scoped value as its "prev"). An explicit
+    ``.repartition(nparts, ...)`` on every loop exchange would be
+    thread-safe but re-shuffles the ranks side each round even when the
+    session conf already matches; the conf scope is the right trade for
+    this engine's single-query execution model.
     """
     import math
 
@@ -317,7 +329,10 @@ def connected_components_star(
     (count + anti-join) — no probabilistic checksum in an oracle-checked
     operator. Rounds: 2 key shuffles (one per star) + the compare, on an
     edge-sized, shrinking table; each round is localCheckpoint'ed so the
-    plan stays bounded (same trade as `iterate`).
+    plan stays bounded (same trade as `iterate`). Raises ``RuntimeError``
+    if the fixpoint is not reached within ``max_iter`` rounds — an
+    unconverged assignment is not the component minimum and must not
+    masquerade as one.
     """
     from pyspark.sql import Window
 
@@ -364,13 +379,28 @@ def connected_components_star(
         return parents.unionByName(selfedge).distinct()
 
     e = e0.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         nxt = small_star(large_star(e)).localCheckpoint(eager=True)
         same_count = nxt.count() == e.count()
         if same_count and nxt.join(e, ["src", "dst"], "left_anti").isEmpty():
             e = nxt
+            converged = True
             break
         e = nxt
+    if not converged:
+        # an unconverged assignment is NOT component minima — labels are
+        # merely closer to them than the input. Surface it loudly instead
+        # of letting a partial result masquerade as the oracle-checked
+        # fixpoint (r7 ADVICE): 40 rounds cover ~2^39-node paths, so
+        # hitting this means max_iter was lowered or the graph is
+        # adversarial beyond the paper's O(log^2 n) bound.
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint within max_iter="
+            f"{max_iter} rounds; labels are not component minima. "
+            "Raise max_iter (each round is 2 key shuffles on a shrinking "
+            "edge table)."
+        )
     assignment = e.select(F.col("src").alias("node"), F.col("dst").alias("comp"))
     return vertices.join(assignment, "node", "left").select(
         "node", F.coalesce("comp", F.col("node")).alias("comp")

@@ -98,6 +98,77 @@ def run_keyed_upsert_sink(
     return final.filter(F.col(op_col) == "put").drop(op_col)
 
 
+def _near_dup_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    idx_dir: str,
+    dec_dir: str,
+    n_hashes: int,
+    bands: int,
+    min_est_jaccard: float,
+) -> None:
+    """One micro-batch of the near-dup ingest fold (module-level so a
+    retry — same ``batch_id`` re-applied after a mid-write failure — can
+    be exercised directly in tests).
+
+    Idempotence under retry requires reading the history STRICTLY BELOW
+    the current epoch: a failed attempt may already have written this
+    batch's own ``sig_epoch = batch_id`` index slice, and without the
+    ``sig_epoch < batch_id`` filter every doc in the retried batch would
+    find its own signatures in "history" (16/16 agreement) and flip to
+    ``near_dup_of_history`` with ``matched_id = doc_id``. The filter is
+    on the partition column, so it is also a partition-pruned scan —
+    the retry read never touches the possibly-corrupt slice at all.
+    """
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+
+    sp = batch_df.sparkSession
+    sig_schema = "doc_id bigint, h int, minhash bigint"
+    # cache (not localCheckpoint: keep size statistics for the verify
+    # joins' planning) — feeds the classify AND the index append
+    sigs = D.minhash_signatures(
+        D.shingles(batch_df, k=3), n_hashes=n_hashes, portable=True
+    ).cache()
+    try:
+        if os.path.isdir(idx_dir) and any(
+            e.startswith("sig_epoch=") for e in os.listdir(idx_dir)
+        ):
+            index = (
+                sp.read.parquet(idx_dir)
+                .filter(F.col("sig_epoch") < F.lit(batch_id))
+                .select("doc_id", "h", "minhash")
+            )
+        else:
+            index = sp.createDataFrame([], sig_schema)
+        decisions = D.incremental_near_dup(
+            sigs,
+            index,
+            n_hashes=n_hashes,
+            bands=bands,
+            min_est_jaccard=min_est_jaccard,
+        )
+        (
+            decisions.withColumn("ingest_epoch", F.lit(batch_id).cast("int"))
+            .write.mode("overwrite")
+            .partitionBy("ingest_epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(dec_dir)
+        )
+        # the index records EVERY ingested doc's signatures (kept or
+        # dup — near-of-near must still attribute to history), the
+        # rule that makes the daily fold equal the one-shot backfill
+        (
+            sigs.withColumn("sig_epoch", F.lit(batch_id).cast("int"))
+            .write.mode("overwrite")
+            .partitionBy("sig_epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(idx_dir)
+        )
+    finally:
+        sigs.unpersist()
+
+
 def run_near_dup_ingest_sink(
     spark: SparkSession,
     doc_stream: DataFrame,
@@ -119,7 +190,10 @@ def run_near_dup_ingest_sink(
     are parquet directories partitioned by the micro-batch id with
     dynamic partition overwrite — a retried batch (same batchId after a
     failure) REPLACES its own decisions and its own index slice rather
-    than duplicating them. Per-trigger cost is O(batch × index-bucket
+    than duplicating them, and the history read is filtered to
+    ``sig_epoch < batch_id`` so a failed attempt's own partially-written
+    index slice can never count as history on the retry
+    (``_near_dup_apply_batch``; exercised by the retry test). Per-trigger cost is O(batch × index-bucket
     collisions): only the new batch is ever shingled; history
     contributes 16 smallints + 4 band keys per doc, read back as a
     bucketable equi-join side. Returns the cumulative decisions table
@@ -132,57 +206,22 @@ def run_near_dup_ingest_sink(
     is intrinsic to ingest dedup (history precedence), not an artifact
     of this sink.
     """
-    from mapreduce_big_data_processing_spark.operators import dedup as D
-
     idx_dir = os.path.join(work_dir, "sig_index")
     dec_dir = os.path.join(work_dir, "decisions")
     ckpt = os.path.join(work_dir, "ckpt")
     for d in (idx_dir, dec_dir, ckpt):
         shutil.rmtree(d, ignore_errors=True)
-    sig_schema = "doc_id bigint, h int, minhash bigint"
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sp = batch_df.sparkSession
-        # cache (not localCheckpoint: keep size statistics for the verify
-        # joins' planning) — feeds the classify AND the index append
-        sigs = D.minhash_signatures(
-            D.shingles(batch_df, k=3), n_hashes=n_hashes, portable=True
-        ).cache()
-        try:
-            if os.path.isdir(idx_dir) and any(
-                e.startswith("sig_epoch=") for e in os.listdir(idx_dir)
-            ):
-                index = sp.read.parquet(idx_dir).select(
-                    "doc_id", "h", "minhash"
-                )
-            else:
-                index = sp.createDataFrame([], sig_schema)
-            decisions = D.incremental_near_dup(
-                sigs,
-                index,
-                n_hashes=n_hashes,
-                bands=bands,
-                min_est_jaccard=min_est_jaccard,
-            )
-            (
-                decisions.withColumn("ingest_epoch", F.lit(batch_id).cast("int"))
-                .write.mode("overwrite")
-                .partitionBy("ingest_epoch")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(dec_dir)
-            )
-            # the index records EVERY ingested doc's signatures (kept or
-            # dup — near-of-near must still attribute to history), the
-            # rule that makes the daily fold equal the one-shot backfill
-            (
-                sigs.withColumn("sig_epoch", F.lit(batch_id).cast("int"))
-                .write.mode("overwrite")
-                .partitionBy("sig_epoch")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(idx_dir)
-            )
-        finally:
-            sigs.unpersist()
+        _near_dup_apply_batch(
+            batch_df,
+            batch_id,
+            idx_dir=idx_dir,
+            dec_dir=dec_dir,
+            n_hashes=n_hashes,
+            bands=bands,
+            min_est_jaccard=min_est_jaccard,
+        )
 
     q = (
         doc_stream.writeStream.foreachBatch(apply_batch)

@@ -61,6 +61,18 @@ def test_star_cc_deep_path(spark):
 
 
 @pytest.mark.slow
+def test_star_cc_unconverged_raises(spark):
+    # an exhausted max_iter must RAISE, not return labels that are merely
+    # closer to the minima than the input (r7 ADVICE: a partial result
+    # must not masquerade as the oracle-checked fixpoint)
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint within max_iter"):
+        G.connected_components_star(df, max_iter=1)
+
+
+@pytest.mark.slow
 def test_star_cc_self_loops_and_isolated(spark):
     # a node seen only in a self-loop is a singleton component of itself
     got = _star(spark, [(5, 5), (1, 2)])
