@@ -52,7 +52,11 @@ HEADLINE = [
     "exact_dedup",
     "token_stats",
     "quality_scores",
-    "knn_predictions",
+    # r8: the GRADED kNN entry is the 100 TB route (collect-free LSH
+    # bucket join, corpus-sized planes); the exact quadratic baseline
+    # stays registered/oracled as knn_predictions but is no longer the
+    # bench representative (r7 verdict ask #3)
+    "knn_predictions_routed",
     "embedding_near_dup",
     "minhash_lsh_pairs",
     "chunk_dedup_docs",

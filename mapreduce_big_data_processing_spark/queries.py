@@ -2294,6 +2294,95 @@ def knn_weighted_predictions(spark, sf_dir):
     return ML.knn_classify(train, test, k=5, weighted=True)
 
 
+#: Oracle for the ROUTED (100 TB-path) kNN: replays the corpus-sized
+#: plane count (pure-integer sizing rule), the seeded-LCG hyperplanes,
+#: the home-bucket equi-join candidate set, and the top-5 majority vote —
+#: recall<1 vs brute force, but fully deterministic, so the hash-match
+#: pins the route end to end (the `embedding_near_dup_sized` pattern).
+_KNN_ROUTED_SQL = """
+    WITH RECURSIVE
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nc AS (SELECT count(*) AS n FROM e WHERE vec_id % 5 <> 0),
+    pc AS (SELECT coalesce(min(p), 24) AS p
+           FROM (SELECT unnest(generate_series(4, 24)) AS p) ps, nc
+           WHERE (1024::BIGINT << p) >= nc.n),
+    lcg AS (
+      SELECT 0 AS k, CAST(42 AS HUGEINT) AS state
+      UNION ALL
+      SELECT k + 1,
+             (state * 6364136223846793005 + 1442695040888963407)
+               % 18446744073709551616
+      FROM lcg, pc WHERE k < pc.p * 64
+    ),
+    planes AS (
+      SELECT CAST((k - 1) // 64 AS INT) AS i, CAST((k - 1) % 64 AS INT) AS j,
+             ((state // 2048) / 9007199254740992.0) * 2.0 - 1.0 AS val
+      FROM lcg WHERE k >= 1
+    ),
+    ex AS (SELECT vec_id, CAST(generate_subscripts(v, 1) - 1 AS INT) AS j,
+                  unnest(v) AS x FROM e),
+    dots AS (SELECT ex.vec_id, p.i, sum(ex.x * p.val) AS d
+             FROM ex JOIN planes p USING (j) GROUP BY 1, 2),
+    sig AS (SELECT vec_id,
+                   CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM dots GROUP BY 1),
+    q AS (SELECT e.vec_id AS tid, e.v AS qv, s.bucket
+          FROM e JOIN sig s USING (vec_id) WHERE e.vec_id % 5 = 0),
+    c AS (SELECT e.vec_id AS nbr, e.label, e.v AS cv, s.bucket
+          FROM e JOIN sig s USING (vec_id) WHERE e.vec_id % 5 <> 0),
+    scored AS (
+      SELECT q.tid, c.label, c.nbr,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+      FROM q JOIN c USING (bucket)),
+    top AS (
+      SELECT tid, label, sim FROM (
+        SELECT tid, label, sim,
+               row_number() OVER (PARTITION BY tid ORDER BY sim DESC, nbr) AS rn
+        FROM scored) WHERE rn <= 5),
+    votes AS (SELECT tid, label, count(*) AS votes, max(sim) AS best
+              FROM top GROUP BY tid, label),
+    pick AS (
+      SELECT tid, label,
+             row_number() OVER (PARTITION BY tid
+                                ORDER BY votes DESC, best DESC, label) AS rn
+      FROM votes)
+    SELECT tid AS vec_id, label AS pred FROM pick WHERE rn = 1
+    """
+
+
+@query("knn_predictions_routed", _KNN_ROUTED_SQL)
+def knn_predictions_routed(spark, sf_dir):
+    """M1 — kNN over the 100 TB ROUTE: the collect-free LSH-bucketed
+    scorer (`ml.knn_classify(method='lsh')`) with a CORPUS-SIZED plane
+    count, replacing the |test|·|train| score matrix the reference's
+    broadcast loop computes (`…/final_kNN_src/phase2/KNNMapper.java:120-160`)
+    with a home-bucket equi-join: plane count =
+    `similarity.sized_plane_count(|train|)` (integer ceil-log2, clamped
+    [4,24]) keeps mean bucket occupancy ~1024 as the corpus grows, so
+    per-query candidate work stays ~constant where `knn_predictions`'s
+    exact baseline is O(|train|) per query. The test side is never
+    collected (probe signatures are computed as expressions; the bucket
+    join broadcasts only the signature-keyed query table), and the
+    whole route — sizing rule, seeded-LCG planes, bucketing, top-5
+    cosine vote — is deterministic, so the DuckDB oracle replays it and
+    the predictions hash-match at every SF despite recall<1 vs the
+    exact sibling (which stays registered as the oracle-exact
+    contract)."""
+    from mapreduce_big_data_processing_spark.operators import ml as ML
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    test = emb.filter(F.col("vec_id") % 5 == 0)
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    n = train.count()  # one column-pruned count; sizes the plane count
+    planes = S.seeded_planes(S.sized_plane_count(n), dim=64, seed=42)
+    return ML.knn_classify(
+        train, test, k=5, method="lsh", planes=planes, n_probe=1
+    )
+
+
 _NB_SQL_BODY = f"""
     WITH toks AS ({_TOKS_SQL}),
     train AS (
@@ -8445,22 +8534,71 @@ def semantic_contamination_dense(spark, sf_dir):
 #: THIS list is the driver-facing contract (pinned by tests/test_registry.py,
 #: which asserts per-component window coverage rather than fixed names).
 _PRIORITY = [
-    # ==== the 50-entry driver window (round 7) ====================
-    # r7 rotation (per the r6 queue plan): slot 1 is the flagship;
-    # slots 2-17 are the 16 registered queries that had NEVER been
-    # externally driver-checked after r6 (each gate-SF-verified this
-    # round in a full 213/213 plain-session driver sim, non-vacuous) —
-    # with them green, every registered query will have at least one
-    # external CORRECTNESS row. Slots 18-50 rotate previously-green
-    # siblings whose last external row is OLDEST back through the
-    # resting components: the 9 names last green in r1, the 13 last
-    # green in r2, and 11 component-diverse names last green in r3
-    # (TPC-H primaries, text stats, streaming, sources, sketches, ML,
-    # as-of), so recency is spread across the whole registry. Every
-    # resting component keeps a prior-round green row
-    # (tests/test_registry.py distinguishes in-window reps from
-    # prior-green rest).
+    # ==== the 50-entry driver window (round 8) ====================
+    # r8 rotation (fresh-first, per the r6+ policy): slot 1 is the
+    # flagship; slots 2-6 are the 5 queries with no external
+    # CORRECTNESS row yet (the four r7 additions, each pre-verified at
+    # sf0.001/0.01/0.1 + 10x, plus this round's knn_predictions_routed,
+    # verified the same way) — green rows for them close the registry's
+    # last evidence gap (217+1 registered, every one externally
+    # checked). Slots 7-29 refresh ALL 23 names whose latest external
+    # green row is r3 (the oldest in the registry); slots 30-50 refresh
+    # 21 component-diverse names last green in r4 — the remaining 22
+    # r4 names head the r9 queue. Every resting component keeps a
+    # prior-round green row (tests/test_registry.py distinguishes
+    # in-window reps from prior-green rest).
     "curated_training_set",
+    "near_dup_clusters_star",
+    "part_profit_by_nation_year",
+    "streaming_near_dup_ingest",
+    "returned_revenue_top_customers",
+    "knn_predictions_routed",
+    "bloom_filtered_orders",
+    "brand_volume",
+    "cooccurrence_window2",
+    "dedup_survivors",
+    "distinct_users_per_type",
+    "duplicate_text_spans",
+    "frequent_itemsets",
+    "hourly_event_stats",
+    "keyed_scan_latest",
+    "knn_weighted_predictions",
+    "lsh_similarity_topk",
+    "nation_market_share",
+    "nb_accuracy",
+    "order_count_histogram",
+    "orders_per_year_priority",
+    "priority_geomean_price",
+    "segment_except",
+    "shuffled_shard_manifest",
+    "sparse_tfidf_vectors",
+    "status_rollup",
+    "supplier_rank_in_nation",
+    "user_event_timeline",
+    "wordcount_sans_stopwords",
+    "minhash_lsh_pairs",
+    "embedding_near_dup",
+    "simhash_near_dup_pairs",
+    "embedding_dup_clusters",
+    "benchmark_contamination",
+    "multiprobe_lsh_topk",
+    "ivf_knn_recall",
+    "doc_ngram_repetition",
+    "redacted_docs",
+    "token_budget_sample",
+    "user_freq_countmin",
+    "streaming_session_counts",
+    "keyed_table_upsert",
+    "parsed_access_log",
+    "hive_compound_types",
+    "kmeans_clusters",
+    "association_rules_conf",
+    "nb_predictions_reference_mode",
+    "pagerank_converged",
+    "cjk_word_count",
+    "nation_trade_flows",
+    # ---- end of the 50-entry driver window ----
+    # tail: displaced previously-green names, oldest-refresh-first
     "customer_value_rank_profile",
     "doc_cross_entropy",
     "dup_rate_by_source_pair",
@@ -8510,7 +8648,6 @@ _PRIORITY = [
     "monthly_user_reach_hll",
     "svm_accuracy",
     "asof_click_before_purchase",
-    # ---- end of the 50-entry driver window ----
     "bpe_vocab_merges",
     "excess_stock_parts",
     "embedding_near_dup_sized",
@@ -8609,7 +8746,6 @@ _PRIORITY = [
     "word_graph_bfs",
     "customers_without_orders",
     "priority_line_mix",
-    "nation_trade_flows",
     "disjunctive_part_revenue",
     "returned_orders_by_priority",
     "global_price_rank",
@@ -8619,68 +8755,18 @@ _PRIORITY = [
     "active_building_buyers",
     "status_priority_cube",
     "knn_accuracy",
-    "ivf_knn_recall",
     "top_parts_per_brand",
     "event_time_rollup",
     "forecast_peak_hour",
-    "cjk_word_count",
     "tfidf_reference_semantics",
     "pmi_collocations",
     "latest_event_per_user",
-    "hive_compound_types",
-    "pagerank_converged",
-    "association_rules_conf",
-    "nb_predictions_reference_mode",
-    "kmeans_clusters",
     "class_centroids",
-    "parsed_access_log",
-    "keyed_table_upsert",
-    "streaming_session_counts",
     "doc_token_chunks",
     "incremental_ingest_dedup",
-    "minhash_lsh_pairs",
-    "embedding_dup_clusters",
-    "simhash_near_dup_pairs",
-    "multiprobe_lsh_topk",
     "value_band_counts",
-    "doc_ngram_repetition",
-    "redacted_docs",
-    "embedding_near_dup",
-    "user_freq_countmin",
-    "token_budget_sample",
     "bm25_ranked_docs",
     "span_stripped_docs",
-    "benchmark_contamination",
-    "brand_volume",
-    "bloom_filtered_orders",
-    "order_count_histogram",
-    "distinct_users_per_type",
-    "nation_market_share",
-    "segment_except",
-    "status_rollup",
-    "orders_per_year_priority",
-    "supplier_rank_in_nation",
-    "hourly_event_stats",
-    "wordcount_sans_stopwords",
-    "sparse_tfidf_vectors",
-    "cooccurrence_window2",
-    "user_event_timeline",
-    "knn_weighted_predictions",
-    "nb_accuracy",
-    "frequent_itemsets",
-    "keyed_scan_latest",
-    "priority_geomean_price",
-    "dedup_survivors",
-    "lsh_similarity_topk",
-    "shuffled_shard_manifest",
-    "duplicate_text_spans",
-    # round-8 rotation queue: new this round, never externally checked —
-    # promote into the r8 window (pre-verify at sf0.01 + non-vacuity per
-    # the verify skill's rule first)
-    "near_dup_clusters_star",
-    "part_profit_by_nation_year",
-    "streaming_near_dup_ingest",
-    "returned_revenue_top_customers",
 ]
 
 

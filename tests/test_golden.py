@@ -484,6 +484,47 @@ def test_knn_lsh_route_matches_broadcast_at_full_probe(spark, sf_dir):
     assert cost_routed == broadcast
 
 
+@pytest.mark.slow
+def test_knn_routed_pruned_probe_quality_on_clustered_corpus(spark, sf_dir):
+    """The registered routed kNN (home-bucket probe, corpus-sized plane
+    count — the knn_predictions_routed configuration) must track the
+    exact broadcast route where cluster structure exists, as in real
+    embedding corpora: >= 0.9 label agreement on the synthetic clustered
+    fixture (the IVF recall test's construction, label = cluster id). On
+    the UNIFORM random fixture agreement collapses toward the 1/10
+    chance floor — a property of that fixture, not the route (the
+    BENCH_SCALE r3 lesson)."""
+    from mapreduce_big_data_processing_spark import catalog
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    cmod = (F.col("vec_id") % 8).cast("int")
+    clustered = emb.select(
+        "vec_id",
+        cmod.alias("label"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when((i % 8) == cmod, F.lit(1.0)).otherwise(F.lit(0.0))
+            + x.cast("double") * F.lit(0.05),
+        ).alias("embedding"),
+    )
+    train = clustered.filter(F.col("vec_id") % 5 != 0)
+    test = clustered.filter(F.col("vec_id") % 5 == 0)
+    exact = {
+        r.vec_id: r.pred for r in ML.knn_classify(train, test, k=5).collect()
+    }
+    planes = S.seeded_planes(S.sized_plane_count(400), dim=64, seed=42)
+    routed = {
+        r.vec_id: r.pred
+        for r in ML.knn_classify(
+            train, test, k=5, method="lsh", planes=planes, n_probe=1
+        ).collect()
+    }
+    agree = sum(1 for k, v in routed.items() if exact.get(k) == v)
+    assert len(exact) > 0
+    assert agree / len(exact) >= 0.9, agree / len(exact)
+
+
 def test_bpe_classic_merges(spark):
     """Sennrich ACL'16 worked example (no end-of-word marker): corpus
     low×5 lower×2 newest×6 widest×3. Pair counts: (e,s)=9 ties (s,t)=9 ->

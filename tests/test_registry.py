@@ -90,6 +90,7 @@ _COMPONENT_REPS = {
     "G4": {"label_propagation"},
     "M1/J6": {"knn_predictions", "knn_weighted_predictions",
                "knn_accuracy", "ivf_knn_recall",
+               "knn_predictions_routed",  # the 100 TB LSH-bucketed route
                "hard_negative_pairs"},  # J6 similarity join, ANN-mined
     "M2/M3": {"nb_predictions", "nb_accuracy",
                "nb_predictions_reference_mode"},
