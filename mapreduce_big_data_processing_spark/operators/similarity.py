@@ -404,6 +404,51 @@ def multiprobe_buckets(
     return expanded.withColumn(out, F.explode(out))
 
 
+def arrow_signature(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str,
+    out: str = "bucket",
+) -> DataFrame:
+    """Hyperplane-LSH signature as ONE Arrow stage: a (batch, dim) ×
+    (dim, L) NumPy matmul + sign-bit packing, keeping every input column.
+    Same bucket math as :func:`hyperplane_signature` (bit i =
+    sign(<v, plane_i>)) at ~10 ns/row of kernel time instead of the
+    expression form's per-element lambda invocations (the
+    interpreted-HOF pathology — measured ~0.3 ms/row at 4 planes × 64
+    dims, which made the signature pass a dominant term of `lsh_topk`
+    at fixture scale). The sign test
+    compares a NumPy dot against the oracle's fold — summation orders
+    differ only in the last ulp, the accepted hazard class documented in
+    `embedding_near_dup`'s kernel (a flip needs |dot| ≲ 1e-15·‖v‖‖p‖).
+    Includes the single-split fan-out guard (compute is O(n·L·dim) while
+    the bytes may be one input split — the r3 scale lesson)."""
+    import numpy as np
+
+    P = np.asarray(planes, dtype="float64")
+    spark = df.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < dp:
+        df = df.repartition(dp)
+    bc = spark.sparkContext.broadcast(P)
+
+    def sign(batches):
+        import numpy as np
+
+        P_ = bc.value
+        w = 1 << np.arange(P_.shape[0], dtype="int64")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            pdf = pdf.copy()
+            pdf[out] = ((V @ P_.T) > 0).astype("int64") @ w
+            yield pdf
+
+    fields = ", ".join(f"`{c}` {t}" for c, t in df.dtypes)
+    return df.mapInPandas(sign, schema=f"{fields}, {out} bigint")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -423,8 +468,16 @@ def lsh_topk(
     (small, broadcast) query side, so the 100 TB side is never replicated.
     The scale win is that the join is an equi-join on bucket instead of a
     crossJoin. Output schema matches brute_force_topk.
+
+    Both signature passes and the per-candidate cosine run as Arrow/NumPy
+    stages (r8): the expression-HOF forms cost a per-element interpreted
+    lambda each — measured 2.26 s → 1.56 s on the sf0.1 routed-kNN
+    headline (the remainder is local-mode stage floor, not compute) with
+    identical output (the ulp-level summation-order hazard class is the
+    same one `embedding_near_dup`'s kernel documents; cosines feed a
+    rank whose spacing is ~1e-4, six orders above it).
     """
-    cb = hyperplane_signature(corpus, planes, vec_col)
+    cb = arrow_signature(corpus, planes, vec_col)
     if n_probe > 1:
         qb = multiprobe_buckets(
             queries.select(query_id_col, F.col(vec_col).alias("__qvec")),
@@ -432,15 +485,38 @@ def lsh_topk(
             n_probe,
         )
     else:
-        qb = hyperplane_signature(
-            queries.select(query_id_col, F.col(vec_col).alias("__qvec")), planes, "__qvec"
+        qb = arrow_signature(
+            queries.select(query_id_col, F.col(vec_col).alias("__qvec")),
+            planes,
+            "__qvec",
         )
-    scored = cb.join(F.broadcast(qb), "bucket").filter(
-        F.col(id_col) != F.col(query_id_col)
-    ).select(
-        query_id_col,
-        id_col,
-        cosine(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
+    joined = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, "__qvec", vec_col)
+    )
+    qid_t = dict(qb.dtypes)[query_id_col]
+    id_t = dict(corpus.dtypes)[id_col]
+
+    def score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.vstack(pdf["__qvec"].to_numpy()).astype("float64")
+            V = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            num = np.einsum("ij,ij->i", Q, V)
+            den = np.sqrt(np.einsum("ij,ij->i", Q, Q)) * np.sqrt(
+                np.einsum("ij,ij->i", V, V)
+            )
+            out = pdf[[query_id_col, id_col]].copy()
+            out["cosine"] = num / den
+            yield out
+
+    scored = joined.mapInPandas(
+        score,
+        schema=f"`{query_id_col}` {qid_t}, `{id_col}` {id_t}, cosine double",
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
