@@ -614,6 +614,55 @@ def user_session_counts(spark, sf_dir):
     return sess.groupBy("user_id").agg(F.max("session_id").alias("n_sessions"))
 
 
+@query(
+    "session_window_stats",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    sid AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS s
+      FROM g)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sid GROUP BY user_id, s
+    """,
+)
+def session_window_stats(spark, sf_dir):
+    """A15 extension — the NATIVE batch `F.session_window` aggregation
+    (the r7 verdict's named extension-headroom item: the streaming
+    session twin was registered, the batch `session_window` operator was
+    not — `user_session_counts` covers the semantics via the
+    gaps-and-islands plan, this registers Spark's built-in merging
+    session-window aggregate itself). One shuffle on the grouping key;
+    session end = last event + gap by the operator's contract, which the
+    oracle replays from the island rollup. Boundary semantics probed
+    before registering: events EXACTLY gap apart DO merge (Spark's merge
+    test is ts_new <= prev_end, inclusive), so the oracle's new-session
+    rule is strictly-greater — `diff > gap`, not `>=`. Zero-float output
+    (timestamps + counts), so no rounding protocol is needed."""
+    ev = _t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 # ===========================================================================
 # Text operators on documents (SURVEY §2 P3, A1, A5-A7, A9-A12)
 # ===========================================================================
@@ -8767,6 +8816,10 @@ _PRIORITY = [
     "value_band_counts",
     "bm25_ranked_docs",
     "span_stripped_docs",
+    # round-9 rotation queue: new this round, never externally checked —
+    # pre-verified at sf0.001/0.01/0.1 on plain sessions before
+    # registration (the verify skill's rule)
+    "session_window_stats",
 ]
 
 

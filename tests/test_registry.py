@@ -67,6 +67,7 @@ _COMPONENT_REPS = {
                 "event_time_rollup",  # hour+day+total counts AND sums
                 "sliding_window_counts",  # sliding-window count variant
                 "daily_revenue_moving_avg",  # window-average variant
+                "session_window_stats",  # native batch session_window
                 "per_minute_error_counts", "trailing_hour_user_load"},
     "A17/M7": {"forecast_rmse", "forecast_peak_hour",
                "event_type_daily_trend",  # OLS trend — the forecasting step
