@@ -6190,6 +6190,72 @@ def top_revenue_supplier(spark, sf_dir):
 
 
 @query(
+    "important_parts_by_value",
+    """
+    WITH nsup AS (
+      SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_19'),
+    val AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                  AS BIGINT) AS units
+      FROM lineitem JOIN nsup ON l_suppkey = s_suppkey
+      GROUP BY l_partkey),
+    tot AS (SELECT CAST(sum(units) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS c FROM val)
+    SELECT p.p_partkey, p.p_name,
+           round(v.units / 10000.0, 2) AS part_value
+    FROM val v JOIN part p ON p.p_partkey = v.l_partkey CROSS JOIN tot
+    WHERE v.units * tot.c > 2 * tot.t
+    """,
+)
+def important_parts_by_value(spark, sf_dir):
+    """TPC-H Q11 adaptation (important stock identification — the
+    group-value-vs-global-fraction-threshold shape; the fixture has no
+    partsupp table, so value(part) = one nation's suppliers' lineitem
+    revenue instead of supplycost·availqty). The global aggregate
+    reduces to a 1-row DataFrame broadcast back as a scalar (the Q15
+    pattern), and the threshold compare is EXACT integer
+    cross-multiplication — units·n_parts > 2·total, parts above 2× the
+    mean — so no float enters the predicate; Q11's fixed fraction
+    (0.0001/SF, scale-dependent by spec) is replaced by the mean-derived
+    threshold precisely so ONE query text stays non-vacuous at every
+    fixture (measured ~8-9% selectivity from sf0.01 through the 100×
+    corpus; the fixed 1/1024 fraction passed 0 rows beyond sf0.01 — the
+    fixture-dependent-vacuity class). part_value derives from the same
+    integer units on both sides (the integer-cents protocol)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+    nsup = R.broadcast_join(
+        sup,
+        nat.filter(F.col("n_name") == "NATION_19"),
+        sup["s_nationkey"] == nat["n_nationkey"],
+    ).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(nsup), li["l_suppkey"] == nsup["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents4()).cast("long").alias("units"))
+    )
+    tot = val.agg(
+        F.sum("units").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    keep = val.crossJoin(F.broadcast(tot)).filter(
+        F.col("units") * F.col("c") > F.lit(2) * F.col("t")
+    )
+    return R.broadcast_join(
+        part, keep, part["p_partkey"] == keep["l_partkey"]
+    ).select(
+        "p_partkey",
+        "p_name",
+        F.round(F.col("units") / 10000.0, 2).alias("part_value"),
+    )
+
+
+@query(
     "curated_training_set",
     "WITH "
     + _CLEAN_CORPUS_CTES
@@ -8820,6 +8886,7 @@ _PRIORITY = [
     # pre-verified at sf0.001/0.01/0.1 on plain sessions before
     # registration (the verify skill's rule)
     "session_window_stats",
+    "important_parts_by_value",
 ]
 
 
