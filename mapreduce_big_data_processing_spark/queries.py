@@ -6238,6 +6238,13 @@ def important_parts_by_value(spark, sf_dir):
         li.join(F.broadcast(nsup), li["l_suppkey"] == nsup["s_suppkey"])
         .groupBy("l_partkey")
         .agg(F.sum(_cents4()).cast("long").alias("units"))
+        # the total AND the threshold filter both consume `val`; left lazy,
+        # the lineitem scan+join+agg executes twice (the r7
+        # union-over-lazy lesson — 7 scans in the executed plan). val is
+        # PARTS-sized, so materialize it once; the checkpoint's stats loss
+        # is harmless here because every downstream join is explicitly
+        # broadcast-hinted (the minhash observed-max-gate trade)
+        .localCheckpoint(eager=True)
     )
     tot = val.agg(
         F.sum("units").cast("long").alias("t"),

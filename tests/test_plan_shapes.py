@@ -790,3 +790,30 @@ def test_q10_pushdowns_and_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
     assert _count(plan, "Exchange hashpartitioning") == 1
+
+
+def test_routed_knn_is_bucket_equijoin(spark, sf_dir):
+    """The bench-graded kNN route must score through a broadcast
+    equi-join on the LSH bucket — never a CartesianProduct or
+    broadcast-nested-loop (the exact baseline's shape) — with both
+    signature passes and the pair scoring as Arrow stages
+    (ArrowEvalPython/MapInPandas nodes, no per-element HOF fold in the
+    hot path)."""
+    plan = _plan(spark, sf_dir, "knn_predictions_routed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # bucket join, query side broadcast
+    assert "MapInPandas" in plan  # Arrow signature + scoring kernels
+    # the vote's label join must not resort to a nested loop either
+    assert _count(plan, "SortMergeJoin") <= 1
+
+
+def test_q11_threshold_is_broadcast_scalar(spark, sf_dir):
+    """The Q11 shape's global threshold must reach the per-part filter as
+    a broadcast 1-row scalar (the Q15 pattern): no second aggregation of
+    the fact, no sort, and the nation dimension broadcast into the
+    supplier semi side."""
+    plan = _plan(spark, sf_dir, "important_parts_by_value")
+    assert "CartesianProduct" not in plan
+    assert _count(plan, "Scan parquet") <= 5  # lineitem read ≤2 (val+tot), dims once
+    assert "Sort " not in plan or "SortMergeJoin" not in plan
