@@ -289,20 +289,26 @@ def knn_classify(
             vec_col=vec_col,
             query_id_col="__tid",
         ).select("__tid", F.col(id_col).alias("__nbr"), "cosine")
+        # lsh_topk already cut to the global top-k per query with the
+        # identical (desc cosine, asc id) order — re-windowing here would
+        # re-sort the same ≤k rows for nothing (two WindowGroupLimit
+        # passes in the executed plan)
     else:
+        # batch-local top-k: up to k candidates PER ARROW BATCH survive,
+        # so the global per-query cut still has to run
         cand = _batch_scored_candidates(
             train, q, k, id_col, vec_col, "__tid", q_rows=q_rows,
             max_broadcast_queries=max_broadcast_queries,
         ).withColumnRenamed(id_col, "__nbr")
-    w = Window.partitionBy("__tid").orderBy(F.desc("cosine"), F.asc("__nbr"))
-    top = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .join(
-            train.select(F.col(id_col).alias("__nbr"), label_col), "__nbr"
+        w = Window.partitionBy("__tid").orderBy(
+            F.desc("cosine"), F.asc("__nbr")
         )
-        .withColumnRenamed("cosine", "sim")
-    )
+        cand = cand.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= k
+        )
+    top = cand.join(
+        train.select(F.col(id_col).alias("__nbr"), label_col), "__nbr"
+    ).withColumnRenamed("cosine", "sim")
     vote_expr = F.sum("sim") if weighted else F.count(F.lit(1)).cast("double")
     votes = top.groupBy("__tid", label_col).agg(
         vote_expr.alias("votes"), F.max("sim").alias("best_sim")
