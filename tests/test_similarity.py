@@ -465,3 +465,26 @@ def test_near_dup_multiprobe_recall_and_invariants(spark, sf_dir):
         ).collect()
     }
     assert capped == probed  # forced-skew path: identical pair set
+
+
+def test_arrow_signature_matches_expression_form(spark, sf_dir):
+    """The Arrow NumPy-matmul signature (r8, the lsh_topk hot path) must
+    assign every fixture vector the SAME bucket as the oracle-exact
+    expression fold — the documented ulp-level summation-order hazard
+    (a sign flip needs |dot| ~ 1e-15·norms) must not fire on real data.
+    Runs at two plane counts including the corpus-sized one."""
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    for planes in (_seeded_planes(), S.seeded_planes(8, dim=64, seed=7)):
+        arrow = {
+            r.vec_id: r.bucket
+            for r in S.arrow_signature(emb, planes, "embedding")
+            .select("vec_id", "bucket")
+            .collect()
+        }
+        expr = {
+            r.vec_id: r.bucket
+            for r in S.hyperplane_signature(emb, planes, "embedding")
+            .select("vec_id", "bucket")
+            .collect()
+        }
+        assert arrow == expr and len(arrow) > 0
