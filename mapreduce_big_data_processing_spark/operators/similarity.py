@@ -422,9 +422,24 @@ def arrow_signature(
     differ only in the last ulp, the accepted hazard class documented in
     `embedding_near_dup`'s kernel (a flip needs |dot| ≲ 1e-15·‖v‖‖p‖).
     Includes the single-split fan-out guard (compute is O(n·L·dim) while
-    the bytes may be one input split — the r3 scale lesson)."""
+    the bytes may be one input split — the r3 scale lesson).
+
+    Input contract (stricter than the expression form, r8 advice): every
+    ``vec_col`` value must be non-null and the same dimension as the
+    planes — ``np.vstack`` raises inside the Arrow kernel on a null or
+    ragged vector, where :func:`hyperplane_signature` would have yielded
+    a null bucket. Callers with dirty corpora must filter first. ``out``
+    must not name an existing column (mapInPandas would emit a duplicate
+    field rather than replace it, unlike ``withColumn``) — checked here.
+    """
     import numpy as np
 
+    if out in df.columns:
+        raise ValueError(
+            f"arrow_signature: output column {out!r} already exists; "
+            "mapInPandas cannot replace a column in place — drop or "
+            "rename it first"
+        )
     P = np.asarray(planes, dtype="float64")
     spark = df.sparkSession
     dp = spark.sparkContext.defaultParallelism

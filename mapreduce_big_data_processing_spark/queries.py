@@ -6207,7 +6207,7 @@ def top_revenue_supplier(spark, sf_dir):
     SELECT p.p_partkey, p.p_name,
            ((v.units + 50) // 100) / 100.0 AS part_value
     FROM val v JOIN part p ON p.p_partkey = v.l_partkey CROSS JOIN tot
-    WHERE v.units * tot.c > 2 * tot.t
+    WHERE CAST(v.units AS HUGEINT) * tot.c > 2 * CAST(tot.t AS HUGEINT)
     """,
 )
 def important_parts_by_value(spark, sf_dir):
@@ -6255,8 +6255,15 @@ def important_parts_by_value(spark, sf_dir):
         F.sum("units").cast("long").alias("t"),
         F.count(F.lit(1)).cast("long").alias("c"),
     )
+    # decimal(38,0) × bigint: exact for ANY bigint pair (|product| ≤
+    # ~8.5e37 < 1e38, so the capped-at-38 precision never overflows to
+    # null) — a plain BIGINT multiply wraps silently in non-ANSI Spark
+    # while the DuckDB oracle (HUGEINT cast) stays exact, a silent
+    # divergence at corpora far beyond the tested 100× (r8 advice; the
+    # pricing_summary decimal precedent)
     keep = val.crossJoin(F.broadcast(tot)).filter(
-        F.col("units") * F.col("c") > F.lit(2) * F.col("t")
+        F.col("units").cast("decimal(38,0)") * F.col("c")
+        > F.lit(2) * F.col("t").cast("decimal(38,0)")
     )
     return R.broadcast_join(
         part, keep, part["p_partkey"] == keep["l_partkey"]
@@ -8663,244 +8670,247 @@ def semantic_contamination_dense(spark, sf_dir):
 #: THIS list is the driver-facing contract (pinned by tests/test_registry.py,
 #: which asserts per-component window coverage rather than fixed names).
 _PRIORITY = [
-    # ==== the 50-entry driver window (round 8) ====================
-    # r8 rotation (fresh-first, per the r6+ policy): slot 1 is the
-    # flagship; slots 2-6 are the 5 queries with no external
-    # CORRECTNESS row yet (the four r7 additions, each pre-verified at
-    # sf0.001/0.01/0.1 + 10x, plus this round's knn_predictions_routed,
-    # verified the same way) — green rows for them close the registry's
-    # last evidence gap (217+1 registered, every one externally
-    # checked). Slots 7-29 refresh ALL 23 names whose latest external
-    # green row is r3 (the oldest in the registry); slots 30-50 refresh
-    # 21 component-diverse names last green in r4 — the remaining 22
-    # r4 names head the r9 queue. Every resting component keeps a
-    # prior-round green row (tests/test_registry.py distinguishes
-    # in-window reps from prior-green rest).
+    # ==== the 50-entry driver window (round 9) ====================
+    # r9 rotation (fresh-first, per the r6+ policy): slot 1 is the
+    # flagship; slots 2-3 are the two r8 additions with no external
+    # CORRECTNESS row yet (session_window_stats,
+    # important_parts_by_value — both pre-verified at sf0.001/0.01/0.1
+    # on plain sessions plus direct sf1g rows, and re-verified at
+    # sf0.01 by the r8 judge). Green rows for them make the registry
+    # 220/220 externally checked. Slots 4-25 refresh ALL 22 names
+    # whose latest external green row is r4 (the oldest remaining);
+    # slots 26-50 refresh 25 component-diverse names last green in r5
+    # (inverted_index, label_propagation, jdbc_roundtrip and
+    # multimodal_features are their components' ONLY representatives,
+    # so they take precedence). The remaining 23 r5 names head the
+    # r10 queue (tail order below IS the queue: oldest-green first).
+    # customers_without_orders stays queued behind the others — its
+    # sf0.01 result is 0 rows, a vacuous external check (verify-skill
+    # r3 note). Every resting component keeps a prior-round green row
+    # (tests/test_registry.py distinguishes in-window reps from
+    # prior-green rest).
     "curated_training_set",
-    "near_dup_clusters_star",
-    "part_profit_by_nation_year",
-    "streaming_near_dup_ingest",
-    "returned_revenue_top_customers",
-    "knn_predictions_routed",
-    "bloom_filtered_orders",
-    "brand_volume",
-    "cooccurrence_window2",
-    "dedup_survivors",
-    "distinct_users_per_type",
-    "duplicate_text_spans",
-    "frequent_itemsets",
-    "hourly_event_stats",
-    "keyed_scan_latest",
-    "knn_weighted_predictions",
-    "lsh_similarity_topk",
-    "nation_market_share",
-    "nb_accuracy",
-    "order_count_histogram",
-    "orders_per_year_priority",
-    "priority_geomean_price",
-    "segment_except",
-    "shuffled_shard_manifest",
-    "sparse_tfidf_vectors",
-    "status_rollup",
-    "supplier_rank_in_nation",
-    "user_event_timeline",
-    "wordcount_sans_stopwords",
-    "minhash_lsh_pairs",
-    "embedding_near_dup",
-    "simhash_near_dup_pairs",
-    "embedding_dup_clusters",
-    "benchmark_contamination",
-    "multiprobe_lsh_topk",
-    "ivf_knn_recall",
-    "doc_ngram_repetition",
-    "redacted_docs",
-    "token_budget_sample",
-    "user_freq_countmin",
-    "streaming_session_counts",
-    "keyed_table_upsert",
-    "parsed_access_log",
-    "hive_compound_types",
-    "kmeans_clusters",
-    "association_rules_conf",
-    "nb_predictions_reference_mode",
-    "pagerank_converged",
-    "cjk_word_count",
-    "nation_trade_flows",
+    "session_window_stats",
+    "important_parts_by_value",
+    "active_building_buyers",
+    "approx_distinct_users",
+    "bm25_ranked_docs",
+    "class_centroids",
+    "customer_order_distribution",
+    "disjunctive_part_revenue",
+    "doc_token_chunks",
+    "event_time_rollup",
+    "forecast_peak_hour",
+    "global_price_rank",
+    "incremental_ingest_dedup",
+    "knn_accuracy",
+    "latest_event_per_user",
+    "pmi_collocations",
+    "priority_line_mix",
+    "regional_market_share",
+    "returned_orders_by_priority",
+    "span_stripped_docs",
+    "status_priority_cube",
+    "tfidf_reference_semantics",
+    "top_parts_per_brand",
+    "value_band_counts",
+    "asof_next_purchase_after_signup",
+    "banded_near_dup",
+    "boilerplate_stripped_docs",
+    "bpe_token_lengths",
+    "cluster_balanced_sample",
+    "csv_roundtrip",
+    "doc_containment_pairs",
+    "doc_repetition_scores",
+    "embedding_gram_matrix",
+    "event_transition_counts",
+    "exact_dedup",
+    "exact_value_quartiles",
+    "forecast_revenue_change",
+    "grouping_sets_revenue",
+    "hard_negative_pairs",
+    "hive_style_sql_join",
+    "inverted_index",
+    "ivf_similarity_topk",
+    "jdbc_roundtrip",
+    "label_propagation",
+    "lang_mixture_weights",
+    "leakage_free_split",
+    "multimodal_features",
+    "nb_predictions",
+    "pagerank_top20",
     # ---- end of the 50-entry driver window ----
-    # tail: displaced previously-green names, oldest-refresh-first
-    "customer_value_rank_profile",
-    "doc_cross_entropy",
-    "dup_rate_by_source_pair",
-    "embedding_near_dup_dense",
-    "embedding_near_dup_probed",
-    "hash_sampled_docs",
-    "mixture_sampled_counts",
-    "orc_roundtrip",
-    "per_minute_error_counts",
-    "quantized_similarity_topk",
-    "semantic_contamination_dense",
-    "shipping_priority",
-    "trailing_hour_user_load",
-    "user_value_deltas",
-    "value_percentiles",
-    "word_clustering_coefficient",
-    "doc_fingerprints",
-    "doc_frequency",
-    "event_props_histogram",
-    "hourly_avg_value",
-    "hourly_event_counts",
-    "ngram_jaccard_pairs",
-    "per_user_daily_counts",
-    "top_words",
-    "user_session_counts",
+    # tail: r10 rotation queue, oldest-external-green first
+    "customers_without_orders",
+    "event_type_daily_trend",
+    "idle_rich_customers",
+    "large_volume_customers",
+    "local_supplier_volume",
+    "part_supplier_variety",
+    "prefix_jaccard_pairs",
+    "promo_revenue_pct",
+    "semantic_contamination_sized",
+    "simhash_fingerprints",
+    "sliding_window_counts",
+    "small_quantity_part_revenue",
+    "son_frequent_itemsets",
+    "source_distinctive_terms",
+    "streaming_upsert_state",
+    "svm_predictions",
+    "tagged_union_counts",
+    "token_zipf_slope",
+    "user_status_intervals",
+    "value_quantile_rollup",
+    "waiting_suppliers",
+    "weighted_doc_sample",
+    "word_graph_bfs",
+    "ann_recall_eval",
+    "approx_value_percentiles",
+    "bigram_lm_cross_entropy",
+    "bpe_vocab_merges",
+    "brand_price_quantity_slope",
+    "cheapest_parts_per_type",
+    "clean_corpus",
+    "customer_spend_quartiles",
+    "daily_revenue_moving_avg",
+    "dedup_savings_report",
+    "doc_length_auc",
+    "embedding_near_dup_sized",
+    "embedding_quantization_error",
+    "embedding_random_projection",
+    "embedding_top_pc",
+    "event_type_user_overlap",
+    "events_profile",
+    "events_quality_checks",
+    "excess_stock_parts",
+    "funnel_view_click_purchase",
+    "hourly_count_anomalies",
+    "incremental_ingest_near_dup",
+    "integrity_checks",
+    "jsonl_roundtrip",
+    "kcenter_coreset",
+    "lang_label_agreement",
+    "lang_quota_sample",
+    "minhash_band_index",
+    "multi_epoch_ingest_near_dup",
+    "packed_sequences",
+    "pq_similarity_topk",
+    "quality_canonical_survivors",
+    "salted_user_value_totals",
+    "segment_pivot_revenue",
+    "semantic_contamination",
+    "source_data_cards",
+    "source_ngram_diversity",
+    "source_token_entropy",
+    "streaming_dedup_counts",
+    "streaming_enriched_cohort_counts",
+    "streaming_interval_join_counts",
+    "supplier_mkt_share_by_year",
+    "top_revenue_supplier",
+    "user_daily_series_filled",
+    "volume_shipping",
+    "weekly_cohort_retention",
+    "winsorized_event_stats",
+    "word_graph_sssp",
+    "word_triangle_counts",
+    "asof_click_before_purchase",
     "chunk_dedup_docs",
     "cooccurrence_pairs",
     "corpus_split_counts",
+    "customer_value_rank_profile",
     "customers_with_orders",
+    "doc_cross_entropy",
+    "doc_fingerprints",
+    "doc_frequency",
+    "dup_rate_by_source_pair",
+    "embedding_near_dup_dense",
+    "embedding_near_dup_probed",
+    "event_props_histogram",
     "finished_order_ratio",
+    "forecast_rmse",
+    "hash_sampled_docs",
     "heavy_hitter_users",
+    "hourly_avg_value",
+    "hourly_event_counts",
     "knn_predictions",
     "language_id",
-    "near_dup_clusters",
-    "segment_set_ops",
-    "similarity_topk",
-    "tfidf",
-    "word_count",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_customers",
-    "quality_scores",
-    "token_stats",
-    "forecast_rmse",
-    "streaming_hourly_counts",
-    "source_roundtrip",
+    "mixture_sampled_counts",
     "monthly_user_reach_hll",
+    "near_dup_clusters",
+    "ngram_jaccard_pairs",
+    "orc_roundtrip",
+    "per_minute_error_counts",
+    "per_user_daily_counts",
+    "pricing_summary",
+    "quality_scores",
+    "quantized_similarity_topk",
+    "revenue_by_nation",
+    "segment_set_ops",
+    "semantic_contamination_dense",
+    "shipping_priority",
+    "similarity_topk",
+    "source_roundtrip",
+    "streaming_hourly_counts",
     "svm_accuracy",
-    "asof_click_before_purchase",
-    "bpe_vocab_merges",
-    "excess_stock_parts",
-    "embedding_near_dup_sized",
-    "incremental_ingest_near_dup",
-    "multi_epoch_ingest_near_dup",
-    "minhash_band_index",
-    "semantic_contamination",
-    "embedding_top_pc",
-    "pq_similarity_topk",
-    "ann_recall_eval",
-    "word_graph_sssp",
-    "word_triangle_counts",
-    "brand_price_quantity_slope",
-    "events_quality_checks",
-    "supplier_mkt_share_by_year",
-    "volume_shipping",
-    "cheapest_parts_per_type",
-    "top_revenue_supplier",
-    "customer_spend_quartiles",
-    "clean_corpus",
-    "segment_pivot_revenue",
-    "approx_value_percentiles",
-    "event_type_user_overlap",
-    "daily_revenue_moving_avg",
-    "hourly_count_anomalies",
-    "user_daily_series_filled",
-    "winsorized_event_stats",
-    "salted_user_value_totals",
-    "weekly_cohort_retention",
-    "funnel_view_click_purchase",
-    "source_token_entropy",
-    "source_ngram_diversity",
-    "lang_label_agreement",
-    "bigram_lm_cross_entropy",
-    "doc_length_auc",
-    "dedup_savings_report",
-    "source_data_cards",
-    "quality_canonical_survivors",
-    "lang_quota_sample",
-    "packed_sequences",
-    "kcenter_coreset",
-    "embedding_random_projection",
-    "embedding_quantization_error",
-    "streaming_dedup_counts",
-    "streaming_interval_join_counts",
-    "streaming_enriched_cohort_counts",
-    "jsonl_roundtrip",
-    "events_profile",
-    "integrity_checks",
-    "forecast_revenue_change",
-    "local_supplier_volume",
-    "small_quantity_part_revenue",
-    "waiting_suppliers",
-    "large_volume_customers",
-    "exact_value_quartiles",
-    "part_supplier_variety",
-    "lang_mixture_weights",
-    "idle_rich_customers",
-    "grouping_sets_revenue",
-    "promo_revenue_pct",
-    "hard_negative_pairs",
-    "weighted_doc_sample",
-    "sliding_window_counts",
-    "event_type_daily_trend",
-    "bpe_token_lengths",
-    "source_distinctive_terms",
-    "event_transition_counts",
-    "inverted_index",
-    "user_status_intervals",
-    "tagged_union_counts",
-    "hive_style_sql_join",
-    "pagerank_top20",
-    "label_propagation",
-    "son_frequent_itemsets",
-    "nb_predictions",
-    "cluster_balanced_sample",
-    "svm_predictions",
-    "csv_roundtrip",
-    "jdbc_roundtrip",
-    "streaming_upsert_state",
-    "embedding_gram_matrix",
-    "exact_dedup",
-    "prefix_jaccard_pairs",
-    "leakage_free_split",
-    "doc_containment_pairs",
-    "simhash_fingerprints",
-    "ivf_similarity_topk",
-    "asof_next_purchase_after_signup",
-    "doc_repetition_scores",
-    "token_zipf_slope",
-    "banded_near_dup",
-    "value_quantile_rollup",
-    "multimodal_features",
-    "semantic_contamination_sized",
-    "boilerplate_stripped_docs",
-    "word_graph_bfs",
-    "customers_without_orders",
-    "priority_line_mix",
-    "disjunctive_part_revenue",
-    "returned_orders_by_priority",
-    "global_price_rank",
-    "customer_order_distribution",
-    "approx_distinct_users",
-    "regional_market_share",
-    "active_building_buyers",
-    "status_priority_cube",
-    "knn_accuracy",
-    "top_parts_per_brand",
-    "event_time_rollup",
-    "forecast_peak_hour",
-    "tfidf_reference_semantics",
-    "pmi_collocations",
-    "latest_event_per_user",
-    "class_centroids",
-    "doc_token_chunks",
-    "incremental_ingest_dedup",
-    "value_band_counts",
-    "bm25_ranked_docs",
-    "span_stripped_docs",
-    # round-9 rotation queue: new this round, never externally checked —
-    # pre-verified at sf0.001/0.01/0.1 on plain sessions before
-    # registration (the verify skill's rule)
-    "session_window_stats",
-    "important_parts_by_value",
+    "tfidf",
+    "token_stats",
+    "top_customers",
+    "top_words",
+    "trailing_hour_user_load",
+    "user_session_counts",
+    "user_value_deltas",
+    "value_percentiles",
+    "word_clustering_coefficient",
+    "word_count",
+    "association_rules_conf",
+    "benchmark_contamination",
+    "bloom_filtered_orders",
+    "brand_volume",
+    "cjk_word_count",
+    "cooccurrence_window2",
+    "dedup_survivors",
+    "distinct_users_per_type",
+    "doc_ngram_repetition",
+    "duplicate_text_spans",
+    "embedding_dup_clusters",
+    "embedding_near_dup",
+    "frequent_itemsets",
+    "hive_compound_types",
+    "hourly_event_stats",
+    "ivf_knn_recall",
+    "keyed_scan_latest",
+    "keyed_table_upsert",
+    "kmeans_clusters",
+    "knn_predictions_routed",
+    "knn_weighted_predictions",
+    "lsh_similarity_topk",
+    "minhash_lsh_pairs",
+    "multiprobe_lsh_topk",
+    "nation_market_share",
+    "nation_trade_flows",
+    "nb_accuracy",
+    "nb_predictions_reference_mode",
+    "near_dup_clusters_star",
+    "order_count_histogram",
+    "orders_per_year_priority",
+    "pagerank_converged",
+    "parsed_access_log",
+    "part_profit_by_nation_year",
+    "priority_geomean_price",
+    "redacted_docs",
+    "returned_revenue_top_customers",
+    "segment_except",
+    "shuffled_shard_manifest",
+    "simhash_near_dup_pairs",
+    "sparse_tfidf_vectors",
+    "status_rollup",
+    "streaming_near_dup_ingest",
+    "streaming_session_counts",
+    "supplier_rank_in_nation",
+    "token_budget_sample",
+    "user_event_timeline",
+    "user_freq_countmin",
+    "wordcount_sans_stopwords",
 ]
 
 

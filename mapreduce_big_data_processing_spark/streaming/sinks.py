@@ -118,8 +118,12 @@ def _near_dup_apply_batch(
     ``sig_epoch < batch_id`` filter every doc in the retried batch would
     find its own signatures in "history" (16/16 agreement) and flip to
     ``near_dup_of_history`` with ``matched_id = doc_id``. The filter is
-    on the partition column, so it is also a partition-pruned scan —
-    the retry read never touches the possibly-corrupt slice at all.
+    on the partition column, so partition pruning keeps the retry read
+    from scanning ROWS of the possibly-corrupt slice; an explicit read
+    schema (below) keeps schema INFERENCE from sampling a torn file's
+    footer in that slice either — without it, ``spark.read.parquet``
+    may open files from the failed attempt just to infer the schema
+    and fail the whole read (r8 advice).
     """
     from mapreduce_big_data_processing_spark.operators import dedup as D
 
@@ -135,7 +139,8 @@ def _near_dup_apply_batch(
             e.startswith("sig_epoch=") for e in os.listdir(idx_dir)
         ):
             index = (
-                sp.read.parquet(idx_dir)
+                sp.read.schema(sig_schema + ", sig_epoch int")
+                .parquet(idx_dir)
                 .filter(F.col("sig_epoch") < F.lit(batch_id))
                 .select("doc_id", "h", "minhash")
             )

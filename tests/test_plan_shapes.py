@@ -816,4 +816,8 @@ def test_q11_threshold_is_broadcast_scalar(spark, sf_dir):
     plan = _plan(spark, sf_dir, "important_parts_by_value")
     assert "CartesianProduct" not in plan
     assert _count(plan, "Scan parquet") <= 5  # lineitem read ≤2 (val+tot), dims once
-    assert "Sort " not in plan or "SortMergeJoin" not in plan
+    # two independent prohibitions (an `or` would pass whenever either
+    # token was absent — r8 advice): no sort-merge join anywhere, and no
+    # stray Sort operator (every join is broadcast-hinted, nothing orders)
+    assert "SortMergeJoin" not in plan
+    assert "Sort " not in plan

@@ -488,3 +488,17 @@ def test_arrow_signature_matches_expression_form(spark, sf_dir):
             .collect()
         }
         assert arrow == expr and len(arrow) > 0
+
+
+def test_arrow_signature_rejects_output_column_collision(spark, sf_dir):
+    """mapInPandas cannot replace a column in place — a pre-existing
+    column named `out` would yield a duplicate field in the output
+    schema instead of withColumn's replacement semantics (r8 advice), so
+    the operator must refuse up front."""
+    import pytest
+
+    emb = catalog.load(spark, "embeddings", sf_dir).withColumn(
+        "bucket", F.lit(0)
+    )
+    with pytest.raises(ValueError, match="bucket.*already exists"):
+        S.arrow_signature(emb, _seeded_planes(), "embedding")
