@@ -5845,21 +5845,21 @@ def streaming_near_dup_ingest(spark, sf_dir):
 
 
 _INC_NEAR_DUP_SQL = f"""
-    WITH sh AS ({_SHINGLES_SQL}),
+    WITH sh AS MATERIALIZED ({_SHINGLES_SQL}),
     based AS (
       SELECT doc_id, shingle,
              CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647
                AS base
       FROM sh),
-    mh AS (
+    mh AS MATERIALIZED (
       SELECT doc_id, h, min((a * base + b) % 2147483647) AS minhash
       FROM based CROSS JOIN (VALUES {{mh_values}}) c(h, a, b)
       GROUP BY doc_id, h),
-    banded AS (
+    banded AS MATERIALIZED (
       SELECT doc_id, CAST(h // 4 AS INT) AS band,
              md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h)) AS sig
       FROM mh GROUP BY doc_id, band),
-    tagged AS (
+    tagged AS MATERIALIZED (
       SELECT doc_id,
              CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
                                                 || 'ing'), 1, 15)) AS BIGINT)
@@ -9865,20 +9865,21 @@ def _near_dup_probed_sql(
         unions.append(f"SELECT {t} AS t, vec_id, bucket, rn FROM p{t}")
     return f"""
     WITH e AS MATERIALIZED (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
     fs(fs_id, mask, {fs_cols}) AS (VALUES {values}),{",".join(per_table)},
     p AS MATERIALIZED ({" UNION ALL ".join(unions)}),
     h AS (SELECT t, vec_id, bucket FROM p WHERE rn = 1),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
                       greatest(a.vec_id, b.vec_id) AS id_b
       FROM p a JOIN h b ON a.t = b.t AND a.bucket = b.bucket
                        AND a.vec_id <> b.vec_id),
     scored AS (
       SELECT id_a, id_b,
-             list_dot_product(ea.v, eb.v) /
-               (sqrt(list_dot_product(ea.v, ea.v))
-                * sqrt(list_dot_product(eb.v, eb.v))) AS c
+             list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) AS c
       FROM cand
       JOIN e ea ON ea.vec_id = id_a
       JOIN e eb ON eb.vec_id = id_b)

@@ -19,6 +19,7 @@ horizon (Cassandra's gc_grace discipline).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -26,6 +27,76 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_big_data_processing_spark.sources import writers as W
+
+
+def read_upsert_manifest(work_dir: str) -> dict | None:
+    """Return the committed {generation, batch_id} pointer, or None if no
+    commit has happened yet (fresh state dir)."""
+    path = os.path.join(work_dir, "MANIFEST.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def commit_upsert_manifest(work_dir: str, generation: int, batch_id: int) -> None:
+    """Atomically commit the state pointer: write a temp file, fsync, then
+    ``os.replace`` — the one atomic primitive POSIX gives a plain
+    filesystem. The manifest IS the commit: a generation directory only
+    becomes visible to readers when the pointer lands, so a crash mid-way
+    through writing the next generation leaves a torn directory that no
+    reader ever opens (the write-new/swap-pointer discipline a table
+    format's transaction log provides — Delta's _last_checkpoint /
+    Iceberg's version-hint, reduced to its two-generation core)."""
+    path = os.path.join(work_dir, "MANIFEST.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"generation": generation, "batch_id": batch_id}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
+def _keyed_upsert_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    work_dir: str,
+    gens: list[str],
+    schema,
+    key_cols: list[str],
+    version_col: str,
+    op_col: str,
+) -> None:
+    """One micro-batch of the keyed-upsert fold (module-level so crash /
+    redelivery scenarios can be exercised directly in tests).
+
+    Exactly-once under foreachBatch's at-least-once contract: the
+    committed manifest records the last batch_id whose output generation
+    became visible, so a REDELIVERED batch (same id after a checkpoint
+    recovery) is skipped outright, and a RETRIED batch (failed before
+    commit) re-reads the still-committed input generation and overwrites
+    the torn target — the flip only happens in the manifest commit, after
+    the generation write completed."""
+    mf = read_upsert_manifest(work_dir)
+    if mf is None:
+        raise RuntimeError(
+            "keyed upsert state not seeded: no MANIFEST.json in " + work_dir
+        )
+    if batch_id <= mf["batch_id"]:
+        return  # already committed — redelivery after checkpoint recovery
+    cur = mf["generation"]
+    state = batch_df.sparkSession.read.schema(schema).parquet(gens[cur])
+    merged = W.keyed_upsert(
+        state,
+        batch_df,
+        key_cols=key_cols,
+        version_col=version_col,
+        op_col=op_col,
+        keep_tombstones=True,
+    )
+    merged.write.mode("overwrite").parquet(gens[1 - cur])
+    commit_upsert_manifest(work_dir, 1 - cur, batch_id)
 
 
 def run_keyed_upsert_sink(
@@ -50,10 +121,16 @@ def run_keyed_upsert_sink(
     write-new/swap-pointer discipline a real deployment gets from a table
     format's atomic commit (Delta/Iceberg); plain parquet has no atomic
     MERGE, and overwriting the directory a plan is still reading from is
-    undefined. Each micro-batch applies the same `keyed_upsert` MERGE as
-    the batch path: untouched keys (the vast majority at 100 TB) stream
-    through broadcast anti/semi joins with no exchange, so per-trigger
-    cost is O(batch + touched keys), not O(table).
+    undefined. The POINTER is a manifest file committed by atomic rename
+    (``MANIFEST.json``: {generation, batch_id}) rather than driver
+    memory, so the commit protocol survives a crash between generation
+    write and flip, and a redelivered batch (foreachBatch is
+    at-least-once across checkpoint recovery) is detected by its id and
+    skipped — see :func:`_keyed_upsert_apply_batch`. Each micro-batch
+    applies the same `keyed_upsert` MERGE as the batch path: untouched
+    keys (the vast majority at 100 TB) stream through broadcast
+    anti/semi joins with no exchange, so per-trigger cost is
+    O(batch + touched keys), not O(table).
 
     The checkpoint directory is reset per call: this is a bounded-replay
     harness (the local twin of a continuous Kafka query), and a stale
@@ -70,20 +147,21 @@ def run_keyed_upsert_sink(
 
     schema = base.schema
     base.write.mode("overwrite").parquet(gens[0])
-    cur = {"i": 0}
+    # seed commit: generation 0 visible, no batch applied yet (-1 < any
+    # foreachBatch id, which start at 0)
+    commit_upsert_manifest(work_dir, 0, -1)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        state = batch_df.sparkSession.read.schema(schema).parquet(gens[cur["i"]])
-        merged = W.keyed_upsert(
-            state,
+        _keyed_upsert_apply_batch(
             batch_df,
+            batch_id,
+            work_dir=work_dir,
+            gens=gens,
+            schema=schema,
             key_cols=key_cols,
             version_col=version_col,
             op_col=op_col,
-            keep_tombstones=True,
         )
-        merged.write.mode("overwrite").parquet(gens[1 - cur["i"]])
-        cur["i"] = 1 - cur["i"]
 
     q = (
         mutation_stream.writeStream.foreachBatch(apply_batch)
@@ -94,7 +172,9 @@ def run_keyed_upsert_sink(
         q.processAllAvailable()
     finally:
         q.stop()
-    final = spark.read.schema(schema).parquet(gens[cur["i"]])
+    final = spark.read.schema(schema).parquet(
+        gens[read_upsert_manifest(work_dir)["generation"]]
+    )
     return final.filter(F.col(op_col) == "put").drop(op_col)
 
 
