@@ -243,6 +243,91 @@ def language_id(
     return res
 
 
+def _lid_ngram_profiles() -> dict[str, tuple[int, list[str]]]:
+    """Deterministic char-n-gram profiles derived from LANG_MARKERS:
+    lang -> (gram length, sorted distinct grams). Latin-script languages
+    use all trigrams of the space-padded marker words (" the " -> " th",
+    "the", "he "); zh uses the marker characters themselves as unigrams
+    (Chinese text has no word spaces to pad against). Within a language
+    all grams share one length, so at most one gram can start at any
+    text position — the per-position hit count is well-defined and
+    identical whether computed by lookahead-regex scan (engine) or
+    position-explode + membership join (oracle)."""
+    out: dict[str, tuple[int, list[str]]] = {}
+    for lang, marks in sorted(LANG_MARKERS.items()):
+        if lang == "zh":
+            out[lang] = (1, sorted({c for w in marks for c in w}))
+        else:
+            grams: set[str] = set()
+            for w in marks:
+                p = f" {w} "
+                grams.update(p[i : i + 3] for i in range(len(p) - 2))
+            out[lang] = (3, sorted(grams))
+    return out
+
+
+def language_id_ngram(
+    docs: DataFrame, text_col: str = "text", out: str = "lang_pred"
+) -> DataFrame:
+    """Char-n-gram language-ID — the Cavnar–Trenkle-style swap-in for the
+    marker-WORD scorer (:func:`language_id`), robust to morphology the
+    word matcher misses (inflected forms still contain the profile
+    grams). Score(doc, lang) = number of character positions whose
+    n-gram is in the language's profile (:func:`_lid_ngram_profiles`);
+    argmax, ties to the alphabetically first language, 'und' when
+    nothing hits anywhere.
+
+    ONE Arrow stage, no shuffle: per language, all profile grams compile
+    into a single zero-width-lookahead alternation ``(?=(?:g1|g2|...))``
+    and one vectorized ``Series.str.count`` scan counts every matching
+    start position (lookaheads are zero-width, so overlapping
+    occurrences all count and no position double-counts — within a
+    language grams share one length, so at most one alternative matches
+    per position). 5 C-speed regex scans per batch instead of a
+    positions×grams join; the same shape scales to trained top-k
+    profiles by swapping the gram lists."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    profiles = _lid_ngram_profiles()
+    langs = sorted(profiles)
+    pats = {
+        lang: "(?=(?:" + "|".join(_re.escape(g) for g in grams) + "))"
+        for lang, (_n, grams) in profiles.items()
+    }
+    out_schema = T.StructType(
+        list(docs.schema.fields)
+        + [
+            T.StructField(out, T.StringType(), True),
+            T.StructField("top_hits", T.LongType(), False),
+        ]
+    )
+
+    def score(batches):
+        import numpy as np
+        import re
+
+        compiled = [(lang, re.compile(pats[lang])) for lang in langs]
+        for pdf in batches:
+            low = pdf[text_col].fillna("").str.lower()
+            best_hits = np.zeros(len(pdf), dtype="int64")
+            best_lang = np.array([""] * len(pdf), dtype=object)
+            # ascending language order + strictly-greater replacement ==
+            # ties keep the alphabetically first language
+            for lang, c in compiled:
+                h = low.str.count(c).to_numpy(dtype="int64")
+                m = h > best_hits
+                best_hits = np.where(m, h, best_hits)
+                best_lang = np.where(m, lang, best_lang)
+            pdf = pdf.copy()
+            pdf[out] = np.where(best_hits > 0, best_lang, "und")
+            pdf["top_hits"] = best_hits
+            yield pdf
+
+    return docs.mapInPandas(score, out_schema)
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprinting: full-content md5 over normalized text plus a
     64-bit rolling-style prefix/suffix/length composite for cheap equality

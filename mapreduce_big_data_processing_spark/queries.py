@@ -1303,6 +1303,70 @@ def language_id(spark, sf_dir):
     return TS.language_id(docs).select("doc_id", "lang", "lang_pred")
 
 
+def _lid_ngram_values_sql() -> str:
+    """(lang, n, gram) VALUES rows built from the SAME profile helper the
+    engine compiles its scan patterns from — one definition, no drift."""
+    from mapreduce_big_data_processing_spark.operators.textstats import (
+        _lid_ngram_profiles,
+    )
+
+    rows = []
+    for lang, (n, grams) in sorted(_lid_ngram_profiles().items()):
+        for g in grams:
+            rows.append(f"('{lang}', {n}, '{g}')")
+    return ", ".join(rows)
+
+
+@query(
+    "language_id_ngram",
+    f"""
+    WITH low AS (SELECT doc_id, lower(text) AS t FROM documents),
+    prof(lang, n, g) AS (VALUES {{values}}),
+    grams AS (
+      SELECT doc_id, 3 AS n,
+             unnest(list_transform(
+               generate_series(1, greatest(length(t) - 2, 0)),
+               i -> substr(t, CAST(i AS INT), 3))) AS g
+      FROM low
+      UNION ALL
+      SELECT doc_id, 1 AS n,
+             unnest(list_transform(
+               generate_series(1, length(t)),
+               i -> substr(t, CAST(i AS INT), 1))) AS g
+      FROM low),
+    hits AS (
+      SELECT d.doc_id, p.lang, count(*) AS hits
+      FROM grams d JOIN prof p ON p.n = d.n AND p.g = d.g
+      GROUP BY 1, 2),
+    best AS (
+      SELECT doc_id, lang, hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lang) AS rn
+      FROM hits)
+    SELECT l.doc_id,
+           coalesce(b.lang, 'und') AS lang_pred,
+           CAST(coalesce(b.hits, 0) AS BIGINT) AS top_hits
+    FROM low l LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    """.replace("{values}", _lid_ngram_values_sql()),
+)
+def language_id_ngram(spark, sf_dir):
+    """Char-n-gram language-ID (the documented swap-in for the
+    marker-WORD heuristic, r8 verdict headroom note): per language, the
+    count of character positions whose n-gram is in the
+    LANG_MARKERS-derived profile — padded-marker trigrams for Latin
+    scripts, marker unigrams for zh — argmax with alphabetical
+    tie-break, 'und' on zero hits. Engine is ONE zero-shuffle Arrow
+    stage (5 vectorized lookahead-regex scans per batch); the oracle
+    replays it as a position-explode + profile membership join, exact
+    because within a language all grams share one length, so a text
+    position can match at most one profile gram. All-integer output —
+    zero float protocol."""
+    from mapreduce_big_data_processing_spark.operators import textstats as TS
+
+    docs = _t(spark, sf_dir, "documents")
+    return TS.language_id_ngram(docs).select("doc_id", "lang_pred", "top_hits")
+
+
 @query(
     "doc_fingerprints",
     """
@@ -8911,6 +8975,10 @@ _PRIORITY = [
     "user_event_timeline",
     "user_freq_countmin",
     "wordcount_sans_stopwords",
+    # round-10 rotation candidates: new this round, never externally
+    # checked — pre-verified at sf0.001/0.01/0.1 + the sf1g 10× fixture
+    # on plain sessions before registration (the verify skill's rule)
+    "language_id_ngram",
 ]
 
 

@@ -135,8 +135,8 @@ _COMPONENT_REPS = {
             "ivf_similarity_topk", "pq_similarity_topk", "ivf_knn_recall",
             "quantized_similarity_topk", "ann_recall_eval"},
     "quality": {"quality_scores", "doc_repetition_scores", "doc_ngram_repetition"},
-    "textstats": {"language_id", "token_stats", "doc_fingerprints",
-                  "redacted_docs", "token_zipf_slope",
+    "textstats": {"language_id", "language_id_ngram", "token_stats",
+                  "doc_fingerprints", "redacted_docs", "token_zipf_slope",
                   "source_token_entropy", "source_ngram_diversity",
                   "lang_label_agreement"},
     "embedding near-dup": {"embedding_near_dup", "embedding_near_dup_dense",

@@ -330,3 +330,48 @@ def test_ngram_diversity_hand_worked(spark):
         d["singleton_ngrams"],
     ) == (3, 3, 3)
     assert len(out) == 2
+
+
+def _lid_ngram_reference(text: str) -> tuple[str, int]:
+    """Pure-Python model of the char-n-gram LID: per language, count text
+    positions whose n-gram is in the profile; argmax, ties to the
+    alphabetically first language, 'und' on zero hits."""
+    low = text.lower()
+    best_lang, best_hits = "und", 0
+    for lang, (n, grams) in sorted(TS._lid_ngram_profiles().items()):
+        gs = set(grams)
+        hits = sum(1 for i in range(max(len(low) - n + 1, 0)) if low[i : i + n] in gs)
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang, best_hits
+
+
+def test_language_id_ngram_matches_positional_reference(spark):
+    docs = _df(spark)
+    got = {
+        r.doc_id: (r.lang_pred, r.top_hits)
+        for r in TS.language_id_ngram(docs).collect()
+    }
+    for doc_id, text in ADVERSARIAL:
+        assert got[doc_id] == _lid_ngram_reference(text), (doc_id, text)
+
+
+def test_language_id_ngram_overlapping_and_cjk():
+    # self-overlapping occurrences all count (the zero-width-lookahead
+    # contract): " a a a " has " a " starting at positions 0, 2 and 4
+    assert _lid_ngram_reference(" a a a ")[1] >= 3
+    # contiguous CJK text hits the zh unigram profile (the word-marker
+    # heuristic's blind spot the n-gram variant exists to cover)
+    lang, hits = _lid_ngram_reference("的是了在我有和不")
+    assert lang == "zh" and hits == 8
+
+
+def test_language_id_ngram_spark_matches_reference_on_overlaps(spark):
+    rows = [(0, " a a a "), (1, "的是了在我有和不"), (2, "dedededed the")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.lang_pred, r.top_hits)
+        for r in TS.language_id_ngram(docs).collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == _lid_ngram_reference(text), (doc_id, text)
