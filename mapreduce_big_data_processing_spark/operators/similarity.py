@@ -642,6 +642,66 @@ def ivf_topk(
     )
 
 
+def rrf_fuse(
+    legs: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) of bounded
+    rankings — the standard hybrid-retrieval combiner (lexical BM25 leg +
+    semantic ANN leg, or any number of retrievers):
+
+        rrf(d) = Σ_legs 1 / (k + rank_leg(d))    over legs that ranked d
+
+    ``legs``: name -> DataFrame of (id_col, rank_col) TOP-K rows (a full
+    corpus ranking would defeat the point and make the final global sort
+    corpus-sized; every leg must already be truncated — the fused input is
+    at most Σ k_i rows, so the unpartitioned rank window below is a
+    few-row sort, not a single-partition data funnel). Output: id,
+    ``{name}_rank`` per leg (0 = not retrieved by that leg — the NULL-free
+    sentinel), ``rrf`` (9 dp), ``hybrid_rank``.
+
+    Determinism: ranks are integers, each term 1/(k + r) is one exact
+    double division, and the terms add in ``legs`` iteration order — both
+    engines of a differential test compute bit-identical scores, so
+    ranking on the raw score (doc-id tiebreak) is cross-engine stable
+    (no summation-noise lottery: the sum has one fixed order, not a
+    parallel reduction)."""
+    names = list(legs)
+    if not names:
+        raise ValueError("rrf_fuse: at least one leg required")
+    fused = None
+    for name in names:
+        df = legs[name].select(
+            F.col(id_col), F.col(rank_col).alias(f"__{name}_rank")
+        )
+        fused = df if fused is None else fused.join(df, id_col, "full_outer")
+    fused = fused.select(
+        id_col,
+        *[
+            F.coalesce(F.col(f"__{n}_rank"), F.lit(0))
+            .cast("int")
+            .alias(f"{n}_rank")
+            for n in names
+        ],
+    )
+    score = None
+    for name in names:
+        r = F.col(f"{name}_rank")
+        term = F.when(
+            r > 0, F.lit(1.0) / (F.lit(float(k)) + r)
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    w = Window.orderBy(F.desc("__score"), F.asc(id_col))
+    return (
+        fused.withColumn("__score", score)
+        .withColumn("hybrid_rank", F.row_number().over(w))
+        .withColumn("rrf", F.round("__score", 9))
+        .drop("__score")
+    )
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -5391,10 +5391,9 @@ def quantized_similarity_topk(spark, sf_dir):
 
 _BM25_TERMS = ("spark", "window", "hash")
 
-
-@query(
-    "bm25_ranked_docs",
-    f"""
+# shared between bm25_ranked_docs and hybrid_retrieval_rrf's lexical leg;
+# ONE definition so the two oracles can't drift
+_BM25_SQL = f"""
     WITH toks AS (
       SELECT doc_id, w FROM (
         SELECT doc_id,
@@ -5414,8 +5413,10 @@ _BM25_TERMS = ("spark", "window", "hash")
       FROM tf t JOIN dl l USING (doc_id) JOIN df d USING (w)
       CROSS JOIN stats s)
     SELECT doc_id, round(sum(sc), 6) AS bm25 FROM scored GROUP BY doc_id
-    """,
-)
+    """
+
+
+@query("bm25_ranked_docs", _BM25_SQL)
 def bm25_ranked_docs(spark, sf_dir):
     """Okapi BM25 relevance of every doc against a 3-term query — the
     scoring layer over the reference's inverted-index surface
@@ -5423,6 +5424,90 @@ def bm25_ranked_docs(spark, sf_dir):
     bounded aggs; N/avgdl/df are broadcast."""
     docs = _t(spark, sf_dir, "documents")
     return TX.bm25_search(docs, list(_BM25_TERMS))
+
+
+@query(
+    "hybrid_retrieval_rrf",
+    f"""
+    WITH bm AS ({_BM25_SQL}),
+    lexr AS (
+      SELECT doc_id, CAST(rn AS INT) AS lex_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+        FROM bm)
+      WHERE rn <= 20),
+    semr AS (
+      SELECT vec_id AS doc_id, CAST(rank AS INT) AS sem_rank FROM (
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        s AS (SELECT vec_id, v, {_plane_bucket_sql(_seeded_planes(), "v")}
+                 AS bucket FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket
+              FROM s WHERE vec_id = 0),
+        scored AS (
+          SELECT c.vec_id,
+                 list_dot_product(qv, c.v) /
+                   (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(c.v, c.v))) AS cosine
+          FROM q JOIN s c USING (bucket) WHERE c.vec_id <> q.query_id)
+        SELECT vec_id,
+               row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+      WHERE rank <= 20),
+    f AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             coalesce(l.lex_rank, 0) AS lex_rank,
+             coalesce(s.sem_rank, 0) AS sem_rank
+      FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id),
+    sc AS (
+      SELECT doc_id, lex_rank, sem_rank,
+             (CASE WHEN lex_rank > 0
+                   THEN 1.0 / (60.0 + lex_rank) ELSE 0.0 END)
+           + (CASE WHEN sem_rank > 0
+                   THEN 1.0 / (60.0 + sem_rank) ELSE 0.0 END) AS score
+      FROM f)
+    SELECT doc_id, lex_rank, sem_rank, round(score, 9) AS rrf,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+             AS hybrid_rank
+    FROM sc
+    """,
+)
+def hybrid_retrieval_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion — the standard
+    two-tower retrieval combiner of a training-data / RAG pipeline:
+    lexical leg = BM25 top-20 over the 3-term query (ranked on the
+    6dp-rounded score, doc_id tiebreak — the rounded-rank rule), semantic
+    leg = hyperplane-LSH ANN top-20 for the query embedding (vec_id 0;
+    vec_id keys the same id space as doc_id on the fixtures), fused as
+    rrf = Σ 1/(60 + rank) over retrieving legs. Both legs are top-k
+    BEFORE fusion, so the fused table is ≤40 rows and the global
+    hybrid-rank window is a few-row sort — the corpus-sized work is one
+    tokenize scan (lexical) + one bucket join (semantic), both
+    scale-safe. Sentinel rank 0 = leg did not retrieve (NULL-free
+    integer columns); scores are two exact double divisions added in
+    fixed leg order — cross-engine bit-identical, no summation lottery.
+    See similarity.rrf_fuse (Cormack et al. SIGIR'09)."""
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex20 = (
+        TX.bm25_search(docs, list(_BM25_TERMS))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex_r = lex20.withColumn("rank", F.row_number().over(wl)).select(
+        "doc_id", "rank"
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sem_r = S.lsh_topk(emb, q, _seeded_planes(), k=20).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    out = S.rrf_fuse({"lex": lex_r, "sem": sem_r})
+    return out.select("doc_id", "lex_rank", "sem_rank", "rrf", "hybrid_rank")
 
 
 @query(
@@ -8979,6 +9064,7 @@ _PRIORITY = [
     # checked — pre-verified at sf0.001/0.01/0.1 + the sf1g 10× fixture
     # on plain sessions before registration (the verify skill's rule)
     "language_id_ngram",
+    "hybrid_retrieval_rrf",
 ]
 
 

@@ -133,7 +133,8 @@ _COMPONENT_REPS = {
     "simhash": {"simhash_fingerprints", "simhash_near_dup_pairs"},
     "ann": {"similarity_topk", "lsh_similarity_topk", "multiprobe_lsh_topk",
             "ivf_similarity_topk", "pq_similarity_topk", "ivf_knn_recall",
-            "quantized_similarity_topk", "ann_recall_eval"},
+            "quantized_similarity_topk", "ann_recall_eval",
+            "hybrid_retrieval_rrf"},  # BM25+ANN reciprocal-rank fusion
     "quality": {"quality_scores", "doc_repetition_scores", "doc_ngram_repetition"},
     "textstats": {"language_id", "language_id_ngram", "token_stats",
                   "doc_fingerprints", "redacted_docs", "token_zipf_slope",

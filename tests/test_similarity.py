@@ -502,3 +502,47 @@ def test_arrow_signature_rejects_output_column_collision(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="bucket.*already exists"):
         S.arrow_signature(emb, _seeded_planes(), "embedding")
+
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    """RRF over two bounded legs: doc in both legs sums both reciprocal
+    terms; single-leg docs carry the 0 sentinel in the other column; ties
+    in score break by doc_id; hybrid_rank is dense 1..n."""
+    lex = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id bigint, rank int")
+    sem = spark.createDataFrame([(20, 1), (40, 2), (10, 3)], "doc_id bigint, rank int")
+    rows = {r.doc_id: r for r in S.rrf_fuse({"lex": lex, "sem": sem}).collect()}
+    assert set(rows) == {10, 20, 30, 40}
+    assert (rows[30].lex_rank, rows[30].sem_rank) == (3, 0)
+    assert (rows[40].lex_rank, rows[40].sem_rank) == (0, 2)
+    expect = {
+        10: 1 / 61 + 1 / 63,
+        20: 1 / 62 + 1 / 61,
+        30: 1 / 63,
+        40: 1 / 62,
+    }
+    for d, s in expect.items():
+        assert rows[d].rrf == round(s, 9), d
+    # 20 > 10 (both-leg docs), then 40 (1/62) > 30 (1/63)
+    order = sorted(rows.values(), key=lambda r: r.hybrid_rank)
+    assert [r.doc_id for r in order] == [20, 10, 40, 30]
+    assert [r.hybrid_rank for r in order] == [1, 2, 3, 4]
+
+
+def test_rrf_fuse_tie_breaks_on_doc_id(spark):
+    # same single-leg rank in different legs -> exactly equal doubles ->
+    # the smaller doc_id must win deterministically
+    lex = spark.createDataFrame([(7, 1)], "doc_id bigint, rank int")
+    sem = spark.createDataFrame([(3, 1)], "doc_id bigint, rank int")
+    order = [
+        r.doc_id
+        for r in sorted(
+            S.rrf_fuse({"lex": lex, "sem": sem}).collect(),
+            key=lambda r: r.hybrid_rank,
+        )
+    ]
+    assert order == [3, 7]
+
+
+def test_rrf_fuse_requires_a_leg():
+    with pytest.raises(ValueError, match="at least one leg"):
+        S.rrf_fuse({})
