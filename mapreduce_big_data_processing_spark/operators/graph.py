@@ -128,6 +128,17 @@ def pagerank(
         # less per round
         dangling_nodes = vertices.join(out_nodes, "node", "left_anti").cache()
         has_dangling = dangling_nodes.limit(1).count() > 0
+        # second one-time structure check: a node with NO in-edges never
+        # appears in the contribution aggregate, so the per-iteration
+        # `vertices LEFT JOIN contrib` exists only to re-attach such nodes
+        # at coalesce(contrib, 0). Symmetric graphs (co-occurrence,
+        # similarity) have in-edges everywhere — detect it once and drop
+        # that join from all max_iter rounds (one fixed-cost job at build
+        # vs one join per iteration; same trade as the dangling gate).
+        in_nodes = edges.select(F.col("dst").alias("node")).distinct()
+        all_have_in = (
+            vertices.join(in_nodes, "node", "left_anti").limit(1).count() == 0
+        )
 
         def step(ranks: DataFrame, i: int) -> DataFrame:
             contrib = (
@@ -139,6 +150,16 @@ def pagerank(
                 .groupBy("node")
                 .agg(F.sum("c").alias("contrib"))
             )
+            if all_have_in and not has_dangling:
+                # contrib's key set IS the vertex set: skip the re-attach
+                # join entirely (coalesce would never fire)
+                return contrib.select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping) * F.col("contrib")
+                    ).alias("pr"),
+                )
             new_ranks = vertices.join(contrib, "node", "left")
             if has_dangling:
                 dangling = (
