@@ -642,6 +642,94 @@ def ivf_topk(
     )
 
 
+def incremental_embedding_near_dup(
+    batch_sigs: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Continuous-ingest EMBEDDING near-dedup — the cosine sibling of
+    ``dedup.incremental_near_dup`` (same status protocol, embedding-LSH
+    candidates instead of minhash bands): each new vector is classified
+    against the PERSISTED bucket index of every previously accepted
+    vector, then within its own batch.
+
+    ``batch_sigs`` / ``index``: (id, vector, bucket) — bucket from
+    :func:`arrow_signature` / :func:`hyperplane_signature` with the SAME
+    planes on both sides. Statuses (history precedence, so retried
+    ingests converge): ``near_dup_of_history`` (some history vector in
+    the home bucket has cosine ≥ threshold; matched_id = the best one,
+    ties to the smaller id), else ``near_dup_in_batch`` (a SMALLER-id
+    batch sibling qualifies — later vectors dup against earlier, the
+    batch-canonical rule), else ``kept``. Output: (id, status,
+    matched_id, cosine) with matched_id = -1 and cosine = 0.0 for kept
+    (NULL-free).
+
+    Scale shape: the batch side broadcasts into the bucket equi-join
+    against the 100 TB index (per-trigger cost = batch × bucket
+    collisions, never corpus × corpus); the in-batch pass is a
+    batch-sized self-join on bucket. Candidate ranking is raw cosine
+    with id tiebreak (the ANN-family convention — random-embedding
+    cosines are well separated where rounded grids collide); the
+    DISPLAYED cosine rounds to 6 dp."""
+    b = batch_sigs.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"), "bucket"
+    )
+    h = index.select(
+        F.col(id_col).alias("h_id"), F.col(vec_col).alias("h_v"), "bucket"
+    )
+    hc = (
+        h.join(F.broadcast(b), "bucket")
+        .withColumn("c", cosine(F.col("b_v"), F.col("h_v")))
+        .filter(F.col("c") >= threshold)
+    )
+    wh = Window.partitionBy("b_id").orderBy(F.desc("c"), F.asc("h_id"))
+    hist_best = (
+        hc.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") == 1)
+        .select("b_id", F.col("h_id").alias("hist_id"), F.col("c").alias("hist_c"))
+    )
+    a = b.select(
+        F.col("b_id").alias("a_id"), F.col("b_v").alias("a_v"), "bucket"
+    )
+    bc = (
+        b.join(a, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("c", cosine(F.col("a_v"), F.col("b_v")))
+        .filter(F.col("c") >= threshold)
+    )
+    wb = Window.partitionBy("b_id").orderBy(F.desc("c"), F.asc("a_id"))
+    batch_best = (
+        bc.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("b_id", F.col("a_id").alias("small_id"), F.col("c").alias("batch_c"))
+    )
+    return (
+        b.select("b_id")
+        .join(F.broadcast(hist_best), "b_id", "left")
+        .join(F.broadcast(batch_best), "b_id", "left")
+        .select(
+            F.col("b_id").alias(id_col),
+            F.when(F.col("hist_id").isNotNull(), F.lit("near_dup_of_history"))
+            .when(F.col("small_id").isNotNull(), F.lit("near_dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce("hist_id", "small_id", F.lit(-1))
+            .cast("bigint")
+            .alias("matched_id"),
+            F.round(
+                F.coalesce(
+                    F.when(F.col("hist_id").isNotNull(), F.col("hist_c")),
+                    F.col("batch_c"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
 def rrf_fuse(
     legs: dict[str, DataFrame],
     id_col: str = "doc_id",

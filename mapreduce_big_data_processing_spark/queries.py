@@ -5993,6 +5993,126 @@ def streaming_near_dup_ingest(spark, sf_dir):
     )
 
 
+@query(
+    "streaming_embedding_ingest",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      vec_id % 3 AS epoch
+               FROM embeddings),
+    s AS MATERIALIZED (
+      SELECT vec_id, v, epoch,
+             {_plane_bucket_sql(_seeded_planes(8, dim=64, seed=7), "v")}
+               AS bucket
+      FROM e),
+    hc AS (
+      SELECT * FROM (
+        SELECT b.vec_id AS b_id, h.vec_id AS h_id,
+               list_dot_product(b.v, h.v) /
+                 (sqrt(list_dot_product(b.v, b.v))
+                  * sqrt(list_dot_product(h.v, h.v))) AS c
+        FROM s b JOIN s h ON b.bucket = h.bucket AND h.epoch < b.epoch)
+      WHERE c >= 0.30),
+    hb AS (SELECT b_id, h_id, c,
+                  row_number() OVER (PARTITION BY b_id
+                                     ORDER BY c DESC, h_id) AS rn
+           FROM hc),
+    bc AS (
+      SELECT * FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS c
+        FROM s a JOIN s b ON a.bucket = b.bucket AND a.epoch = b.epoch
+                          AND a.vec_id < b.vec_id)
+      WHERE c >= 0.30),
+    bb AS (SELECT b_id, a_id, c,
+                  row_number() OVER (PARTITION BY b_id
+                                     ORDER BY c DESC, a_id) AS rn
+           FROM bc)
+    SELECT s.vec_id, CAST(s.epoch AS INT) AS epoch,
+           CASE WHEN hb.b_id IS NOT NULL THEN 'near_dup_of_history'
+                WHEN bb.b_id IS NOT NULL THEN 'near_dup_in_batch'
+                ELSE 'kept' END AS status,
+           CAST(coalesce(hb.h_id, bb.a_id, -1) AS BIGINT) AS matched_id,
+           round(coalesce(CASE WHEN hb.b_id IS NOT NULL THEN hb.c END,
+                          bb.c, 0.0), 6) AS cosine
+    FROM s
+    LEFT JOIN (SELECT * FROM hb WHERE rn = 1) hb ON hb.b_id = s.vec_id
+    LEFT JOIN (SELECT * FROM bb WHERE rn = 1) bb ON bb.b_id = s.vec_id
+    """,
+)
+def streaming_embedding_ingest(spark, sf_dir):
+    """§2.10 × embedding dedup — the cosine twin of
+    `streaming_near_dup_ingest`: three epoch files (epoch = vec_id % 3)
+    replayed one per trigger with strictly increasing mtimes, each
+    micro-batch LSH-bucketed (one Arrow matmul stage, 8 seeded planes),
+    classified against the PERSISTED bucket index of prior batches
+    (history precedence: near_dup_of_history > near_dup_in_batch — later
+    vectors dup against smaller-id siblings > kept), and appended to the
+    index via the idempotent partition-overwrite sink
+    (streaming/sinks.py run_embedding_near_dup_ingest_sink). The oracle
+    replays epochs, buckets, and both candidate passes analytically —
+    the hash-match proves the streaming fold ≡ the one-shot backfill on
+    the embedding side too. Candidate ranking is raw cosine with id
+    tiebreak (ANN-family convention); displayed cosine rounds to 6 dp,
+    0.0 sentinel for kept (NULL-free floats)."""
+    import os
+    import shutil as _shutil
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from mapreduce_big_data_processing_spark.streaming import sinks as SKS
+
+    wd = _work_dir(spark, "stream_emb_ingest")
+    src = os.path.join(wd, "days")
+    _shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = _time.time() - 3600
+    for ep in range(3):
+        tmp = os.path.join(wd, f"tmp_e{ep}")
+        emb.filter((F.col("vec_id") % 3) == ep).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"epoch{ep}.parquet")
+        _shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (base + ep, base + ep))
+        _shutil.rmtree(tmp, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(
+            T.StructType.fromDDL("vec_id bigint, embedding array<float>")
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        out = SKS.run_embedding_near_dup_ingest_sink(
+            spark, stream, wd,
+            planes=_seeded_planes(8, dim=64, seed=7), threshold=0.30,
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+    return out.select(
+        "vec_id",
+        F.col("ingest_epoch").cast("int").alias("epoch"),
+        "status",
+        "matched_id",
+        "cosine",
+    )
+
+
 _INC_NEAR_DUP_SQL = f"""
     WITH sh AS MATERIALIZED ({_SHINGLES_SQL}),
     based AS (
@@ -9065,6 +9185,7 @@ _PRIORITY = [
     # on plain sessions before registration (the verify skill's rule)
     "language_id_ngram",
     "hybrid_retrieval_rrf",
+    "streaming_embedding_ingest",
 ]
 
 

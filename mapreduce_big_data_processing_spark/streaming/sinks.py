@@ -254,6 +254,109 @@ def _near_dup_apply_batch(
         sigs.unpersist()
 
 
+def _embedding_near_dup_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    idx_dir: str,
+    dec_dir: str,
+    planes: list[list[float]],
+    threshold: float,
+) -> None:
+    """One micro-batch of the EMBEDDING near-dup ingest fold (module-level
+    for direct retry testing, like :func:`_near_dup_apply_batch`). Same
+    idempotence protocol: history reads ``sig_epoch < batch_id`` with an
+    explicit schema (a failed attempt's own torn slice is invisible to
+    both row reads and schema inference), and both outputs are dynamic
+    partition overwrites keyed by the batch id."""
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    sp = batch_df.sparkSession
+    idx_schema = "vec_id bigint, embedding array<float>, bucket bigint, sig_epoch int"
+    sigs = S.arrow_signature(
+        batch_df.select("vec_id", "embedding"), planes, "embedding"
+    ).cache()
+    try:
+        if os.path.isdir(idx_dir) and any(
+            e.startswith("sig_epoch=") for e in os.listdir(idx_dir)
+        ):
+            index = (
+                sp.read.schema(idx_schema)
+                .parquet(idx_dir)
+                .filter(F.col("sig_epoch") < F.lit(batch_id))
+                .select("vec_id", "embedding", "bucket")
+            )
+        else:
+            index = sp.createDataFrame(
+                [], "vec_id bigint, embedding array<float>, bucket bigint"
+            )
+        decisions = S.incremental_embedding_near_dup(
+            sigs, index, threshold=threshold
+        )
+        (
+            decisions.withColumn("ingest_epoch", F.lit(batch_id).cast("int"))
+            .write.mode("overwrite")
+            .partitionBy("ingest_epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(dec_dir)
+        )
+        # EVERY ingested vector's signature enters the index (kept or dup
+        # — near-of-near must still attribute to history), the rule that
+        # makes the daily fold equal the one-shot backfill
+        (
+            sigs.withColumn("sig_epoch", F.lit(batch_id).cast("int"))
+            .write.mode("overwrite")
+            .partitionBy("sig_epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(idx_dir)
+        )
+    finally:
+        sigs.unpersist()
+
+
+def run_embedding_near_dup_ingest_sink(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    work_dir: str,
+    planes: list[list[float]],
+    threshold: float = 0.30,
+) -> DataFrame:
+    """Continuous-ingest embedding near-dedup as a streaming fold — the
+    cosine twin of :func:`run_near_dup_ingest_sink`: each micro-batch of
+    vectors is LSH-bucketed (one Arrow matmul stage), classified against
+    the persisted bucket index of all prior batches
+    (`similarity.incremental_embedding_near_dup`), and appended to the
+    index. Same idempotence and mtime-order caveats as the minhash sink.
+    Returns the cumulative decisions table (vec_id, ingest_epoch, status,
+    matched_id, cosine)."""
+    idx_dir = os.path.join(work_dir, "emb_index")
+    dec_dir = os.path.join(work_dir, "emb_decisions")
+    ckpt = os.path.join(work_dir, "ckpt_emb")
+    for d in (idx_dir, dec_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _embedding_near_dup_apply_batch(
+            batch_df,
+            batch_id,
+            idx_dir=idx_dir,
+            dec_dir=dec_dir,
+            planes=planes,
+            threshold=threshold,
+        )
+
+    q = (
+        vec_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(dec_dir)
+
+
 def run_near_dup_ingest_sink(
     spark: SparkSession,
     doc_stream: DataFrame,

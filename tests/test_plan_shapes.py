@@ -821,3 +821,27 @@ def test_q11_threshold_is_broadcast_scalar(spark, sf_dir):
     # stray Sort operator (every join is broadcast-hinted, nothing orders)
     assert "SortMergeJoin" not in plan
     assert "Sort " not in plan
+
+
+def test_hybrid_retrieval_fusion_stays_bounded(spark, sf_dir):
+    """Hybrid retrieval's scale contract: corpus-sized work is the BM25
+    tokenize scan and the LSH bucket equi-join — no cartesian anywhere,
+    the lexical top-20 cut is a TakeOrderedAndProject (not a global
+    sort), and the fusion join runs on the bounded top-k legs."""
+    plan = _plan(spark, sf_dir, "hybrid_retrieval_rrf")
+    assert "CartesianProduct" not in plan
+    # exactly one nested-loop join: BM25's 1-row stats scalar crossJoin
+    # (the pattern test_bm25_broadcasts_stats_and_df pins) — any second
+    # one would be a corpus-sized nested loop
+    assert _count(plan, "BroadcastNestedLoopJoin") == 1
+    assert "TakeOrderedAndProject" in plan  # lexical top-20 cut
+    assert "BroadcastHashJoin" in plan  # LSH bucket join, query broadcast
+
+
+def test_language_id_ngram_is_one_arrow_stage(spark, sf_dir):
+    """The n-gram LID is a pure scan→Arrow-stage projection: zero hash
+    exchanges (the strongest scale property a plan can have) and exactly
+    one MapInPandas node."""
+    plan = _plan(spark, sf_dir, "language_id_ngram")
+    assert "Exchange hashpartitioning" not in plan
+    assert _count(plan, "MapInPandas") == 1

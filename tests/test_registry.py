@@ -121,6 +121,7 @@ _COMPONENT_REPS = {
                            "incremental_ingest_near_dup",
                            "multi_epoch_ingest_near_dup",
                            "streaming_near_dup_ingest",  # the SS fold twin
+                           "streaming_embedding_ingest",  # the cosine twin
                            "minhash_band_index"},  # the persisted-index family
     "minhash/shingle pairs": {"minhash_lsh_pairs", "minhash_band_index",
 

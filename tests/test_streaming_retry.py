@@ -81,3 +81,51 @@ def test_near_dup_batch_0_retry_with_own_slice(spark, tmp_path):
     assert all(d[2] == "kept" for d in clean)
     _near_dup_apply_batch(b0, 0, **kw)
     assert _decisions(spark, dec_dir) == clean
+
+
+def test_embedding_batch_retry_is_idempotent(spark, tmp_path):
+    """The embedding twin of the minhash retry contract: a retried
+    batch_id whose own sig_epoch index slice already exists must not see
+    itself as history (every vector would flip to near_dup_of_history
+    with matched_id = vec_id at cosine 1.0)."""
+    from mapreduce_big_data_processing_spark.operators.similarity import (
+        seeded_planes,
+    )
+    from mapreduce_big_data_processing_spark.streaming.sinks import (
+        _embedding_near_dup_apply_batch,
+    )
+
+    idx_dir = str(tmp_path / "emb_index")
+    dec_dir = str(tmp_path / "emb_decisions")
+    kw = dict(
+        idx_dir=idx_dir,
+        dec_dir=dec_dir,
+        planes=seeded_planes(4, dim=4, seed=7),
+        threshold=0.9,
+    )
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    b0 = spark.createDataFrame(
+        [(1, v), (2, w)], "vec_id bigint, embedding array<float>"
+    )
+    b1 = spark.createDataFrame(
+        [(10, v), (11, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    _embedding_near_dup_apply_batch(b0, 0, **kw)
+    _embedding_near_dup_apply_batch(b1, 1, **kw)
+
+    def decisions():
+        return sorted(
+            (r.vec_id, r.ingest_epoch, r.status, r.matched_id, r.cosine)
+            for r in spark.read.parquet(dec_dir).collect()
+        )
+
+    clean = decisions()
+    by_id = {d[0]: d for d in clean}
+    assert by_id[10][2] == "near_dup_of_history" and by_id[10][3] == 1
+    assert by_id[11][2] == "kept" and by_id[11][3] == -1
+
+    # retry batch 1 with its own sig_epoch=1 slice already written
+    _embedding_near_dup_apply_batch(b1, 1, **kw)
+    assert decisions() == clean
