@@ -357,6 +357,87 @@ def run_embedding_near_dup_ingest_sink(
     return spark.read.parquet(dec_dir)
 
 
+def compact_ingest_index(
+    spark: SparkSession,
+    idx_dir: str,
+    watermark_epoch: int,
+    schema: str,
+) -> int:
+    """Compact an ingest signature index's epoch partitions — the
+    production hygiene a 100 TB/day fold needs (thousands of daily
+    ``sig_epoch=N`` slices otherwise accumulate as small-file partitions
+    the history read must list and prune forever; the
+    Cassandra/LSM-compaction rationale).
+
+    Every slice with ``sig_epoch < watermark_epoch`` is rewritten into the
+    single partition ``sig_epoch = watermark_epoch - 1``. Fold semantics
+    are preserved for every batch at or above the watermark: the history
+    filter is ``sig_epoch < batch_id``, and compaction only ever moves
+    rows BETWEEN epochs that are both strictly below any such batch_id —
+    the readable row SET is unchanged (proved by the equivalence test).
+    The caller owns the watermark contract: compact only epochs strictly
+    below the smallest batch id that could still retry (a retry of batch
+    b needs epochs < b individually excludable from its own slice, which
+    stays true because b's slice is never compacted while b can retry).
+
+    Crash protocol: the compacted rows are written to the target
+    partition via dynamic partition overwrite FIRST, and the source
+    slices are removed only after that write commits. A crash in between
+    leaves history rows duplicated across slices — the EMBEDDING fold
+    tolerates that (its candidate joins are set-semantics: the
+    best-match window picks the same row), but the MINHASH fold does NOT
+    (band signatures string_agg the per-doc minhash rows, so a
+    duplicated doc gets a different band key and silently stops matching
+    — measured, not theoretical). The recovery rule is therefore:
+    RE-RUN compaction before processing the next batch after a crash —
+    the read below deduplicates exact rows, so re-running heals the
+    duplicate state instead of entrenching it (idempotence test pins
+    this). ``schema`` is the explicit read schema (the torn-footer
+    rule). Returns the number of slices compacted."""
+    import shutil as _shutil
+
+    if not os.path.isdir(idx_dir):
+        return 0
+    slices = sorted(
+        e
+        for e in os.listdir(idx_dir)
+        if e.startswith("sig_epoch=")
+        and int(e.split("=", 1)[1]) < watermark_epoch
+    )
+    if len(slices) <= 1:
+        return 0
+    target = watermark_epoch - 1
+    compacted = (
+        spark.read.schema(schema)
+        .parquet(idx_dir)
+        .filter(F.col("sig_epoch") < F.lit(watermark_epoch))
+        .drop("sig_epoch")
+        # exact-row dedup: heals the duplicate slices a crash between
+        # write and removal leaves behind (re-running compaction is the
+        # documented recovery), and is free when there are none
+        .dropDuplicates()
+        .withColumn("sig_epoch", F.lit(target).cast("int"))
+        # materialize BEFORE the write: the output directory is also the
+        # input, and Spark (rightly) refuses to overwrite a path a file
+        # source in the same plan is reading — the checkpoint severs the
+        # file dependency (stats loss is irrelevant: the next consumer is
+        # a fresh spark.read)
+        .localCheckpoint(eager=True)
+    )
+    (
+        compacted.write.mode("overwrite")
+        .partitionBy("sig_epoch")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(idx_dir)
+    )
+    removed = 0
+    for e in slices:
+        if int(e.split("=", 1)[1]) != target:
+            _shutil.rmtree(os.path.join(idx_dir, e), ignore_errors=True)
+            removed += 1
+    return removed
+
+
 def run_near_dup_ingest_sink(
     spark: SparkSession,
     doc_stream: DataFrame,
