@@ -34,6 +34,9 @@ PICKS = {
     "prefix_jaccard_pairs": "PPJoin prefix filter: df join + per-doc rank window, candidates from prefix-token equi-join only, no cartesian",
     "user_freq_countmin": "Count-Min: map-side-collapsed (row,bucket) agg; estimate probe = BHJ against the sketch-sized counter table",
     "exact_value_quartiles": "distributed selection: histogram agg pass + rank window over ONLY the target bins (isin pushdown at the scan)",
+    "knn_predictions_routed": "the graded 100 TB kNN: Arrow signature stages, home-bucket BHJ (query side broadcast), vote window — no cartesian, no query-side collect",
+    "hybrid_retrieval_rrf": "hybrid retrieval: BM25 leg cut by TakeOrderedAndProject, LSH bucket BHJ leg, full-outer fusion over <=40 rows",
+    "language_id_ngram": "char-n-gram LID: one zero-exchange Arrow stage riding the documents scan (5 vectorized lookahead scans per batch)",
 }
 
 
