@@ -6113,6 +6113,102 @@ def streaming_embedding_ingest(spark, sf_dir):
     )
 
 
+@query("streaming_compacted_ingest", _MULTI_EPOCH_NEAR_DUP_SQL)
+def streaming_compacted_ingest(spark, sf_dir):
+    """The streaming near-dup ingest fold WITH a mid-stream index
+    compaction — the end-to-end proof that `compact_ingest_index` is
+    decision-invariant under the driver's external check, not just the
+    unit suite: same three epoch files as `streaming_near_dup_ingest`,
+    but before the LAST micro-batch applies, epochs {0,1} of the
+    signature index are folded into one slice (watermark = 2, the
+    smallest batch id that could still retry). The oracle is the SAME
+    one-shot backfill SQL — a hash-match means compaction changed
+    nothing the fold can observe. (The compaction itself dedupes exact
+    rows on read, the crash-recovery rule; see
+    streaming/sinks.compact_ingest_index.)"""
+    import os
+    import shutil as _shutil
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from mapreduce_big_data_processing_spark.streaming import sinks as SKS
+
+    wd = _work_dir(spark, "stream_compact_ingest")
+    src = os.path.join(wd, "days")
+    _shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _time.time() - 3600
+    for ep in range(3):
+        tmp = os.path.join(wd, f"tmp_e{ep}")
+        docs.filter((F.col("doc_id") % 3) == ep).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"epoch{ep}.parquet")
+        _shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (base + ep, base + ep))
+        _shutil.rmtree(tmp, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(
+            T.StructType.fromDDL("doc_id bigint, text string")
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx_dir = os.path.join(wd, "sig_index")
+    dec_dir = os.path.join(wd, "decisions")
+    ckpt = os.path.join(wd, "ckpt")
+    for d in (idx_dir, dec_dir, ckpt):
+        _shutil.rmtree(d, ignore_errors=True)
+
+    def apply_batch(batch_df, batch_id):
+        if batch_id == 2:
+            # compact everything strictly below the arriving batch —
+            # the decisions it computes must not change
+            SKS.compact_ingest_index(
+                spark, idx_dir, 2,
+                "doc_id bigint, h int, minhash bigint, sig_epoch int",
+            )
+        SKS._near_dup_apply_batch(
+            batch_df, batch_id,
+            idx_dir=idx_dir, dec_dir=dec_dir,
+            n_hashes=16, bands=4, min_est_jaccard=0.5,
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+    out = spark.read.parquet(dec_dir)
+    return out.select(
+        "doc_id",
+        F.col("ingest_epoch").cast("int").alias("epoch"),
+        "status",
+        "matched_id",
+        "est_jaccard",
+    )
+
+
 _INC_NEAR_DUP_SQL = f"""
     WITH sh AS MATERIALIZED ({_SHINGLES_SQL}),
     based AS (
