@@ -9282,6 +9282,7 @@ _PRIORITY = [
     "language_id_ngram",
     "hybrid_retrieval_rrf",
     "streaming_embedding_ingest",
+    "streaming_compacted_ingest",
 ]
 
 

@@ -122,6 +122,7 @@ _COMPONENT_REPS = {
                            "multi_epoch_ingest_near_dup",
                            "streaming_near_dup_ingest",  # the SS fold twin
                            "streaming_embedding_ingest",  # the cosine twin
+                           "streaming_compacted_ingest",  # + mid-stream compaction
                            "minhash_band_index"},  # the persisted-index family
     "minhash/shingle pairs": {"minhash_lsh_pairs", "minhash_band_index",
 
