@@ -6113,6 +6113,115 @@ def streaming_embedding_ingest(spark, sf_dir):
     )
 
 
+@query(
+    "minhash_estimate_error",
+    f"""
+    WITH sh AS MATERIALIZED ({_SHINGLES_SQL}),
+    based AS (
+      SELECT doc_id, shingle,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647
+               AS base
+      FROM sh),
+    mh AS MATERIALIZED (
+      SELECT doc_id, h, min((a * base + b) % 2147483647) AS minhash
+      FROM based CROSS JOIN (VALUES {_minhash_values_sql(16)}) c(h, a, b)
+      GROUP BY doc_id, h),
+    banded AS (
+      SELECT doc_id, CAST(h // 4 AS INT) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h)) AS sig
+      FROM mh GROUP BY doc_id, band),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+                                  AND a.doc_id < b.doc_id),
+    m AS (SELECT c.id_a, c.id_b, count(*) AS matches
+          FROM cand c
+          JOIN mh x ON x.doc_id = c.id_a
+          JOIN mh y ON y.doc_id = c.id_b AND y.h = x.h
+                    AND y.minhash = x.minhash
+          GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+                              AND a.doc_id < b.doc_id
+          JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+          GROUP BY 1, 2)
+    SELECT m.id_a, m.id_b, CAST(m.matches AS INT) AS matches,
+           CAST(i.inter AS BIGINT) AS inter,
+           CAST(sa.sz + sb.sz - i.inter AS BIGINT) AS uni,
+           CAST(abs(m.matches * (sa.sz + sb.sz - i.inter) - 16 * i.inter)
+                AS BIGINT) AS err_num,
+           CAST(16 * (sa.sz + sb.sz - i.inter) AS BIGINT) AS err_den,
+           m.matches / 16.0 AS est_jaccard,
+           round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6)
+             AS exact_jaccard
+    FROM m
+    JOIN i USING (id_a, id_b)
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    """,
+)
+def minhash_estimate_error(spark, sf_dir):
+    """Sketch-accuracy eval — grades the 16-hash MinHash estimator
+    against exact shingle Jaccard on every banded CANDIDATE pair
+    (pre-verification, so the reader sees the estimator's raw error, not
+    just the survivors): est = matches/16 vs exact = |∩|/|∪|, with the
+    error carried as the EXACT integer pair (err_num, err_den) =
+    (|matches·|∪| − 16·|∩||, 16·|∪|) — the zero-float protocol; the two
+    float columns are single divisions of identical integers on both
+    sides (no summation, so cross-engine bit-identical). This is the
+    'measure, don't guess' companion to the dedup family: the number
+    that justifies (or indicts) min_est_jaccard thresholds at corpus
+    scale. Work is candidate-bounded: signatures agree through n_hashes
+    rows per pair, exact ∩ expands candidates against side-a shingles
+    then equi-joins side b (the jaccard_pairs candidate-first shape)."""
+    from mapreduce_big_data_processing_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingles(docs, k=3)
+    sig = D.minhash_signatures(sh, n_hashes=16, portable=True).cache()
+    cand = D.lsh_candidate_pairs(sig, n_hashes=16, bands=4)
+    sa = sig.select(F.col("doc_id").alias("id_a"), "h", F.col("minhash").alias("ma"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), "h", F.col("minhash").alias("mb"))
+    matches = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "h"])
+        .filter(F.col("ma") == F.col("mb"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("matches"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    uni = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    return (
+        matches.join(inter, ["id_a", "id_b"])
+        .join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "matches",
+            F.col("inter").cast("bigint").alias("inter"),
+            uni.cast("bigint").alias("uni"),
+            F.abs(F.col("matches") * uni - F.lit(16) * F.col("inter"))
+            .cast("bigint")
+            .alias("err_num"),
+            (F.lit(16) * uni).cast("bigint").alias("err_den"),
+            (F.col("matches") / F.lit(16.0)).alias("est_jaccard"),
+            F.round(F.col("inter") / uni, 6).alias("exact_jaccard"),
+        )
+    )
+
+
 @query("streaming_compacted_ingest", _MULTI_EPOCH_NEAR_DUP_SQL)
 def streaming_compacted_ingest(spark, sf_dir):
     """The streaming near-dup ingest fold WITH a mid-stream index
@@ -9283,6 +9392,7 @@ _PRIORITY = [
     "hybrid_retrieval_rrf",
     "streaming_embedding_ingest",
     "streaming_compacted_ingest",
+    "minhash_estimate_error",
 ]
 
 

@@ -125,6 +125,7 @@ _COMPONENT_REPS = {
                            "streaming_compacted_ingest",  # + mid-stream compaction
                            "minhash_band_index"},  # the persisted-index family
     "minhash/shingle pairs": {"minhash_lsh_pairs", "minhash_band_index",
+                              "minhash_estimate_error",  # sketch-accuracy eval
 
                               "prefix_jaccard_pairs"},  # the exact-threshold
                               # (PPJoin) sibling of the minhash path
