@@ -135,8 +135,11 @@ def pagerank(
         # similarity) have in-edges everywhere — detect it once and drop
         # that join from all max_iter rounds (one fixed-cost job at build
         # vs one join per iteration; same trade as the dangling gate).
+        # the gate below only uses all_have_in when has_dangling is
+        # False, so skip the probe job entirely on dangling graphs
+        # (short-circuit — no wasted distinct+anti-join+count there)
         in_nodes = edges.select(F.col("dst").alias("node")).distinct()
-        all_have_in = (
+        all_have_in = not has_dangling and (
             vertices.join(in_nodes, "node", "left_anti").limit(1).count() == 0
         )
 

@@ -755,14 +755,31 @@ def rrf_fuse(
     engines of a differential test compute bit-identical scores, so
     ranking on the raw score (doc-id tiebreak) is cross-engine stable
     (no summation-noise lottery: the sum has one fixed order, not a
-    parallel reduction)."""
+    parallel reduction).
+
+    Leg ranks MUST be 1-based: 0 is the 'not retrieved' sentinel, so a
+    leg supplying 0-based ranks would silently drop its top document
+    from the fusion score. Enforced per-row inside the plan (a lazy
+    CASE branch raises on the first rank < 1 — no extra driver-side
+    action per leg)."""
     names = list(legs)
     if not names:
         raise ValueError("rrf_fuse: at least one leg required")
     fused = None
     for name in names:
         df = legs[name].select(
-            F.col(id_col), F.col(rank_col).alias(f"__{name}_rank")
+            F.col(id_col),
+            F.when(F.col(rank_col) >= 1, F.col(rank_col))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"rrf_fuse: leg '{name}' supplied a rank < 1 — "
+                        "ranks must be 1-based (0 is the missing-leg "
+                        "sentinel)"
+                    )
+                )
+            )
+            .alias(f"__{name}_rank"),
         )
         fused = df if fused is None else fused.join(df, id_col, "full_outer")
     fused = fused.select(

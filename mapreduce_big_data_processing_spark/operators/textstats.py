@@ -290,6 +290,16 @@ def language_id_ngram(
 
     from pyspark.sql import types as T
 
+    # same output-column collision contract as similarity.arrow_signature:
+    # appending over an existing column would yield a DUPLICATE schema
+    # field, not a replacement — fail loudly instead
+    for col in (out, "top_hits"):
+        if col in docs.columns:
+            raise ValueError(
+                f"language_id_ngram: output column {col!r} already exists "
+                "on the input frame — rename or drop it first"
+            )
+
     profiles = _lid_ngram_profiles()
     langs = sorted(profiles)
     pats = {

@@ -1313,7 +1313,12 @@ def _lid_ngram_values_sql() -> str:
     rows = []
     for lang, (n, grams) in sorted(_lid_ngram_profiles().items()):
         for g in grams:
-            rows.append(f"('{lang}', {n}, '{g}')")
+            # SQL-escape single quotes: today's LANG_MARKERS are
+            # apostrophe-free, but a retrained profile with e.g. French
+            # "l'" must not silently break the interpolated oracle
+            gq = g.replace("'", "''")
+            lq = lang.replace("'", "''")
+            rows.append(f"('{lq}', {n}, '{gq}')")
     return ", ".join(rows)
 
 
@@ -9144,78 +9149,28 @@ def semantic_contamination_dense(spark, sf_dir):
 #: THIS list is the driver-facing contract (pinned by tests/test_registry.py,
 #: which asserts per-component window coverage rather than fixed names).
 _PRIORITY = [
-    # ==== the 50-entry driver window (round 9) ====================
-    # r9 rotation (fresh-first, per the r6+ policy): slot 1 is the
-    # flagship; slots 2-3 are the two r8 additions with no external
-    # CORRECTNESS row yet (session_window_stats,
-    # important_parts_by_value — both pre-verified at sf0.001/0.01/0.1
-    # on plain sessions plus direct sf1g rows, and re-verified at
-    # sf0.01 by the r8 judge). Green rows for them make the registry
-    # 220/220 externally checked. Slots 4-25 refresh ALL 22 names
-    # whose latest external green row is r4 (the oldest remaining);
-    # slots 26-50 refresh 25 component-diverse names last green in r5
-    # (inverted_index, label_propagation, jdbc_roundtrip and
-    # multimodal_features are their components' ONLY representatives,
-    # so they take precedence). The remaining 23 r5 names head the
-    # r10 queue (tail order below IS the queue: oldest-green first).
-    # customers_without_orders stays queued behind the others — its
-    # sf0.01 result is 0 rows, a vacuous external check (verify-skill
-    # r3 note). Every resting component keeps a prior-round green row
-    # (tests/test_registry.py distinguishes in-window reps from
-    # prior-green rest).
+    # ==== the 50-entry driver window (round 10) ===================
+    # r10 rotation (fresh-first, per the r6+ policy): slot 1 is the
+    # flagship; slots 2-6 are the five r9 additions with no external
+    # CORRECTNESS row yet (language_id_ngram, hybrid_retrieval_rrf,
+    # streaming_embedding_ingest, streaming_compacted_ingest,
+    # minhash_estimate_error — all pre-verified at sf0.001/0.01/0.1 +
+    # the 10x fixtures on plain sessions, and re-verified at sf0.01 by
+    # the r9 judge). Green rows for them make the registry 225/225
+    # externally checked. Slots 7-29 refresh ALL 23 names whose latest
+    # external green row is r5 (the oldest remaining; the vacuous-at-
+    # sf0.01 customers_without_orders takes the last r5 slot so a
+    # 0-row check never displaces a substantive one). Slots 30-50
+    # refresh 21 component-diverse r6 names in the queue's best-first
+    # order. After this round nothing is older than r6. Every resting
+    # component keeps a prior-round green row (tests/test_registry.py
+    # distinguishes in-window reps from prior-green rest).
     "curated_training_set",
-    "session_window_stats",
-    "important_parts_by_value",
-    "active_building_buyers",
-    "approx_distinct_users",
-    "bm25_ranked_docs",
-    "class_centroids",
-    "customer_order_distribution",
-    "disjunctive_part_revenue",
-    "doc_token_chunks",
-    "event_time_rollup",
-    "forecast_peak_hour",
-    "global_price_rank",
-    "incremental_ingest_dedup",
-    "knn_accuracy",
-    "latest_event_per_user",
-    "pmi_collocations",
-    "priority_line_mix",
-    "regional_market_share",
-    "returned_orders_by_priority",
-    "span_stripped_docs",
-    "status_priority_cube",
-    "tfidf_reference_semantics",
-    "top_parts_per_brand",
-    "value_band_counts",
-    "asof_next_purchase_after_signup",
-    "banded_near_dup",
-    "boilerplate_stripped_docs",
-    "bpe_token_lengths",
-    "cluster_balanced_sample",
-    "csv_roundtrip",
-    "doc_containment_pairs",
-    "doc_repetition_scores",
-    "embedding_gram_matrix",
-    "event_transition_counts",
-    "exact_dedup",
-    "exact_value_quartiles",
-    "forecast_revenue_change",
-    "grouping_sets_revenue",
-    "hard_negative_pairs",
-    "hive_style_sql_join",
-    "inverted_index",
-    "ivf_similarity_topk",
-    "jdbc_roundtrip",
-    "label_propagation",
-    "lang_mixture_weights",
-    "leakage_free_split",
-    "multimodal_features",
-    "nb_predictions",
-    "pagerank_top20",
-    # ---- end of the 50-entry driver window ----
-    # tail: r10 rotation queue, oldest-external-green first
-    "customers_without_orders",
+    "language_id_ngram",
+    "hybrid_retrieval_rrf",
+    "streaming_embedding_ingest",
+    "streaming_compacted_ingest",
+    "minhash_estimate_error",
     "event_type_daily_trend",
     "idle_rich_customers",
     "large_volume_customers",
@@ -9238,6 +9193,7 @@ _PRIORITY = [
     "waiting_suppliers",
     "weighted_doc_sample",
     "word_graph_bfs",
+    "customers_without_orders",
     "ann_recall_eval",
     "approx_value_percentiles",
     "bigram_lm_cross_entropy",
@@ -9259,6 +9215,9 @@ _PRIORITY = [
     "excess_stock_parts",
     "funnel_view_click_purchase",
     "hourly_count_anomalies",
+    # ---- end of the 50-entry driver window ----
+    # tail: r11 rotation queue, oldest-external-green first
+    # (28 r6 names, then the 49 r7, 49 r8, 49 r9 names)
     "incremental_ingest_near_dup",
     "integrity_checks",
     "jsonl_roundtrip",
@@ -9385,14 +9344,55 @@ _PRIORITY = [
     "user_event_timeline",
     "user_freq_countmin",
     "wordcount_sans_stopwords",
-    # round-10 rotation candidates: new this round, never externally
-    # checked — pre-verified at sf0.001/0.01/0.1 + the sf1g 10× fixture
-    # on plain sessions before registration (the verify skill's rule)
-    "language_id_ngram",
-    "hybrid_retrieval_rrf",
-    "streaming_embedding_ingest",
-    "streaming_compacted_ingest",
-    "minhash_estimate_error",
+    "session_window_stats",
+    "important_parts_by_value",
+    "active_building_buyers",
+    "approx_distinct_users",
+    "bm25_ranked_docs",
+    "class_centroids",
+    "customer_order_distribution",
+    "disjunctive_part_revenue",
+    "doc_token_chunks",
+    "event_time_rollup",
+    "forecast_peak_hour",
+    "global_price_rank",
+    "incremental_ingest_dedup",
+    "knn_accuracy",
+    "latest_event_per_user",
+    "pmi_collocations",
+    "priority_line_mix",
+    "regional_market_share",
+    "returned_orders_by_priority",
+    "span_stripped_docs",
+    "status_priority_cube",
+    "tfidf_reference_semantics",
+    "top_parts_per_brand",
+    "value_band_counts",
+    "asof_next_purchase_after_signup",
+    "banded_near_dup",
+    "boilerplate_stripped_docs",
+    "bpe_token_lengths",
+    "cluster_balanced_sample",
+    "csv_roundtrip",
+    "doc_containment_pairs",
+    "doc_repetition_scores",
+    "embedding_gram_matrix",
+    "event_transition_counts",
+    "exact_dedup",
+    "exact_value_quartiles",
+    "forecast_revenue_change",
+    "grouping_sets_revenue",
+    "hard_negative_pairs",
+    "hive_style_sql_join",
+    "inverted_index",
+    "ivf_similarity_topk",
+    "jdbc_roundtrip",
+    "label_propagation",
+    "lang_mixture_weights",
+    "leakage_free_split",
+    "multimodal_features",
+    "nb_predictions",
+    "pagerank_top20",
 ]
 
 

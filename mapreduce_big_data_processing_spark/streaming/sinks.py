@@ -393,7 +393,20 @@ def compact_ingest_index(
     the read below deduplicates exact rows, so re-running heals the
     duplicate state instead of entrenching it (idempotence test pins
     this). ``schema`` is the explicit read schema (the torn-footer
-    rule). Returns the number of slices compacted."""
+    rule). Returns the number of slices compacted.
+
+    UNIQUE-ID-PER-HISTORY CONTRACT: the exact-row dedup above means the
+    readable history is SET-semantics across compaction. Decision
+    invariance therefore requires that a doc id never legitimately
+    recurs across epochs with identical signature rows (the ingest
+    sinks guarantee this — an id matched against history is emitted as
+    a duplicate DECISION, never re-inserted into the index). A caller
+    that re-ingests the same id with identical text in two epochs would
+    see the history MULTISET change under compaction; that cannot be
+    asserted here because such rows are byte-identical to the
+    crash-heal duplicates the dedup exists to remove (same row in the
+    old slice and the committed target). Keep the sink-side invariant;
+    don't route raw re-ingests into an existing index."""
     import shutil as _shutil
 
     if not os.path.isdir(idx_dir):
