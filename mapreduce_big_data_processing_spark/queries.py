@@ -6237,8 +6237,9 @@ def streaming_compacted_ingest(spark, sf_dir):
     signature index are folded into one slice (watermark = 2, the
     smallest batch id that could still retry). The oracle is the SAME
     one-shot backfill SQL — a hash-match means compaction changed
-    nothing the fold can observe. (The compaction itself dedupes exact
-    rows on read, the crash-recovery rule; see
+    nothing the fold can observe. (Compaction commits through the index
+    MANIFEST: the fold only ever reads manifest-listed epoch slices, so
+    a torn compaction is invisible with no recovery action; see
     streaming/sinks.compact_ingest_index.)"""
     import os
     import shutil as _shutil

@@ -39,22 +39,81 @@ def read_upsert_manifest(work_dir: str) -> dict | None:
         return json.load(fh)
 
 
-def commit_upsert_manifest(work_dir: str, generation: int, batch_id: int) -> None:
-    """Atomically commit the state pointer: write a temp file, fsync, then
-    ``os.replace`` — the one atomic primitive POSIX gives a plain
-    filesystem. The manifest IS the commit: a generation directory only
-    becomes visible to readers when the pointer lands, so a crash mid-way
-    through writing the next generation leaves a torn directory that no
+def _atomic_json_commit(path: str, payload: dict) -> None:
+    """Write a temp file, fsync, then ``os.replace`` — the one atomic
+    primitive POSIX gives a plain filesystem. The manifest IS the commit:
+    state only becomes visible to readers when the pointer lands, so a
+    crash mid-way through writing new data leaves torn files that no
     reader ever opens (the write-new/swap-pointer discipline a table
     format's transaction log provides — Delta's _last_checkpoint /
-    Iceberg's version-hint, reduced to its two-generation core)."""
-    path = os.path.join(work_dir, "MANIFEST.json")
+    Iceberg's version-hint, reduced to its core)."""
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"generation": generation, "batch_id": batch_id}, fh)
+        json.dump(payload, fh)
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, path)
+
+
+def commit_upsert_manifest(work_dir: str, generation: int, batch_id: int) -> None:
+    """Atomically commit the keyed-upsert state pointer (see
+    :func:`_atomic_json_commit` — a torn next-generation directory is
+    never opened because the pointer still names the old one)."""
+    _atomic_json_commit(
+        os.path.join(work_dir, "MANIFEST.json"),
+        {"generation": generation, "batch_id": batch_id},
+    )
+
+
+#: The ingest-index manifest lives INSIDE the index directory. The name
+#: starts with "_" so Spark's file listing ignores it (the _SUCCESS
+#: convention) — the directory stays directly readable as parquet.
+_IDX_MANIFEST = "_MANIFEST.json"
+
+
+def read_index_manifest(idx_dir: str) -> dict | None:
+    """Committed state of an ingest signature index:
+    ``{"epochs": [...], "gen": g, "batch_id": b}`` — ``epochs`` is the
+    EXACT set of committed ``sig_epoch`` partitions (compacted slices are
+    negative generations), ``gen`` counts compactions, ``batch_id`` is
+    the newest committed micro-batch. None = no commit yet."""
+    path = os.path.join(idx_dir, _IDX_MANIFEST)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def commit_index_manifest(
+    idx_dir: str, epochs: list[int], gen: int, batch_id: int
+) -> None:
+    """Atomically flip the index's committed-epoch set."""
+    _atomic_json_commit(
+        os.path.join(idx_dir, _IDX_MANIFEST),
+        {"epochs": sorted(epochs), "gen": gen, "batch_id": batch_id},
+    )
+
+
+def _listed_epochs(idx_dir: str) -> list[int]:
+    if not os.path.isdir(idx_dir):
+        return []
+    return sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(idx_dir)
+        if e.startswith("sig_epoch=")
+    )
+
+
+def _committed_index_state(idx_dir: str) -> tuple[list[int], int, int]:
+    """(committed epochs, compaction generation, last batch id) — from
+    the manifest when one exists; a LEGACY index directory (slices
+    written before the manifest protocol) adopts every listed slice as
+    committed, preserving the old directory-listing semantics."""
+    mf = read_index_manifest(idx_dir)
+    if mf is not None:
+        return list(mf["epochs"]), int(mf.get("gen", 0)), int(mf["batch_id"])
+    eps = _listed_epochs(idx_dir)
+    return eps, 0, (max(eps) if eps else -1)
 
 
 def _keyed_upsert_apply_batch(
@@ -197,13 +256,16 @@ def _near_dup_apply_batch(
     batch's own ``sig_epoch = batch_id`` index slice, and without the
     ``sig_epoch < batch_id`` filter every doc in the retried batch would
     find its own signatures in "history" (16/16 agreement) and flip to
-    ``near_dup_of_history`` with ``matched_id = doc_id``. The filter is
-    on the partition column, so partition pruning keeps the retry read
-    from scanning ROWS of the possibly-corrupt slice; an explicit read
-    schema (below) keeps schema INFERENCE from sampling a torn file's
-    footer in that slice either — without it, ``spark.read.parquet``
-    may open files from the failed attempt just to infer the schema
-    and fail the whole read (r8 advice).
+    ``near_dup_of_history`` with ``matched_id = doc_id``. Since r10 the
+    read is additionally MANIFEST-GATED: only epochs the index manifest
+    committed are visible (``isin`` on the partition column — pruning
+    keeps the read from scanning ROWS of any torn slice), so a crashed
+    compaction attempt or a foreign partial write can never change the
+    history set, with NO recovery action required. An explicit read
+    schema keeps schema INFERENCE from sampling a torn file's footer
+    too — without it, ``spark.read.parquet`` may open files from a
+    failed attempt just to infer the schema and fail the whole read
+    (r8 advice).
     """
     from mapreduce_big_data_processing_spark.operators import dedup as D
 
@@ -215,13 +277,13 @@ def _near_dup_apply_batch(
         D.shingles(batch_df, k=3), n_hashes=n_hashes, portable=True
     ).cache()
     try:
-        if os.path.isdir(idx_dir) and any(
-            e.startswith("sig_epoch=") for e in os.listdir(idx_dir)
-        ):
+        epochs, gen, last_b = _committed_index_state(idx_dir)
+        history = [e for e in epochs if e < batch_id]
+        if history:
             index = (
                 sp.read.schema(sig_schema + ", sig_epoch int")
                 .parquet(idx_dir)
-                .filter(F.col("sig_epoch") < F.lit(batch_id))
+                .filter(F.col("sig_epoch").isin(history))
                 .select("doc_id", "h", "minhash")
             )
         else:
@@ -250,6 +312,14 @@ def _near_dup_apply_batch(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(idx_dir)
         )
+        # manifest commit is the LAST step: the new slice only becomes
+        # history once the committed-epoch set includes it
+        commit_index_manifest(
+            idx_dir,
+            sorted(set(epochs) | {batch_id}),
+            gen,
+            max(last_b, batch_id),
+        )
     finally:
         sigs.unpersist()
 
@@ -265,10 +335,11 @@ def _embedding_near_dup_apply_batch(
 ) -> None:
     """One micro-batch of the EMBEDDING near-dup ingest fold (module-level
     for direct retry testing, like :func:`_near_dup_apply_batch`). Same
-    idempotence protocol: history reads ``sig_epoch < batch_id`` with an
-    explicit schema (a failed attempt's own torn slice is invisible to
-    both row reads and schema inference), and both outputs are dynamic
-    partition overwrites keyed by the batch id."""
+    idempotence protocol: manifest-gated history reads restricted to
+    committed epochs below ``batch_id`` with an explicit schema (a
+    failed attempt's own torn slice is invisible to row reads, schema
+    inference, AND the committed-epoch set), and both outputs are
+    dynamic partition overwrites keyed by the batch id."""
     from mapreduce_big_data_processing_spark.operators import similarity as S
 
     sp = batch_df.sparkSession
@@ -277,13 +348,13 @@ def _embedding_near_dup_apply_batch(
         batch_df.select("vec_id", "embedding"), planes, "embedding"
     ).cache()
     try:
-        if os.path.isdir(idx_dir) and any(
-            e.startswith("sig_epoch=") for e in os.listdir(idx_dir)
-        ):
+        epochs, gen, last_b = _committed_index_state(idx_dir)
+        history = [e for e in epochs if e < batch_id]
+        if history:
             index = (
                 sp.read.schema(idx_schema)
                 .parquet(idx_dir)
-                .filter(F.col("sig_epoch") < F.lit(batch_id))
+                .filter(F.col("sig_epoch").isin(history))
                 .select("vec_id", "embedding", "bucket")
             )
         else:
@@ -309,6 +380,13 @@ def _embedding_near_dup_apply_batch(
             .partitionBy("sig_epoch")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(idx_dir)
+        )
+        # manifest commit last — the slice becomes history only now
+        commit_index_manifest(
+            idx_dir,
+            sorted(set(epochs) | {batch_id}),
+            gen,
+            max(last_b, batch_id),
         )
     finally:
         sigs.unpersist()
@@ -369,66 +447,53 @@ def compact_ingest_index(
     the history read must list and prune forever; the
     Cassandra/LSM-compaction rationale).
 
-    Every slice with ``sig_epoch < watermark_epoch`` is rewritten into the
-    single partition ``sig_epoch = watermark_epoch - 1``. Fold semantics
-    are preserved for every batch at or above the watermark: the history
-    filter is ``sig_epoch < batch_id``, and compaction only ever moves
-    rows BETWEEN epochs that are both strictly below any such batch_id —
-    the readable row SET is unchanged (proved by the equivalence test).
-    The caller owns the watermark contract: compact only epochs strictly
-    below the smallest batch id that could still retry (a retry of batch
-    b needs epochs < b individually excludable from its own slice, which
-    stays true because b's slice is never compacted while b can retry).
+    Every COMMITTED slice with ``sig_epoch < watermark_epoch`` is
+    rewritten into ONE fresh slice at ``sig_epoch = -(gen + 1)`` (a new
+    negative compaction generation, so the write NEVER touches a
+    committed partition), and the manifest then atomically swaps those
+    source epochs for the new one. Fold semantics are preserved for
+    every batch at or above the watermark: compacted epochs are all
+    negative, hence strictly below any live batch id, and the readable
+    row set is unchanged (proved by the equivalence test and by the
+    ``streaming_compacted_ingest`` external query). The caller owns the
+    watermark contract: compact only epochs strictly below the smallest
+    batch id that could still retry (a retry of batch b needs epochs
+    < b individually excludable, which stays true because b's slice is
+    never compacted while b can retry).
 
-    Crash protocol: the compacted rows are written to the target
-    partition via dynamic partition overwrite FIRST, and the source
-    slices are removed only after that write commits. A crash in between
-    leaves history rows duplicated across slices — the EMBEDDING fold
-    tolerates that (its candidate joins are set-semantics: the
-    best-match window picks the same row), but the MINHASH fold does NOT
-    (band signatures string_agg the per-doc minhash rows, so a
-    duplicated doc gets a different band key and silently stops matching
-    — measured, not theoretical). The recovery rule is therefore:
-    RE-RUN compaction before processing the next batch after a crash —
-    the read below deduplicates exact rows, so re-running heals the
-    duplicate state instead of entrenching it (idempotence test pins
-    this). ``schema`` is the explicit read schema (the torn-footer
-    rule). Returns the number of slices compacted.
+    Crash protocol (r10 — MANIFEST-gated, no recovery action needed):
+    the compacted rows land in a partition no manifest lists, so a crash
+    BEFORE the manifest commit leaves an orphan directory that no history
+    read ever opens (reads filter to the committed-epoch set); a crash
+    AFTER the commit but before source-slice removal leaves orphan SOURCE
+    directories that are equally invisible. Either way the next batch's
+    decisions are already correct with no re-run required, and the next
+    compaction sweeps any unlisted ``sig_epoch=`` directory. This
+    supersedes the r9 re-run-and-dedupe rule — and with it the
+    unique-id-per-history caveat: compaction no longer deduplicates rows
+    (nothing can be duplicated into visibility), so the readable history
+    MULTISET is preserved exactly. ``schema`` is the explicit read
+    schema (the torn-footer rule). Returns the number of source slices
+    folded (0 = nothing to compact).
 
-    UNIQUE-ID-PER-HISTORY CONTRACT: the exact-row dedup above means the
-    readable history is SET-semantics across compaction. Decision
-    invariance therefore requires that a doc id never legitimately
-    recurs across epochs with identical signature rows (the ingest
-    sinks guarantee this — an id matched against history is emitted as
-    a duplicate DECISION, never re-inserted into the index). A caller
-    that re-ingests the same id with identical text in two epochs would
-    see the history MULTISET change under compaction; that cannot be
-    asserted here because such rows are byte-identical to the
-    crash-heal duplicates the dedup exists to remove (same row in the
-    old slice and the committed target). Keep the sink-side invariant;
-    don't route raw re-ingests into an existing index."""
+    A pre-manifest (legacy) index directory is adopted on first contact:
+    every listed slice is treated as committed, and this compaction's
+    manifest commit makes the protocol explicit from then on."""
     import shutil as _shutil
 
     if not os.path.isdir(idx_dir):
         return 0
-    slices = sorted(
-        e
-        for e in os.listdir(idx_dir)
-        if e.startswith("sig_epoch=")
-        and int(e.split("=", 1)[1]) < watermark_epoch
-    )
-    if len(slices) <= 1:
+    epochs, gen, last_b = _committed_index_state(idx_dir)
+    fold = sorted(e for e in epochs if e < watermark_epoch)
+    keep = [e for e in epochs if e >= watermark_epoch]
+    if len(fold) <= 1:
         return 0
-    target = watermark_epoch - 1
+    target = -(gen + 1)
     compacted = (
         spark.read.schema(schema)
         .parquet(idx_dir)
-        .filter(F.col("sig_epoch") < F.lit(watermark_epoch))
+        .filter(F.col("sig_epoch").isin(fold))
         .drop("sig_epoch")
-        # exact-row dedup: heals the duplicate slices a crash between
-        # write and removal leaves behind (re-running compaction is the
-        # documented recovery), and is free when there are none
-        .dropDuplicates()
         .withColumn("sig_epoch", F.lit(target).cast("int"))
         # materialize BEFORE the write: the output directory is also the
         # input, and Spark (rightly) refuses to overwrite a path a file
@@ -443,12 +508,18 @@ def compact_ingest_index(
         .option("partitionOverwriteMode", "dynamic")
         .parquet(idx_dir)
     )
-    removed = 0
-    for e in slices:
-        if int(e.split("=", 1)[1]) != target:
-            _shutil.rmtree(os.path.join(idx_dir, e), ignore_errors=True)
-            removed += 1
-    return removed
+    # THE commit: swap the folded epochs for the new generation slice
+    committed = sorted([target] + keep)
+    commit_index_manifest(idx_dir, committed, gen + 1, last_b)
+    # garbage collection — folded sources AND any orphan from an earlier
+    # torn attempt (everything not in the committed set); purely
+    # physical, the manifest already made them invisible
+    for e in _listed_epochs(idx_dir):
+        if e not in committed:
+            _shutil.rmtree(
+                os.path.join(idx_dir, f"sig_epoch={e}"), ignore_errors=True
+            )
+    return len(fold)
 
 
 def run_near_dup_ingest_sink(

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from mapreduce_big_data_processing_spark.operators.similarity import (
     seeded_planes,
 )
@@ -56,9 +58,16 @@ def test_minhash_fold_unchanged_by_compaction(spark, tmp_path):
     plain, _ = _minhash_run(spark, tmp_path / "plain")
     compacted, idx_dir = _minhash_run(spark, tmp_path / "comp", compact_after=1)
     assert compacted == plain
-    # epochs 0 and 1 folded into one slice; epoch 2 untouched
+    # epochs 0 and 1 folded into compaction generation 1 (sig_epoch=-1);
+    # epoch 2 untouched — and the manifest records exactly that
     slices = sorted(e for e in os.listdir(idx_dir) if e.startswith("sig_epoch="))
-    assert slices == ["sig_epoch=1", "sig_epoch=2"]
+    assert slices == ["sig_epoch=-1", "sig_epoch=2"]
+    from mapreduce_big_data_processing_spark.streaming.sinks import (
+        read_index_manifest,
+    )
+
+    mf = read_index_manifest(idx_dir)
+    assert mf["epochs"] == [-1, 2] and mf["gen"] == 1
 
 
 def _emb_run(spark, wd, compact_after=None):
@@ -96,16 +105,44 @@ def test_compaction_noops_below_two_slices(spark, tmp_path):
     assert compact_ingest_index(spark, idx_dir, 5, _SIG_SCHEMA) == 0  # single
 
 
-def test_compaction_rerun_heals_crash_duplicates(spark, tmp_path):
-    """Crash between the compacted write and slice removal leaves history
-    rows duplicated across slices — which the MINHASH fold does NOT
-    tolerate (band signatures string_agg the per-doc rows, so a
-    duplicated doc gets a different band key and silently stops
-    matching; this test MEASURED that before the recovery rule existed).
-    The documented protocol: re-run compaction before the next batch.
-    The re-run deduplicates exact rows, so decisions after recovery
-    match the never-crashed run."""
+def _copy_slice(spark, tmp_path, idx_dir, src_epoch, dst_epoch):
+    """Fabricate a torn slice: copy src_epoch's parquet files into a
+    sig_epoch=dst_epoch directory WITHOUT touching the manifest — exactly
+    the on-disk state a crash between a parquet write and the manifest
+    commit leaves behind."""
     import shutil
+
+    dup = (
+        spark.read.schema(_SIG_SCHEMA)
+        .parquet(idx_dir)
+        .filter(f"sig_epoch = {src_epoch}")
+        .drop("sig_epoch")
+        .localCheckpoint(eager=True)
+    )
+    tmp = str(tmp_path / f"dup_slice_{dst_epoch}")
+    dup.write.mode("overwrite").parquet(tmp)
+    os.makedirs(os.path.join(idx_dir, f"sig_epoch={dst_epoch}"), exist_ok=True)
+    for p in os.listdir(tmp):
+        if p.endswith(".parquet"):
+            shutil.copyfile(
+                os.path.join(tmp, p),
+                os.path.join(idx_dir, f"sig_epoch={dst_epoch}", p),
+            )
+
+
+def test_torn_compaction_is_invisible_without_recovery(spark, tmp_path):
+    """A compaction that crashes BEFORE its manifest commit leaves an
+    orphan target slice duplicating history rows — which the MINHASH
+    fold would not tolerate if it could see them (band signatures
+    string_agg the per-doc rows, so a duplicated doc gets a different
+    band key and silently stops matching; measured before the manifest
+    protocol existed). Manifest-gated reads make the orphan invisible:
+    the next batch's decisions match the never-crashed run with NO
+    recovery action, and a later compaction garbage-collects the orphan
+    (its retry overwrites the same generation partition)."""
+    from mapreduce_big_data_processing_spark.streaming.sinks import (
+        read_index_manifest,
+    )
 
     idx_dir, dec_dir = str(tmp_path / "idx"), str(tmp_path / "dec")
     kw = dict(idx_dir=idx_dir, dec_dir=dec_dir, n_hashes=16, bands=4,
@@ -127,25 +164,87 @@ def test_compaction_rerun_heals_crash_duplicates(spark, tmp_path):
         )
 
     clean = decide_b1()
-    # simulate the crash window: epoch-0 rows exist BOTH in their original
-    # slice and as a compacted copy under a second epoch still < 1
-    dup = (
-        spark.read.schema(_SIG_SCHEMA)
-        .parquet(idx_dir)
-        .filter("sig_epoch = 0")
-        .drop("sig_epoch")
-        .localCheckpoint(eager=True)
-    )
-    tmp = str(tmp_path / "dup_slice")
-    dup.write.mode("overwrite").parquet(tmp)
-    os.makedirs(os.path.join(idx_dir, "sig_epoch=-1"), exist_ok=True)
-    for p in os.listdir(tmp):
-        if p.endswith(".parquet"):
-            shutil.copyfile(
-                os.path.join(tmp, p),
-                os.path.join(idx_dir, "sig_epoch=-1", p),
-            )
-    # recovery: re-run compaction (watermark 1 folds {-1, 0}), THEN the
-    # next batch — decisions match the never-crashed run
-    assert compact_ingest_index(spark, idx_dir, 1, _SIG_SCHEMA) > 0
+    # torn compaction: gen-1 target (sig_epoch=-1) written, manifest not
+    # flipped — epoch-0 rows now exist on disk in TWO directories
+    _copy_slice(spark, tmp_path, idx_dir, 0, -1)
+    # no recovery, straight to the next batch: decisions unchanged
     assert decide_b1() == clean
+    # the compaction retry overwrites the orphan generation and commits;
+    # afterwards only manifest-listed slices remain on disk
+    assert compact_ingest_index(spark, idx_dir, 1, _SIG_SCHEMA) == 0  # one src
+    assert decide_b1() == clean  # still gated correctly
+    _near_dup_apply_batch(
+        spark.createDataFrame(
+            [(d, t) for d, t in _DOCS if d >= 20], "doc_id bigint, text string"
+        ),
+        2,
+        **kw,
+    )
+    assert compact_ingest_index(spark, idx_dir, 2, _SIG_SCHEMA) == 2
+    mf = read_index_manifest(idx_dir)
+    listed = sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(idx_dir)
+        if e.startswith("sig_epoch=")
+    )
+    assert listed == mf["epochs"] == [-1, 2]
+
+
+def test_torn_source_removal_is_invisible_and_swept(spark, tmp_path):
+    """The other crash window: manifest committed, source-slice removal
+    not finished. The leftover source is unlisted, so reads ignore it;
+    the NEXT compaction sweeps it."""
+    idx_dir, dec_dir = str(tmp_path / "idx"), str(tmp_path / "dec")
+    kw = dict(idx_dir=idx_dir, dec_dir=dec_dir, n_hashes=16, bands=4,
+              min_est_jaccard=0.5)
+    for ep in range(2):
+        batch = [(d, t) for d, t in _DOCS if d // 10 == ep]
+        _near_dup_apply_batch(
+            spark.createDataFrame(batch, "doc_id bigint, text string"),
+            ep,
+            **kw,
+        )
+    assert compact_ingest_index(spark, idx_dir, 2, _SIG_SCHEMA) == 2
+    # resurrect a folded source dir, as if rmtree never ran
+    _copy_slice(spark, tmp_path, idx_dir, -1, 0)
+
+    def decide_b2():
+        _near_dup_apply_batch(
+            spark.createDataFrame(
+                [(d, t) for d, t in _DOCS if d >= 20],
+                "doc_id bigint, text string",
+            ),
+            2,
+            **kw,
+        )
+        return sorted(
+            (r.doc_id, r.status, r.matched_id, r.est_jaccard)
+            for r in spark.read.parquet(dec_dir).collect()
+            if r.ingest_epoch == 2
+        )
+
+    clean = decide_b2()
+    assert clean  # non-vacuous: batch 2 really classified against history
+
+    def committed_rows():
+        from mapreduce_big_data_processing_spark.streaming.sinks import (
+            read_index_manifest,
+        )
+
+        eps = read_index_manifest(idx_dir)["epochs"]
+        return sorted(
+            (r.doc_id, r.h, r.minhash)
+            for r in spark.read.schema(_SIG_SCHEMA)
+            .parquet(idx_dir)
+            .filter(F.col("sig_epoch").isin(eps))
+            .collect()
+        )
+
+    before = committed_rows()
+    # sweep: compacting {-1, 2} at watermark 3 folds them AND removes the
+    # unlisted sig_epoch=0 leftover; the committed row MULTISET is
+    # untouched (no dedup anywhere in the protocol)
+    assert compact_ingest_index(spark, idx_dir, 3, _SIG_SCHEMA) == 2
+    slices = sorted(e for e in os.listdir(idx_dir) if e.startswith("sig_epoch="))
+    assert slices == ["sig_epoch=-2"]
+    assert committed_rows() == before

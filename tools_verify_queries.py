@@ -1,9 +1,16 @@
 """Spot-verify named registry queries Spark-vs-DuckDB on a plain session.
 
-Usage: python tools_verify_queries.py <sf_dir> <name> [<name> ...]
+Usage: python tools_verify_queries.py [--mem=16g] <sf_dir> <name> [<name> ...]
 Mirrors the driver protocol (see .claude/skills/verify/SKILL.md): plain
-SparkSession (no builder conf), column order normalized by name, floats
-rounded to 9 decimals, sorted-row exact compare.
+SparkSession (no SQL-conf tuning at build time), column order normalized
+by name, floats rounded to 9 decimals, sorted-row exact compare.
+
+JVM sizing (r9 verdict ask #3): the default-heap JVM dies broadcasting
+at the sf1g 10x fixtures, so the heap is auto-sized from the fixture
+directory's parquet footprint (>= 128 MB of input -> 16g, the sweep
+harness's proven setting) unless overridden with --mem=<heap> or
+SPARK_GRAFT_VERIFY_MEM. Heap size is a JVM resource knob, not a SQL
+conf — the session still mirrors the driver's query semantics.
 """
 
 import math
@@ -26,15 +33,39 @@ def norm(v):
     return v
 
 
+def _fixture_bytes(sf: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(sf):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
 def main():
-    sf = sys.argv[1]
-    names = sys.argv[2:]
+    args = list(sys.argv[1:])
+    mem = os.environ.get("SPARK_GRAFT_VERIFY_MEM", "")
+    for a in list(args):
+        if a.startswith("--mem="):
+            mem = a.split("=", 1)[1]
+            args.remove(a)
+    sf = args[0]
+    names = args[1:]
     import duckdb
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as E
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    if not mem and _fixture_bytes(sf) >= 128 * 1024 * 1024:
+        mem = "16g"
+    builder = SparkSession.builder.master("local[8]")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+        print(f"driver memory: {mem}")
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in (
