@@ -41,12 +41,25 @@ def iterate_until(
 ) -> tuple[DataFrame, int]:
     """Convergence-test variant (`ppt/Ch8….pdf p.26` alternative 2): stop
     when ``converged(prev, cur)`` — a driver-side scalar test (e.g.
-    Σ|Δpr| < ε). Returns (state, rounds_run)."""
+    Σ|Δpr| < ε). Returns (state, rounds_run).
+
+    Checkpoints EVERY round, unlike :func:`iterate`: the convergence test
+    is an action on ``cur`` every round, so without a checkpoint each
+    test re-executes every round since the last cadence point and the
+    returned state re-executes them all again — measured QUADRATIC
+    re-execution (pagerank tol-mode at the 100× fixture: 50 s for a
+    4-round stop vs 33 s for fixed-10; with per-round checkpoints the
+    same stop is ~14 s). The checkpoint is nearly free: the delta job
+    forces the round's materialization anyway, and each round's plan now
+    executes exactly once. ``checkpoint_every`` is kept for signature
+    stability but is moot (every round qualifies). Join-size statistics
+    on the state side are lost to the checkpoint's LogicalRDD either way
+    at SOME rounds under the old cadence; where that matters (big-graph
+    scale runs) AQE re-plans joins from runtime sizes."""
+    del checkpoint_every  # per-round checkpointing is strictly cheaper here
     for i in range(max_iter):
         prev = state
-        state = step(state, i)
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            state = state.localCheckpoint(eager=True)
+        state = step(state, i).localCheckpoint(eager=True)
         if converged(prev, state):
             return state, i + 1
     return state, max_iter
