@@ -9394,6 +9394,9 @@ _PRIORITY = [
     "multimodal_features",
     "nb_predictions",
     "pagerank_top20",
+    # r10 additions (no external row yet — park for the r11 window head,
+    # the same hand-off as the r9 additions at the r10 rotation)
+    "keyed_table_time_travel",
 ]
 
 
@@ -10156,6 +10159,107 @@ def streaming_upsert_state(spark, sf_dir):
     return SS.run_keyed_upsert_sink(
         spark, stream, base, work, ["user_id"], "version"
     )
+
+
+@query(
+    "keyed_table_time_travel",
+    """
+    WITH cut AS (SELECT (max(event_id) + 1) // 2 AS c FROM events),
+    universe AS (
+      SELECT e.* FROM events e, cut
+      WHERE e.event_id < cut.c OR e.event_id % 3 <= 1),
+    m AS (
+      SELECT user_id, event_id AS version, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM universe)
+    SELECT user_id, version, event_type AS last_event, value
+    FROM m WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def keyed_table_time_travel(spark, sf_dir):
+    """VERSION-AS-OF read of the S10 keyed table — the audit/debug
+    question a CDC pipeline gets asked ("what did this user's row say
+    BEFORE last night's batch?"), answered from the manifest snapshot
+    ledger with no log replay: `run_keyed_upsert_sink(retain_history=3)`
+    keeps one immutable parquet snapshot per micro-batch, and
+    `read_keyed_table(as_of_batch=1)` opens the committed batch-1
+    snapshot directly (Delta/Iceberg time travel reduced to the
+    write-new/swap-pointer manifest, `streaming/sinks.py`). The replay
+    splits the second half of the event CDC stream into three
+    deterministic mod-3 batches with ordered file mtimes, so "as of
+    batch 1" is exactly: first half (the bootstrap MERGE) plus batches
+    {0,1} — the oracle's one-window universe. Retention also bites:
+    3 applied batches + the seed exceed retain_history=3, so the SEED
+    snapshot is GC'd by the final commit (asking for it raises — the
+    VACUUM-horizon contract, pinned in tests/test_upsert_manifest.py)."""
+    import os
+    import shutil as _shutil
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from mapreduce_big_data_processing_spark.sources import writers as W
+    from mapreduce_big_data_processing_spark.streaming import sinks as SS
+
+    ev = _t(spark, sf_dir, "events")
+    cut = int((ev.agg(F.max("event_id")).collect()[0][0] + 1) // 2)
+    muts = ev.select(
+        F.col("user_id"),
+        F.col("event_id").alias("version"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("put")
+        .alias("op"),
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("event_type"))
+        .alias("last_event"),
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    state_schema = (
+        "user_id bigint, version bigint, last_event string, value double, op string"
+    )
+    empty = spark.createDataFrame([], state_schema)
+    base = W.keyed_upsert(
+        empty,
+        muts.filter(F.col("version") < cut),
+        ["user_id"],
+        "version",
+        keep_tombstones=True,
+    )
+
+    work = _work_dir(spark, "keyed_time_travel")
+    src = os.path.join(work, "mutations")
+    _shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    mtime0 = _time.time() - 3600
+    tail = muts.filter(F.col("version") >= cut)
+    for b in range(3):
+        tmp = os.path.join(work, f"tmp_b{b}")
+        tail.filter((F.col("version") % 3) == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"batch{b}.parquet")
+        _shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime0 + b, mtime0 + b))
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+    mut_schema = T.StructType.fromDDL(state_schema)
+    stream = (
+        spark.readStream.schema(mut_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    SS.run_keyed_upsert_sink(
+        spark, stream, base, work, ["user_id"], "version", retain_history=3
+    )
+    return SS.read_keyed_table(
+        spark, work, state_schema, as_of_batch=1
+    ).select("user_id", "version", "last_event", "value")
 
 
 @query(

@@ -65,6 +65,87 @@ def commit_upsert_manifest(work_dir: str, generation: int, batch_id: int) -> Non
     )
 
 
+def commit_history_manifest(
+    work_dir: str, history: list[list], batch_id: int, retain: int
+) -> None:
+    """Atomically commit the retained-snapshot ledger of a
+    ``retain_history`` keyed-upsert table: ``history`` is the ordered
+    ``[[batch_id, dirname], ...]`` list of snapshot directories readers
+    may open (newest last). Same primitive, richer pointer — the ledger
+    is what makes :func:`read_keyed_table` time travel possible."""
+    _atomic_json_commit(
+        os.path.join(work_dir, "MANIFEST.json"),
+        {
+            "batch_id": batch_id,
+            "history": [[int(b), str(d)] for b, d in history],
+            "retain": retain,
+        },
+    )
+
+
+def _snapshot_name(batch_id: int) -> str:
+    return f"snap_{batch_id}"
+
+
+def _gc_snapshots(work_dir: str, keep: set[str]) -> None:
+    """Remove every ``snap_*`` directory the committed ledger does not
+    list — folded-out retention victims AND orphans from torn attempts
+    (a crash before a manifest commit leaves a directory no reader ever
+    opens; the next successful batch sweeps it). Purely physical: the
+    manifest already made these invisible."""
+    for name in os.listdir(work_dir):
+        if name.startswith("snap_") and name not in keep:
+            shutil.rmtree(os.path.join(work_dir, name), ignore_errors=True)
+
+
+def read_keyed_table(
+    spark: SparkSession,
+    work_dir: str,
+    schema,
+    as_of_batch: int | None = None,
+    op_col: str = "op",
+) -> DataFrame:
+    """Read a keyed-upsert table's LIVE rows (tombstones filtered,
+    ``op_col`` dropped) — optionally AS OF a past micro-batch.
+
+    ``as_of_batch=b`` returns the state after the newest committed batch
+    with ``batch_id <= b`` — Delta/Iceberg ``VERSION AS OF``, reduced to
+    the manifest ledger: snapshots are immutable once committed, so the
+    read is reproducible forever (within retention) with no lock against
+    concurrent ingest — the reader's manifest parse pins its snapshot.
+    Requires the sink to have run with ``retain_history > 0``; asking for
+    a batch older than the retention window raises (the snapshot is
+    GC'd — same contract as a table format's VACUUM horizon). On an
+    A/B-mode table (``retain_history=0``) only the current state
+    (``as_of_batch=None``) is readable. ``schema`` is the explicit read
+    schema (the torn-footer rule)."""
+    mf = read_upsert_manifest(work_dir)
+    if mf is None:
+        raise RuntimeError("no committed keyed-upsert state in " + work_dir)
+    hist = mf.get("history")
+    if hist is None:
+        if as_of_batch is not None:
+            raise ValueError(
+                "time travel needs a retain_history sink; this table is "
+                "A/B-mode (no snapshot ledger in its manifest)"
+            )
+        rel = ["state_a", "state_b"][int(mf["generation"])]
+    else:
+        cands = [
+            (int(b), d)
+            for b, d in hist
+            if as_of_batch is None or int(b) <= as_of_batch
+        ]
+        if not cands:
+            raise ValueError(
+                f"as_of_batch={as_of_batch} predates the retention window "
+                f"(oldest retained batch: {int(hist[0][0])})"
+            )
+        rel = max(cands)[1]
+    df = spark.read.schema(schema).parquet(os.path.join(work_dir, rel))
+    return df.filter(F.col(op_col) == "put").drop(op_col)
+
+
 #: The ingest-index manifest lives INSIDE the index directory. The name
 #: starts with "_" so Spark's file listing ignores it (the _SUCCESS
 #: convention) — the directory stays directly readable as parquet.
@@ -126,6 +207,7 @@ def _keyed_upsert_apply_batch(
     key_cols: list[str],
     version_col: str,
     op_col: str,
+    retain_history: int = 0,
 ) -> None:
     """One micro-batch of the keyed-upsert fold (module-level so crash /
     redelivery scenarios can be exercised directly in tests).
@@ -136,7 +218,12 @@ def _keyed_upsert_apply_batch(
     recovery) is skipped outright, and a RETRIED batch (failed before
     commit) re-reads the still-committed input generation and overwrites
     the torn target — the flip only happens in the manifest commit, after
-    the generation write completed."""
+    the generation write completed. With ``retain_history > 0`` the
+    target is a fresh per-batch snapshot directory instead of the
+    alternating pair, the manifest carries the retained-snapshot ledger,
+    and committed-then-rotated-out snapshots are GC'd AFTER the commit —
+    the identical write-new/commit/sweep order as
+    :func:`compact_ingest_index`."""
     mf = read_upsert_manifest(work_dir)
     if mf is None:
         raise RuntimeError(
@@ -144,8 +231,14 @@ def _keyed_upsert_apply_batch(
         )
     if batch_id <= mf["batch_id"]:
         return  # already committed — redelivery after checkpoint recovery
-    cur = mf["generation"]
-    state = batch_df.sparkSession.read.schema(schema).parquet(gens[cur])
+    spark = batch_df.sparkSession
+    if retain_history > 0:
+        hist = [[int(b), str(d)] for b, d in mf["history"]]
+        cur_dir = os.path.join(work_dir, hist[-1][1])
+        state = spark.read.schema(schema).parquet(cur_dir)
+    else:
+        cur = mf["generation"]
+        state = spark.read.schema(schema).parquet(gens[cur])
     merged = W.keyed_upsert(
         state,
         batch_df,
@@ -154,8 +247,15 @@ def _keyed_upsert_apply_batch(
         op_col=op_col,
         keep_tombstones=True,
     )
-    merged.write.mode("overwrite").parquet(gens[1 - cur])
-    commit_upsert_manifest(work_dir, 1 - cur, batch_id)
+    if retain_history > 0:
+        name = _snapshot_name(batch_id)
+        merged.write.mode("overwrite").parquet(os.path.join(work_dir, name))
+        keep = (hist + [[batch_id, name]])[-retain_history:]
+        commit_history_manifest(work_dir, keep, batch_id, retain_history)
+        _gc_snapshots(work_dir, {d for _, d in keep})
+    else:
+        merged.write.mode("overwrite").parquet(gens[1 - cur])
+        commit_upsert_manifest(work_dir, 1 - cur, batch_id)
 
 
 def run_keyed_upsert_sink(
@@ -166,9 +266,20 @@ def run_keyed_upsert_sink(
     key_cols: list[str],
     version_col: str,
     op_col: str = "op",
+    retain_history: int = 0,
 ) -> DataFrame:
     """Drive a bounded mutation stream into keyed table state and return
     the final LIVE view (tombstones filtered, ``op_col`` dropped).
+
+    ``retain_history=K > 0`` switches the state layout from the
+    alternating A/B pair to one immutable snapshot directory per applied
+    micro-batch, with the newest K listed in the manifest ledger — the
+    time-travel mode :func:`read_keyed_table` consumes (``VERSION AS OF``
+    over plain parquet). Storage cost is bounded by K full table copies
+    (a real table format shares unchanged files across versions; per-
+    batch full snapshots are the honest plain-parquet reduction), so K
+    is a small constant in practice — the audit/debug window, not an
+    archive.
 
     ``base`` seeds the state and must carry ``op_col`` — pass existing
     rows with ``op = 'put'``, or the tombstoned output of a previous
@@ -205,10 +316,16 @@ def run_keyed_upsert_sink(
     shutil.rmtree(ckpt, ignore_errors=True)
 
     schema = base.schema
-    base.write.mode("overwrite").parquet(gens[0])
-    # seed commit: generation 0 visible, no batch applied yet (-1 < any
+    # seed commit: seed state visible, no batch applied yet (-1 < any
     # foreachBatch id, which start at 0)
-    commit_upsert_manifest(work_dir, 0, -1)
+    if retain_history > 0:
+        seed = _snapshot_name(-1)
+        base.write.mode("overwrite").parquet(os.path.join(work_dir, seed))
+        commit_history_manifest(work_dir, [[-1, seed]], -1, retain_history)
+        _gc_snapshots(work_dir, {seed})
+    else:
+        base.write.mode("overwrite").parquet(gens[0])
+        commit_upsert_manifest(work_dir, 0, -1)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         _keyed_upsert_apply_batch(
@@ -220,6 +337,7 @@ def run_keyed_upsert_sink(
             key_cols=key_cols,
             version_col=version_col,
             op_col=op_col,
+            retain_history=retain_history,
         )
 
     q = (
@@ -231,10 +349,7 @@ def run_keyed_upsert_sink(
         q.processAllAvailable()
     finally:
         q.stop()
-    final = spark.read.schema(schema).parquet(
-        gens[read_upsert_manifest(work_dir)["generation"]]
-    )
-    return final.filter(F.col(op_col) == "put").drop(op_col)
+    return read_keyed_table(spark, work_dir, schema, op_col=op_col)
 
 
 def _near_dup_apply_batch(

@@ -130,3 +130,127 @@ def test_unseeded_state_dir_raises(spark, tmp_path):
     b0 = spark.createDataFrame([(1, 2, "a2", "put")], _SCHEMA)
     with pytest.raises(RuntimeError, match="not seeded"):
         _keyed_upsert_apply_batch(b0, 0, **kw)
+
+
+# ---------------------------------------------------------------------------
+# retain_history mode: snapshot ledger, time travel, retention GC
+# ---------------------------------------------------------------------------
+
+from mapreduce_big_data_processing_spark.streaming.sinks import (  # noqa: E402
+    _gc_snapshots,
+    _snapshot_name,
+    commit_history_manifest,
+    read_keyed_table,
+)
+
+
+def _seed_history(spark, work_dir, retain=3):
+    base = spark.createDataFrame(
+        [(1, 1, "a", "put"), (2, 1, "b", "put")], _SCHEMA
+    )
+    seed = _snapshot_name(-1)
+    base.write.mode("overwrite").parquet(os.path.join(work_dir, seed))
+    commit_history_manifest(work_dir, [[-1, seed]], -1, retain)
+
+
+def _hkw(work_dir, spark, retain=3):
+    kw = _kw(work_dir, gens=None, spark=spark)
+    kw["retain_history"] = retain
+    return kw
+
+
+def _live(spark, work_dir, as_of=None):
+    df = read_keyed_table(spark, work_dir, _SCHEMA, as_of_batch=as_of)
+    return sorted((r.k, r.version, r.v) for r in df.collect())
+
+
+def _apply_three(spark, wd, kw):
+    batches = [
+        spark.createDataFrame(
+            [(1, 2, "a2", "put"), (3, 1, "c", "put")], _SCHEMA
+        ),
+        spark.createDataFrame([(2, 2, None, "delete")], _SCHEMA),
+        spark.createDataFrame([(2, 3, "b3", "put")], _SCHEMA),
+    ]
+    for i, b in enumerate(batches):
+        _keyed_upsert_apply_batch(b, i, **kw)
+
+
+def test_time_travel_reads_each_retained_snapshot(spark, tmp_path):
+    wd = str(tmp_path)
+    _seed_history(spark, wd)
+    _apply_three(spark, wd, _hkw(wd, spark))
+    # as-of each retained batch: the state the table had THEN, immutably
+    assert _live(spark, wd, as_of=0) == [
+        (1, 2, "a2"), (2, 1, "b"), (3, 1, "c")
+    ]
+    assert _live(spark, wd, as_of=1) == [(1, 2, "a2"), (3, 1, "c")]
+    assert _live(spark, wd, as_of=2) == [
+        (1, 2, "a2"), (2, 3, "b3"), (3, 1, "c")
+    ]
+    # as_of between commits resolves DOWN to the newest batch <= asked
+    assert _live(spark, wd, as_of=7) == _live(spark, wd, as_of=2)
+    # default read = current state
+    assert _live(spark, wd) == _live(spark, wd, as_of=2)
+
+
+def test_retention_gc_enforces_vacuum_horizon(spark, tmp_path):
+    wd = str(tmp_path)
+    _seed_history(spark, wd)
+    _apply_three(spark, wd, _hkw(wd, spark))
+    mf = read_upsert_manifest(wd)
+    assert [b for b, _ in mf["history"]] == [0, 1, 2]  # seed rotated out
+    assert not os.path.exists(os.path.join(wd, _snapshot_name(-1)))
+    with pytest.raises(ValueError, match="predates the retention window"):
+        _live(spark, wd, as_of=-1)
+
+
+def test_torn_snapshot_invisible_and_swept(spark, tmp_path):
+    """Crash window: a snapshot directory written but never committed is
+    invisible to every reader (the ledger does not list it) and the next
+    successful commit's GC sweeps it — same protocol as the ingest-index
+    compaction."""
+    wd = str(tmp_path)
+    _seed_history(spark, wd)
+    kw = _hkw(wd, spark)
+    # torn write of batch 0's snapshot (crash before the manifest commit)
+    torn = os.path.join(wd, _snapshot_name(0))
+    os.makedirs(torn, exist_ok=True)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"not a parquet footer")
+    # reader protocol: only the committed seed is visible
+    assert _live(spark, wd) == [(1, 1, "a"), (2, 1, "b")]
+    # the retry overwrites the torn directory and commits cleanly
+    b0 = spark.createDataFrame([(3, 1, "c", "put")], _SCHEMA)
+    _keyed_upsert_apply_batch(b0, 0, **kw)
+    assert _live(spark, wd) == [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")]
+    # an unrelated orphan from some earlier torn attempt is swept by the
+    # commit-then-GC order as well
+    orphan = os.path.join(wd, "snap_77")
+    os.makedirs(orphan, exist_ok=True)
+    b1 = spark.createDataFrame([(4, 1, "d", "put")], _SCHEMA)
+    _keyed_upsert_apply_batch(b1, 1, **kw)
+    assert not os.path.exists(orphan)
+
+
+def test_redelivered_batch_skipped_in_history_mode(spark, tmp_path):
+    wd = str(tmp_path)
+    _seed_history(spark, wd)
+    kw = _hkw(wd, spark)
+    b0 = spark.createDataFrame([(1, 2, "a2", "put")], _SCHEMA)
+    _keyed_upsert_apply_batch(b0, 0, **kw)
+    mf_first = read_upsert_manifest(wd)
+    state_first = _live(spark, wd)
+    _keyed_upsert_apply_batch(b0, 0, **kw)  # checkpoint-recovery replay
+    assert read_upsert_manifest(wd) == mf_first
+    assert _live(spark, wd) == state_first
+
+
+def test_ab_mode_rejects_time_travel(spark, tmp_path):
+    wd = str(tmp_path)
+    _seed(spark, wd)
+    # current state reads fine through the same entry point…
+    assert _live(spark, wd) == [(1, 1, "a"), (2, 1, "b")]
+    # …but as-of needs the ledger
+    with pytest.raises(ValueError, match="retain_history"):
+        read_keyed_table(spark, wd, _SCHEMA, as_of_batch=0)
