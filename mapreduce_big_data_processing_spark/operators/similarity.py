@@ -807,6 +807,96 @@ def rrf_fuse(
     )
 
 
+def ranking_metrics(
+    ranked: DataFrame,
+    rel: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Graded ranking-quality metrics per query — the eval a pipeline
+    runs BEFORE trusting a retriever (the graded companion to the
+    set-overlap `ann_recall_eval`): hits@k, first-relevant rank (the
+    integer MRR sufficient statistic; 0 = none retrieved), DCG@k, the
+    IDEAL DCG@k, and nDCG@k (Järvelin & Kekäläinen, TOIS'02).
+
+    ``ranked``: (query_col, id_col, rank_col) candidate lists, 1-based
+    ranks. ``rel``: (query_col, id_col, rel_col) graded relevance over
+    the FULL eligible corpus per query (rows with grade 0 may be
+    omitted) — IDCG is derived from this table's per-grade COUNTS, so it
+    normalizes against the best ranking attainable anywhere in the
+    corpus, not just among retrieved candidates.
+
+    Distributed shape: the DCG side joins only the ≤ queries×k retained
+    candidate rows against ``rel`` by key; the IDCG side reduces ``rel``
+    to per-(query, grade) counts (one partial-aggregated shuffle of
+    grade-cardinality×queries rows) and expands them over a broadcast
+    1..k rank series by cumulative-interval join — no per-query sort of
+    the corpus, no collect. Float protocol: DCG and IDCG are each a ≤k-
+    term sum of grade/log2(rank+1) rounded at 6 dp (margins pinned in
+    tests), and nDCG is ONE division of those two already-rounded
+    doubles — bit-identical across engines — rounded again at 6 dp.
+    Output: (query_col, n_retrieved, rel_hits, first_rel_rank, dcg,
+    idcg, ndcg), all NULL-free."""
+    spark = ranked.sparkSession
+    top = ranked.filter(F.col(rank_col) <= k)
+    j = top.join(rel, [query_col, id_col], "left").withColumn(
+        "__rel", F.coalesce(F.col(rel_col), F.lit(0))
+    )
+    disc = F.log2(F.col(rank_col) + F.lit(1))
+    per = j.groupBy(query_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_retrieved"),
+        F.sum(F.when(F.col("__rel") > 0, 1).otherwise(0))
+        .cast("int")
+        .alias("rel_hits"),
+        F.coalesce(
+            F.min(F.when(F.col("__rel") > 0, F.col(rank_col))), F.lit(0)
+        )
+        .cast("int")
+        .alias("first_rel_rank"),
+        F.round(F.sum(F.col("__rel") / disc), 6).alias("dcg"),
+    )
+    grades = (
+        rel.filter(F.col(rel_col) > 0)
+        .groupBy(query_col, rel_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    wg = (
+        Window.partitionBy(query_col)
+        .orderBy(F.desc(rel_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grades = grades.withColumn("__cum_end", F.sum("__cnt").over(wg)).withColumn(
+        "__cum_start", F.col("__cum_end") - F.col("__cnt")
+    )
+    ranks = spark.range(1, k + 1).select(F.col("id").cast("int").alias("__r"))
+    ideal = (
+        grades.join(
+            F.broadcast(ranks),
+            (F.col("__r") > F.col("__cum_start"))
+            & (F.col("__r") <= F.col("__cum_end")),
+        )
+        .groupBy(query_col)
+        .agg(
+            F.round(
+                F.sum(F.col(rel_col) / F.log2(F.col("__r") + F.lit(1))), 6
+            ).alias("idcg")
+        )
+    )
+    return (
+        per.join(ideal, query_col, "left")
+        .withColumn("idcg", F.coalesce(F.col("idcg"), F.lit(0.0)))
+        .withColumn(
+            "ndcg",
+            F.when(
+                F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), 6)
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     threshold: float = 0.95,

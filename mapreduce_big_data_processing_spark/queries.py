@@ -9397,6 +9397,7 @@ _PRIORITY = [
     # r10 additions (no external row yet — park for the r11 window head,
     # the same hand-off as the r9 additions at the r10 rotation)
     "keyed_table_time_travel",
+    "retrieval_ndcg_eval",
 ]
 
 
@@ -9740,6 +9741,111 @@ def ann_recall_eval(spark, sf_dir):
             F.coalesce(F.col("ann_hits"), F.lit(0)).cast("int").alias("ann_hits"),
             F.coalesce(F.col("n_ann"), F.lit(0)).cast("int").alias("n_ann"),
         )
+    )
+
+
+@query(
+    "retrieval_ndcg_eval",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    s AS (SELECT vec_id, v, label,
+                 {{bucket}} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket, label AS qlabel
+          FROM s WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, q.qlabel, c.vec_id, c.label,
+             list_dot_product(qv, c.v) /
+               (sqrt(list_dot_product(qv, qv))
+                * sqrt(list_dot_product(c.v, c.v))) AS cosine
+      FROM q JOIN s c USING (bucket) WHERE c.vec_id <> q.query_id),
+    top AS (
+      SELECT query_id, rank,
+             CASE WHEN label = qlabel THEN 2
+                  WHEN label % 5 = qlabel % 5 THEN 1 ELSE 0 END AS rel
+      FROM (
+        SELECT query_id, qlabel, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+      WHERE rank <= 10),
+    per AS (
+      SELECT query_id, CAST(count(*) AS INT) AS n_retrieved,
+             CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS INT)
+               AS rel_hits,
+             CAST(coalesce(min(CASE WHEN rel > 0 THEN rank END), 0) AS INT)
+               AS first_rel_rank,
+             round(sum(rel / log2(rank + 1.0)), 6) AS dcg
+      FROM top GROUP BY query_id),
+    cnts AS (
+      SELECT q.query_id,
+             sum(CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END) AS n2,
+             sum(CASE WHEN c.label <> q.qlabel
+                       AND c.label % 5 = q.qlabel % 5
+                      THEN 1 ELSE 0 END) AS n1
+      FROM q JOIN e c ON c.vec_id <> q.query_id GROUP BY 1),
+    ideal AS (
+      SELECT query_id,
+             round(sum(CASE WHEN r <= n2 THEN 2.0
+                            WHEN r <= n2 + n1 THEN 1.0
+                            ELSE 0.0 END / log2(r + 1.0)), 6) AS idcg
+      FROM cnts CROSS JOIN (SELECT unnest(range(1, 11)) AS r) rr
+      GROUP BY query_id)
+    SELECT p.query_id, p.n_retrieved, p.rel_hits, p.first_rel_rank,
+           p.dcg, i.idcg,
+           CASE WHEN i.idcg > 0 THEN round(p.dcg / i.idcg, 6)
+                ELSE 0.0 END AS ndcg
+    FROM per p JOIN ideal i USING (query_id)
+    """.replace("{bucket}", _plane_bucket_sql(_seeded_planes(), "v")),
+)
+def retrieval_ndcg_eval(spark, sf_dir):
+    """Graded retrieval-quality eval — nDCG@10 / hits@10 / first-relevant
+    rank of the hyperplane-LSH ANN lists under a label-derived graded
+    relevance (exact label match = grade 2, same label mod 5 = grade 1) —
+    the judgment-based companion to `ann_recall_eval`'s set overlap: it
+    measures whether the retriever surfaces the RIGHT class neighbors,
+    not merely the same ones brute force finds. IDCG normalizes against
+    the best ranking attainable in the WHOLE corpus (per-grade counts →
+    cumulative-interval expansion over a broadcast 1..k series — no
+    per-query corpus sort), so ndcg is comparable across corpus sizes.
+    Float protocol: dcg/idcg are ≤10-term log2 sums rounded 6 dp (margin
+    pinned in tests/test_similarity.py), ndcg one division of the two
+    rounded doubles; everything else is exact integers. The retrieval
+    leg is the registered `lsh_similarity_topk` operator, whose lists
+    hash-match — so the metric layer is the only new surface."""
+    from mapreduce_big_data_processing_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = S.lsh_topk(emb, q, _seeded_planes(), k=10).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    ql = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "label")
+    rel = (
+        corpus.crossJoin(F.broadcast(ql))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.when(F.col("label") == F.col("qlabel"), 2)
+            .when(F.col("label") % 5 == F.col("qlabel") % 5, 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    return S.ranking_metrics(ann, rel, k=10).select(
+        "query_id",
+        "n_retrieved",
+        "rel_hits",
+        "first_rel_rank",
+        "dcg",
+        "idcg",
+        "ndcg",
     )
 
 

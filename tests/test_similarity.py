@@ -546,3 +546,115 @@ def test_rrf_fuse_tie_breaks_on_doc_id(spark):
 def test_rrf_fuse_requires_a_leg():
     with pytest.raises(ValueError, match="at least one leg"):
         S.rrf_fuse({})
+
+
+# ---------------------------------------------------------------------------
+# graded ranking metrics (nDCG / hits@k / first-relevant rank)
+# ---------------------------------------------------------------------------
+
+
+def test_ranking_metrics_hand_computed(spark):
+    """One query with a known list: ranks 1..3 hold grades (0, 2, 1).
+    DCG  = 2/log2(3) + 1/log2(4) = 2/log2(3) + 0.5
+    IDCG = 2/log2(2) + 1/log2(3)  (corpus holds one 2 and one 1)
+    plus a second query whose list has no relevant docs at all."""
+    import math
+
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 10, 1), (2, 12, 2)],
+        "query_id int, doc_id int, rank int",
+    )
+    rel = spark.createDataFrame(
+        [(1, 11, 2), (1, 12, 1), (2, 99, 2)],
+        "query_id int, doc_id int, rel int",
+    )
+    out = {
+        r.query_id: r
+        for r in S.ranking_metrics(ranked, rel, k=10).collect()
+    }
+    r1 = out[1]
+    assert (r1.n_retrieved, r1.rel_hits, r1.first_rel_rank) == (3, 2, 2)
+    assert r1.dcg == round(2 / math.log2(3) + 1 / math.log2(4), 6)
+    assert r1.idcg == round(2 / math.log2(2) + 1 / math.log2(3), 6)
+    assert r1.ndcg == round(round(2 / math.log2(3) + 0.5, 6)
+                            / round(2.0 + 1 / math.log2(3), 6), 6)
+    # no relevant retrieved: integer sentinels, zero dcg, idcg from the
+    # corpus-wide grade counts (the one grade-2 doc it MISSED)
+    r2 = out[2]
+    assert (r2.rel_hits, r2.first_rel_rank, r2.dcg) == (0, 0, 0.0)
+    assert r2.idcg == round(2 / math.log2(2), 6)
+    assert r2.ndcg == 0.0
+
+
+def test_ranking_metrics_k_truncation_and_idcg_interval():
+    """IDCG interval expansion: 3 grade-2 docs + 2 grade-1 docs with k=4
+    must take ranks 1-3 at grade 2 and rank 4 at grade 1 (NOT count all
+    five)."""
+    import math
+
+    exp = round(
+        2 / math.log2(2) + 2 / math.log2(3) + 2 / math.log2(4)
+        + 1 / math.log2(5),
+        6,
+    )
+    # computed via the same interval rule the operator uses
+    n2, n1, k = 3, 2, 4
+    got = round(
+        sum(
+            (2.0 if r <= n2 else 1.0 if r <= n2 + n1 else 0.0)
+            / math.log2(r + 1)
+            for r in range(1, k + 1)
+        ),
+        6,
+    )
+    assert got == exp
+
+
+def test_retrieval_ndcg_margins(spark, sf_dir):
+    """The UNROUNDED dcg/idcg sums (and their quotient) must sit far
+    from the 6dp round-half boundary — the guard that cross-engine
+    last-ulp noise in log2 sums cannot flip a displayed digit (the
+    zipf/entropy rule). Recomputed independently in Python from the
+    graded ANN lists: the engines' sums agree with this value to ~1e-15,
+    so a fat margin here covers both."""
+    import math
+
+    from mapreduce_big_data_processing_spark import catalog
+    from mapreduce_big_data_processing_spark.queries import _seeded_planes
+
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = S.lsh_topk(emb, q, _seeded_planes(), k=10).collect()
+
+    def grade(ql, cl):
+        return 2 if cl == ql else (1 if cl % 5 == ql % 5 else 0)
+
+    dcg: dict = {}
+    for r in ann:
+        g = grade(labels[r.query_id], labels[r.vec_id])
+        dcg[r.query_id] = dcg.get(r.query_id, 0.0) + g / math.log2(r.rank + 1)
+    worst = 1.0
+    for qid in range(10):
+        n2 = sum(1 for v, l in labels.items() if v != qid and l == labels[qid])
+        n1 = sum(
+            1
+            for v, l in labels.items()
+            if v != qid and l != labels[qid] and l % 5 == labels[qid] % 5
+        )
+        idcg = sum(
+            (2.0 if r <= n2 else 1.0 if r <= n2 + n1 else 0.0)
+            / math.log2(r + 1)
+            for r in range(1, 11)
+        )
+        vals = [idcg]
+        if qid in dcg:
+            vals.append(dcg[qid])
+            if idcg > 0:
+                vals.append(round(dcg[qid], 6) / round(idcg, 6))
+        for v in vals:
+            if v != 0.0:
+                worst = min(worst, abs(((v * 1e6) % 1.0) - 0.5))
+    assert worst > 1e-6, f"6dp round-half margin too thin: {worst}"
