@@ -840,6 +840,13 @@ def ranking_metrics(
     doubles — bit-identical across engines — rounded again at 6 dp.
     Output: (query_col, n_retrieved, rel_hits, first_rel_rank, dcg,
     idcg, ndcg), all NULL-free."""
+    if rel_col in ranked.columns:
+        # the left join below would make F.col(rel_col) ambiguous and
+        # silently grade against the wrong column (the arrow_signature /
+        # language_id_ngram output-collision rule)
+        raise ValueError(
+            f"ranking_metrics: ranked input already carries {rel_col!r}"
+        )
     spark = ranked.sparkSession
     top = ranked.filter(F.col(rank_col) <= k)
     j = top.join(rel, [query_col, id_col], "left").withColumn(
