@@ -9398,6 +9398,7 @@ _PRIORITY = [
     # the same hand-off as the r9 additions at the r10 rotation)
     "keyed_table_time_travel",
     "retrieval_ndcg_eval",
+    "keyed_table_changefeed",
 ]
 
 
@@ -10366,6 +10367,136 @@ def keyed_table_time_travel(spark, sf_dir):
     return SS.read_keyed_table(
         spark, work, state_schema, as_of_batch=1
     ).select("user_id", "version", "last_event", "value")
+
+
+@query(
+    "keyed_table_changefeed",
+    """
+    WITH cut AS (SELECT (max(event_id) + 1) // 2 AS c FROM events),
+    u0 AS (SELECT e.* FROM events e, cut
+           WHERE e.event_id < cut.c OR e.event_id % 3 = 0),
+    s0 AS (
+      SELECT user_id, event_id AS version,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op,
+             CASE WHEN event_type = 'error' THEN NULL ELSE event_type END
+               AS last_event,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+      FROM (SELECT e.*, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY event_id DESC) AS rn
+            FROM u0 e) t WHERE rn = 1),
+    s2 AS (
+      SELECT user_id, event_id AS version,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op,
+             CASE WHEN event_type = 'error' THEN NULL ELSE event_type END
+               AS last_event,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+      FROM (SELECT e.*, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY event_id DESC) AS rn
+            FROM events e) t WHERE rn = 1),
+    diff AS (
+      SELECT s2.* FROM s2 LEFT JOIN s0
+        ON s2.user_id = s0.user_id AND s2.version = s0.version
+       AND s2.op = s0.op
+       AND s2.last_event IS NOT DISTINCT FROM s0.last_event
+       AND s2.value IS NOT DISTINCT FROM s0.value
+      WHERE s0.user_id IS NULL),
+    live0 AS (SELECT user_id FROM s0 WHERE op = 'put')
+    SELECT d.user_id, d.version,
+           coalesce(d.last_event, '') AS last_event,
+           coalesce(d.value, 0.0) AS value,
+           CASE WHEN d.op = 'delete' THEN 'delete'
+                WHEN l.user_id IS NOT NULL THEN 'update_postimage'
+                ELSE 'insert' END AS change_type
+    FROM diff d LEFT JOIN live0 l ON l.user_id = d.user_id
+    """,
+)
+def keyed_table_changefeed(spark, sf_dir):
+    """Change data feed of the S10 keyed table between two retained
+    snapshots — Delta/Iceberg `table_changes` reduced to the manifest
+    ledger: run the same CDC replay as `keyed_table_time_travel`
+    (retain_history=3, three mod-3 batches over the second event half),
+    then diff the batch-0 and batch-2 snapshots. Each emitted row is the
+    POSTIMAGE of a key the intervening batches net-changed, tagged
+    insert / update_postimage / delete; no-op re-puts and superseded
+    intermediate states are invisible (the multiset EXCEPT of immutable
+    snapshots — idempotent CDC, see streaming/sinks.keyed_table_changes).
+    Oracle: one-window replays of both snapshot states joined with
+    null-safe equality; delete rows surface with sentinel ''/0.0 fields
+    on both sides (the NULL-sort protocol)."""
+    import os
+    import shutil as _shutil
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from mapreduce_big_data_processing_spark.sources import writers as W
+    from mapreduce_big_data_processing_spark.streaming import sinks as SS
+
+    ev = _t(spark, sf_dir, "events")
+    cut = int((ev.agg(F.max("event_id")).collect()[0][0] + 1) // 2)
+    muts = ev.select(
+        F.col("user_id"),
+        F.col("event_id").alias("version"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("put")
+        .alias("op"),
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("event_type"))
+        .alias("last_event"),
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    state_schema = (
+        "user_id bigint, version bigint, last_event string, value double, op string"
+    )
+    empty = spark.createDataFrame([], state_schema)
+    base = W.keyed_upsert(
+        empty,
+        muts.filter(F.col("version") < cut),
+        ["user_id"],
+        "version",
+        keep_tombstones=True,
+    )
+
+    work = _work_dir(spark, "keyed_changefeed")
+    src = os.path.join(work, "mutations")
+    _shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    mtime0 = _time.time() - 3600
+    tail = muts.filter(F.col("version") >= cut)
+    for b in range(3):
+        tmp = os.path.join(work, f"tmp_b{b}")
+        tail.filter((F.col("version") % 3) == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"batch{b}.parquet")
+        _shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime0 + b, mtime0 + b))
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+    mut_schema = T.StructType.fromDDL(state_schema)
+    stream = (
+        spark.readStream.schema(mut_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    SS.run_keyed_upsert_sink(
+        spark, stream, base, work, ["user_id"], "version", retain_history=3
+    )
+    out = SS.keyed_table_changes(
+        spark, work, state_schema, ["user_id"], from_batch=0, to_batch=2
+    )
+    return out.select(
+        "user_id",
+        "version",
+        F.coalesce(F.col("last_event"), F.lit("")).alias("last_event"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+        "change_type",
+    )
 
 
 @query(

@@ -254,3 +254,51 @@ def test_ab_mode_rejects_time_travel(spark, tmp_path):
     # …but as-of needs the ledger
     with pytest.raises(ValueError, match="retain_history"):
         read_keyed_table(spark, wd, _SCHEMA, as_of_batch=0)
+
+
+def test_keyed_table_changes_tags_insert_update_delete(spark, tmp_path):
+    """CDF between retained snapshots: seed→b0 shows an update (key 1
+    re-put at higher version) + an insert (new key 3); b0→b1 shows the
+    delete tombstone; b0→b2 shows only key 2's final re-put (the delete
+    that batch 1 applied is SUPERSEDED — idempotent consumers see one
+    net change per key, not the intermediate states)."""
+    from mapreduce_big_data_processing_spark.streaming.sinks import (
+        keyed_table_changes,
+    )
+
+    wd = str(tmp_path)
+    _seed_history(spark, wd, retain=5)  # keep the seed in the window
+    _apply_three(spark, wd, _hkw(wd, spark, retain=5))
+
+    def changes(a, b):
+        df = keyed_table_changes(spark, wd, _SCHEMA, ["k"], a, b)
+        return sorted(
+            (r.k, r.version, r.v, r.change_type) for r in df.collect()
+        )
+
+    assert changes(-1, 0) == [
+        (1, 2, "a2", "update_postimage"),
+        (3, 1, "c", "insert"),
+    ]
+    assert changes(0, 1) == [(2, 2, None, "delete")]
+    assert changes(0, 2) == [(2, 3, "b3", "update_postimage")]
+    # identical snapshots -> empty feed (no-op re-puts invisible)
+    assert changes(2, 2) == []
+
+
+def test_time_travel_schema_evolution_reads_missing_column_as_null(
+    spark, tmp_path
+):
+    """Schema-evolution contract of the snapshot ledger: reading an OLD
+    snapshot with a WIDER current schema yields NULL for the added
+    column (parquet read with explicit schema) — the add-column path a
+    table format gives, reduced to plain parquet."""
+    wd = str(tmp_path)
+    _seed_history(spark, wd)
+    _apply_three(spark, wd, _hkw(wd, spark))
+    wide = "k bigint, version bigint, v string, extra double, op string"
+    df = read_keyed_table(spark, wd, wide, as_of_batch=0)
+    rows = sorted((r.k, r.version, r.v, r.extra) for r in df.collect())
+    assert rows == [
+        (1, 2, "a2", None), (2, 1, "b", None), (3, 1, "c", None)
+    ]
