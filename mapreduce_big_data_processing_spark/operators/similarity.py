@@ -849,7 +849,16 @@ def ranking_metrics(
         )
     spark = ranked.sparkSession
     top = ranked.filter(F.col(rank_col) <= k)
-    j = top.join(rel, [query_col, id_col], "left").withColumn(
+    # grade lookup for the retained candidates WITHOUT shuffling the
+    # corpus-sized rel table: stream rel past the broadcast candidate
+    # list (map-side semi join), then broadcast the <= queries*k
+    # survivors into the left join — no exchange carries rel rows
+    rel_top = rel.join(
+        F.broadcast(top.select(query_col, id_col)),
+        [query_col, id_col],
+        "left_semi",
+    )
+    j = top.join(F.broadcast(rel_top), [query_col, id_col], "left").withColumn(
         "__rel", F.coalesce(F.col(rel_col), F.lit(0))
     )
     disc = F.log2(F.col(rank_col) + F.lit(1))
@@ -893,7 +902,7 @@ def ranking_metrics(
         )
     )
     return (
-        per.join(ideal, query_col, "left")
+        per.join(F.broadcast(ideal), query_col, "left")
         .withColumn("idcg", F.coalesce(F.col("idcg"), F.lit(0.0)))
         .withColumn(
             "ndcg",

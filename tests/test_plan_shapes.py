@@ -845,3 +845,16 @@ def test_language_id_ngram_is_one_arrow_stage(spark, sf_dir):
     plan = _plan(spark, sf_dir, "language_id_ngram")
     assert "Exchange hashpartitioning" not in plan
     assert _count(plan, "MapInPandas") == 1
+
+
+def test_ranking_metrics_never_shuffles_the_rel_table(spark, sf_dir):
+    """The graded-eval DCG join must not exchange the corpus-sized
+    relevance table: grades reach the <= queries*k candidates via a
+    map-side semi join against the BROADCAST candidate list, then the
+    survivors broadcast into the left join; the only rel-lineage
+    exchange is the grade-COUNT aggregate (grade-cardinality x queries
+    rows, partial-aggregated map-side). A SortMergeJoin anywhere in
+    this plan means a corpus shuffle snuck back in."""
+    plan = _plan(spark, sf_dir, "retrieval_ndcg_eval")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
