@@ -848,7 +848,11 @@ def ranking_metrics(
             f"ranking_metrics: ranked input already carries {rel_col!r}"
         )
     spark = ranked.sparkSession
-    top = ranked.filter(F.col(rank_col) <= k)
+    # cache the <= queries*k candidate list: it feeds BOTH the broadcast
+    # semi-filter below and the DCG join's stream side, and without the
+    # cache the (possibly corpus-sized) ranked lineage executes twice —
+    # the shared-upstream double-compute trap
+    top = ranked.filter(F.col(rank_col) <= k).cache()
     # grade lookup for the retained candidates WITHOUT shuffling the
     # corpus-sized rel table: stream rel past the broadcast candidate
     # list (map-side semi join), then broadcast the <= queries*k
