@@ -633,3 +633,89 @@ def test_exact_order_statistics_matches_sorted_model(spark):
         for r in R.exact_order_statistics(const, "value", fr, bins=8).collect()
     }
     assert got_c == {1: 2.5, 3: 2.5, 4: 2.5}
+
+
+# ---------------------------------------------------------------------------
+# snapshot-ledger time travel: as-of reads equal a sequential fold model
+# ---------------------------------------------------------------------------
+
+MUTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.sampled_from(["put", "delete"]),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(muts=MUTS, n_batches=st.integers(min_value=1, max_value=4))
+@_slow
+def test_time_travel_matches_sequential_fold_model(spark, muts, n_batches):
+    """For ANY mutation sequence and ANY batch split, the as-of-batch-b
+    read of the retain_history table equals a plain sequential fold of
+    batches <= b (latest version wins; tombstones mask). Versions are
+    the mutation's global index, so every (key, version) is unique and
+    the model has no tie ambiguity (tie semantics are pinned separately
+    in test_upsert.py)."""
+    import shutil
+    import tempfile
+
+    from mapreduce_big_data_processing_spark.streaming.sinks import (
+        _keyed_upsert_apply_batch,
+        _snapshot_name,
+        commit_history_manifest,
+        read_keyed_table,
+    )
+
+    schema = "k bigint, version bigint, v string, op string"
+    rows = [
+        (k, i, None if op == "delete" else f"v{i}", op)
+        for i, (k, op) in enumerate(muts)
+    ]
+    # split into n_batches contiguous slices (some possibly empty)
+    size = (len(rows) + n_batches - 1) // n_batches
+    batches = [rows[i * size : (i + 1) * size] for i in range(n_batches)]
+
+    wd = tempfile.mkdtemp(prefix="tt_prop_")
+    try:
+        empty = spark.createDataFrame([], schema)
+        seed = _snapshot_name(-1)
+        empty.write.mode("overwrite").parquet(f"{wd}/{seed}")
+        commit_history_manifest(wd, [[-1, seed]], -1, 10)
+        model: dict = {}
+        expected_at = []
+        for bid, batch in enumerate(batches):
+            bdf = spark.createDataFrame(batch, schema)
+            _keyed_upsert_apply_batch(
+                bdf,
+                bid,
+                work_dir=wd,
+                gens=None,
+                schema=spark.createDataFrame([], schema).schema,
+                key_cols=["k"],
+                version_col="version",
+                op_col="op",
+                retain_history=10,
+            )
+            for k, ver, v, op in batch:
+                cur = model.get(k)
+                if cur is None or ver > cur[0]:
+                    model[k] = (ver, v, op)
+            expected_at.append(
+                sorted(
+                    (k, ver, v)
+                    for k, (ver, v, op) in model.items()
+                    if op == "put"
+                )
+            )
+        for bid, expected in enumerate(expected_at):
+            got = sorted(
+                (r.k, r.version, r.v)
+                for r in read_keyed_table(
+                    spark, wd, schema, as_of_batch=bid
+                ).collect()
+            )
+            assert got == expected, f"as_of={bid}"
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
