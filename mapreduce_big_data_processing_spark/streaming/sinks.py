@@ -124,15 +124,13 @@ def read_keyed_table(
     ).drop(op_col)
 
 
-def _read_snapshot(
-    spark: SparkSession,
-    work_dir: str,
-    schema,
-    as_of_batch: int | None = None,
-) -> DataFrame:
-    """RAW snapshot rows (tombstones included) as of a batch — the shared
+def _resolve_snapshot(
+    work_dir: str, as_of_batch: int | None = None
+) -> tuple[int, str]:
+    """(resolved batch id, snapshot dir) as of a batch — the shared
     resolver behind :func:`read_keyed_table` and
-    :func:`keyed_table_changes`."""
+    :func:`keyed_table_changes`. Resolves DOWN to the newest committed
+    batch <= as_of_batch."""
     mf = read_upsert_manifest(work_dir)
     if mf is None:
         raise RuntimeError("no committed keyed-upsert state in " + work_dir)
@@ -143,19 +141,31 @@ def _read_snapshot(
                 "time travel needs a retain_history sink; this table is "
                 "A/B-mode (no snapshot ledger in its manifest)"
             )
-        rel = ["state_a", "state_b"][int(mf["generation"])]
-    else:
-        cands = [
-            (int(b), d)
-            for b, d in hist
-            if as_of_batch is None or int(b) <= as_of_batch
-        ]
-        if not cands:
-            raise ValueError(
-                f"as_of_batch={as_of_batch} predates the retention window "
-                f"(oldest retained batch: {int(hist[0][0])})"
-            )
-        rel = max(cands)[1]
+        return (
+            int(mf["batch_id"]),
+            ["state_a", "state_b"][int(mf["generation"])],
+        )
+    cands = [
+        (int(b), d)
+        for b, d in hist
+        if as_of_batch is None or int(b) <= as_of_batch
+    ]
+    if not cands:
+        raise ValueError(
+            f"as_of_batch={as_of_batch} predates the retention window "
+            f"(oldest retained batch: {int(hist[0][0])})"
+        )
+    return max(cands)
+
+
+def _read_snapshot(
+    spark: SparkSession,
+    work_dir: str,
+    schema,
+    as_of_batch: int | None = None,
+) -> DataFrame:
+    """RAW snapshot rows (tombstones included) as of a batch."""
+    _, rel = _resolve_snapshot(work_dir, as_of_batch)
     return spark.read.schema(schema).parquet(os.path.join(work_dir, rel))
 
 
@@ -187,9 +197,18 @@ def keyed_table_changes(
     reads per-commit change files instead; diffing immutable snapshots
     is the honest plain-parquet reduction, and it parallelizes as an
     ordinary shuffle join on the row hash). Both snapshots must still be
-    inside the retention window."""
-    old = _read_snapshot(spark, work_dir, schema, from_batch)
-    new = _read_snapshot(spark, work_dir, schema, to_batch)
+    inside the retention window, and ``from_batch`` must resolve at or
+    before ``to_batch`` — a reversed window would silently mis-tag
+    removals as inserts, so it raises instead."""
+    from_id, from_rel = _resolve_snapshot(work_dir, from_batch)
+    to_id, to_rel = _resolve_snapshot(work_dir, to_batch)
+    if from_id > to_id:
+        raise ValueError(
+            f"keyed_table_changes: from_batch resolves to {from_id}, after "
+            f"to_batch's {to_id} — the change window must run forward"
+        )
+    old = spark.read.schema(schema).parquet(os.path.join(work_dir, from_rel))
+    new = spark.read.schema(schema).parquet(os.path.join(work_dir, to_rel))
     changed = new.exceptAll(old)
     old_live = (
         old.filter(F.col(op_col) == "put")

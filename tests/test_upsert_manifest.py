@@ -302,3 +302,15 @@ def test_time_travel_schema_evolution_reads_missing_column_as_null(
     assert rows == [
         (1, 2, "a2", None), (2, 1, "b", None), (3, 1, "c", None)
     ]
+
+
+def test_changes_rejects_reversed_window(spark, tmp_path):
+    from mapreduce_big_data_processing_spark.streaming.sinks import (
+        keyed_table_changes,
+    )
+
+    wd = str(tmp_path)
+    _seed_history(spark, wd, retain=5)
+    _apply_three(spark, wd, _hkw(wd, spark, retain=5))
+    with pytest.raises(ValueError, match="run forward"):
+        keyed_table_changes(spark, wd, _SCHEMA, ["k"], 2, 0)
