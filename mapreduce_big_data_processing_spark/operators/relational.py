@@ -234,6 +234,75 @@ def top_k(df: DataFrame, k: int, *order: Column | str) -> DataFrame:
     return df.orderBy(*order).limit(k)
 
 
+def global_rank(
+    df: DataFrame,
+    order: Sequence[Column],
+    out: str = "rnk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 1-based global rank for EVERY row — the TeraSort-rank /
+    stable-sample-id assignment a training pipeline needs over the whole
+    corpus (shard-stable ids, curriculum order), where
+    ``row_number().over(Window.orderBy(...))`` would funnel 100 TB
+    through ONE partition (WindowGroupLimit only rescues top-k filters,
+    not full output).
+
+    Two-pass shape (`ppt/Ch5….pdf p.32-38` — the reference needs
+    TotalOrderPartitioner + input sampler for the same plan):
+    range-partition + local sort on the order keys (Spark samples the
+    boundaries), ONE Arrow pass appends each row's intra-partition
+    index (zero shuffle, order-preserving), partition row-counts
+    (≤ num_partitions rows — sketch-sized) collect to the driver and
+    cumulate into offsets that broadcast back; rank = offset + index + 1.
+    Ranks are independent of where the sampled boundaries land, so the
+    result is deterministic for any tie-free ``order`` even though the
+    partitioning itself is sample-derived. The range-partitioned sorted
+    input is cached — it feeds both the count pass and the final
+    projection."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(n, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+
+    def add_index(batches):
+        running = 0
+        for pdf in batches:
+            pdf = pdf.assign(__idx=range(running, running + len(pdf)))
+            running += len(pdf)
+            yield pdf
+
+    from pyspark.sql import types as T
+
+    # NOT parts.schema.add(...): StructType.add MUTATES the instance the
+    # DataFrame hands out, corrupting the input plan's resolved columns
+    schema = T.StructType(
+        list(parts.schema.fields) + [T.StructField("__idx", T.LongType())]
+    )
+    indexed = parts.mapInPandas(add_index, schema=schema)
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in parts.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:  # ascending pid == ascending range
+        offsets.append((pid, acc))
+        acc += cnt
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "__pid int, __off long")
+    )
+    return (
+        indexed.join(off, "__pid")
+        .withColumn(out, F.col("__off") + F.col("__idx") + F.lit(1))
+        .drop("__pid", "__idx", "__off")
+    )
+
+
 def top_k_per_group(
     df: DataFrame, keys: Sequence[str], order: Sequence[Column], k: int, out: str = "rn"
 ) -> DataFrame:

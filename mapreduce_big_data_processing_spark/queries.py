@@ -3983,6 +3983,38 @@ def global_price_rank(spark, sf_dir):
 
 
 @query(
+    "corpus_sample_ids",
+    """
+    SELECT doc_id, n_chars,
+           CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                AS BIGINT) AS sample_id
+    FROM documents
+    """,
+)
+def corpus_sample_ids(spark, sf_dir):
+    """Stable dense sample-id assignment over the WHOLE corpus (longest
+    doc first, doc_id tiebreak) — the shard-stable curriculum ids a
+    training pipeline stamps on 100 TB, where the oracle's
+    `row_number() OVER (ORDER BY …)` would funnel everything through one
+    window partition. The engine runs `relational.global_rank` instead:
+    range-partition + local sort (Spark samples the boundaries where the
+    reference needs TotalOrderPartitioner + sampler, `ppt/Ch5….pdf
+    p.32-38`), one zero-shuffle Arrow pass for intra-partition indexes,
+    and a broadcast of the ≤partition-count cumulative offsets. Ranks
+    are boundary-independent, so the distributed form hash-matches the
+    oracle's single window exactly."""
+    from mapreduce_big_data_processing_spark.operators import relational as R2
+
+    docs = _t(spark, sf_dir, "documents")
+    ranked = R2.global_rank(
+        docs.select("doc_id", "n_chars"),
+        [F.desc("n_chars"), F.asc("doc_id")],
+        out="sample_id",
+    )
+    return ranked.select("doc_id", "n_chars", "sample_id")
+
+
+@query(
     "latest_event_per_user",
     """
     SELECT user_id, event_id, event_type, value FROM (
@@ -9399,6 +9431,7 @@ _PRIORITY = [
     "keyed_table_time_travel",
     "retrieval_ndcg_eval",
     "keyed_table_changefeed",
+    "corpus_sample_ids",
 ]
 
 

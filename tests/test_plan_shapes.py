@@ -858,3 +858,16 @@ def test_ranking_metrics_never_shuffles_the_rel_table(spark, sf_dir):
     plan = _plan(spark, sf_dir, "retrieval_ndcg_eval")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_global_rank_has_no_single_partition_window(spark, sf_dir):
+    """corpus_sample_ids must NOT plan a global Window (the single-
+    partition funnel the operator exists to avoid): rank comes from
+    range partitioning + a zero-shuffle Arrow index pass + a broadcast
+    offsets join."""
+    plan = _plan(spark, sf_dir, "corpus_sample_ids")
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+    assert "BroadcastHashJoin" in plan  # the offsets join
+    assert "MapInPandas" in plan  # the index pass

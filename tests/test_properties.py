@@ -719,3 +719,31 @@ def test_time_travel_matches_sequential_fold_model(spark, muts, n_batches):
             assert got == expected, f"as_of={bid}"
     finally:
         shutil.rmtree(wd, ignore_errors=True)
+
+
+@given(
+    chars=st.lists(
+        st.integers(min_value=0, max_value=9), min_size=1, max_size=40
+    ),
+    parts=st.sampled_from([1, 3, 8]),
+)
+@_slow
+def test_global_rank_partition_invariance(spark, chars, parts):
+    """global_rank must equal the single-window row_number for ANY data
+    and ANY partition count — the rank is boundary-independent even
+    though the range partitioning is sample-derived. Ties on the value
+    are broken by the unique id, so the order is total."""
+    from mapreduce_big_data_processing_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(chars)], "id long, val long"
+    )
+    got = sorted(
+        (r.id, r.rnk)
+        for r in R.global_rank(
+            df, [F.desc("val"), F.asc("id")], num_partitions=parts
+        ).collect()
+    )
+    expected_order = sorted(enumerate(chars), key=lambda t: (-t[1], t[0]))
+    expected = sorted((i, pos + 1) for pos, (i, _c) in enumerate(expected_order))
+    assert got == expected
