@@ -38,6 +38,7 @@ PICKS = {
     "hybrid_retrieval_rrf": "hybrid retrieval: BM25 leg cut by TakeOrderedAndProject, LSH bucket BHJ leg, full-outer fusion over <=40 rows",
     "language_id_ngram": "char-n-gram LID: one zero-exchange Arrow stage riding the documents scan (5 vectorized lookahead scans per batch)",
     "retrieval_ndcg_eval": "graded ranking eval: LSH-list DCG agg + IDCG from grade counts expanded over a broadcast 1..k series (interval BNLJ) — no per-query corpus sort",
+    "corpus_sample_ids": "TeraSort-rank id assignment: ONE range exchange + local sort, zero-shuffle Arrow index pass, broadcast offsets join — no Window, no single-partition funnel",
 }
 
 
