@@ -257,8 +257,21 @@ def global_rank(
     Ranks are independent of where the sampled boundaries land, so the
     result is deterministic for any tie-free ``order`` even though the
     partitioning itself is sample-derived. The range-partitioned sorted
-    input is cached — it feeds both the count pass and the final
-    projection."""
+    The ``.cache()`` on the range-partitioned input is CORRECTNESS-load-
+    bearing, not an optimization: the count pass and the final
+    projection are separate jobs, and without the cache each job
+    compiles its own physical plan and RE-SAMPLES the range boundaries —
+    the offsets collected from one partitioning then mis-add against the
+    other's partition populations (measured at the 100x fixture:
+    hash-mismatch with ranks shifted by thousands; invisible at toy SFs
+    where the samplings agree). The cache pins ONE partitioning for both
+    consumers. It is corpus-sized and has no owner to unpersist it —
+    the documented cost of the only correct two-pass form."""
+    for c in ("__pid", "__idx", "__off", out):
+        if c in df.columns:
+            # withColumn would silently REPLACE the caller's column and
+            # the final drop would delete it (the output-collision rule)
+            raise ValueError(f"global_rank: input already carries {c!r}")
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     parts = (

@@ -847,6 +847,10 @@ def ranking_metrics(
         raise ValueError(
             f"ranking_metrics: ranked input already carries {rel_col!r}"
         )
+    # and symmetrically: a rel table carrying extra columns (e.g. its own
+    # 'rank') would duplicate names through the join — keep only the
+    # three the metrics read
+    rel = rel.select(query_col, id_col, rel_col)
     spark = ranked.sparkSession
     # cache the <= queries*k candidate list: it feeds BOTH the broadcast
     # semi-filter below and the DCG join's stream side, and without the

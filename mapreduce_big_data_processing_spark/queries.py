@@ -10301,38 +10301,16 @@ def streaming_upsert_state(spark, sf_dir):
     )
 
 
-@query(
-    "keyed_table_time_travel",
-    """
-    WITH cut AS (SELECT (max(event_id) + 1) // 2 AS c FROM events),
-    universe AS (
-      SELECT e.* FROM events e, cut
-      WHERE e.event_id < cut.c OR e.event_id % 3 <= 1),
-    m AS (
-      SELECT user_id, event_id AS version, event_type, value,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY event_id DESC) AS rn
-      FROM universe)
-    SELECT user_id, version, event_type AS last_event, value
-    FROM m WHERE rn = 1 AND event_type <> 'error'
-    """,
-)
-def keyed_table_time_travel(spark, sf_dir):
-    """VERSION-AS-OF read of the S10 keyed table — the audit/debug
-    question a CDC pipeline gets asked ("what did this user's row say
-    BEFORE last night's batch?"), answered from the manifest snapshot
-    ledger with no log replay: `run_keyed_upsert_sink(retain_history=3)`
-    keeps one immutable parquet snapshot per micro-batch, and
-    `read_keyed_table(as_of_batch=1)` opens the committed batch-1
-    snapshot directly (Delta/Iceberg time travel reduced to the
-    write-new/swap-pointer manifest, `streaming/sinks.py`). The replay
-    splits the second half of the event CDC stream into three
-    deterministic mod-3 batches with ordered file mtimes, so "as of
-    batch 1" is exactly: first half (the bootstrap MERGE) plus batches
-    {0,1} — the oracle's one-window universe. Retention also bites:
-    3 applied batches + the seed exceed retain_history=3, so the SEED
-    snapshot is GC'd by the final commit (asking for it raises — the
-    VACUUM-horizon contract, pinned in tests/test_upsert_manifest.py)."""
+def _replay_keyed_cdc(spark, sf_dir, name: str, retain_history: int):
+    """Shared deterministic CDC replay for the time-travel / changefeed
+    queries: events → put/delete mutations (error = tombstone), bootstrap
+    MERGE over the first event-id half, second half split into three
+    mod-3 single-file batches with strictly increasing mtimes (the file
+    source orders by mtime, so batch ids 0/1/2 are reproducible), driven
+    through `run_keyed_upsert_sink(retain_history=...)`. Returns
+    (work_dir, state_schema) for the caller's snapshot reads. ONE
+    definition so the two queries' oracles can't drift from the replay
+    semantics (and from each other)."""
     import os
     import shutil as _shutil
     import time as _time
@@ -10369,7 +10347,7 @@ def keyed_table_time_travel(spark, sf_dir):
         keep_tombstones=True,
     )
 
-    work = _work_dir(spark, "keyed_time_travel")
+    work = _work_dir(spark, name)
     src = os.path.join(work, "mutations")
     _shutil.rmtree(src, ignore_errors=True)
     os.makedirs(src, exist_ok=True)
@@ -10395,7 +10373,55 @@ def keyed_table_time_travel(spark, sf_dir):
         .parquet(src)
     )
     SS.run_keyed_upsert_sink(
-        spark, stream, base, work, ["user_id"], "version", retain_history=3
+        spark,
+        stream,
+        base,
+        work,
+        ["user_id"],
+        "version",
+        retain_history=retain_history,
+    )
+    return work, state_schema
+
+
+@query(
+    "keyed_table_time_travel",
+    """
+    WITH cut AS (SELECT (max(event_id) + 1) // 2 AS c FROM events),
+    universe AS (
+      SELECT e.* FROM events e, cut
+      WHERE e.event_id < cut.c OR e.event_id % 3 <= 1),
+    m AS (
+      SELECT user_id, event_id AS version, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM universe)
+    SELECT user_id, version, event_type AS last_event, value
+    FROM m WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def keyed_table_time_travel(spark, sf_dir):
+    """VERSION-AS-OF read of the S10 keyed table — the audit/debug
+    question a CDC pipeline gets asked ("what did this user's row say
+    BEFORE last night's batch?"), answered from the manifest snapshot
+    ledger with no log replay: `run_keyed_upsert_sink(retain_history=3)`
+    keeps one immutable parquet snapshot per micro-batch, and
+    `read_keyed_table(as_of_batch=1)` opens the committed batch-1
+    snapshot directly (Delta/Iceberg time travel reduced to the
+    write-new/swap-pointer manifest, `streaming/sinks.py`). The replay
+    splits the second half of the event CDC stream into three
+    deterministic mod-3 batches with ordered file mtimes, so "as of
+    batch 1" is exactly: first half (the bootstrap MERGE) plus batches
+    {0,1} — the oracle's one-window universe. Retention also bites:
+    3 applied batches + the seed exceed retain_history=3, so the SEED
+    snapshot is GC'd by the final commit (asking for it raises — the
+    VACUUM-horizon contract, pinned in tests/test_upsert_manifest.py).
+    Replay harness shared with `keyed_table_changefeed`
+    (`_replay_keyed_cdc`)."""
+    from mapreduce_big_data_processing_spark.streaming import sinks as SS
+
+    work, state_schema = _replay_keyed_cdc(
+        spark, sf_dir, "keyed_time_travel", retain_history=3
     )
     return SS.read_keyed_table(
         spark, work, state_schema, as_of_batch=1
@@ -10455,70 +10481,12 @@ def keyed_table_changefeed(spark, sf_dir):
     snapshots — idempotent CDC, see streaming/sinks.keyed_table_changes).
     Oracle: one-window replays of both snapshot states joined with
     null-safe equality; delete rows surface with sentinel ''/0.0 fields
-    on both sides (the NULL-sort protocol)."""
-    import os
-    import shutil as _shutil
-    import time as _time
-
-    from pyspark.sql import types as T
-
-    from mapreduce_big_data_processing_spark.sources import writers as W
+    on both sides (the NULL-sort protocol). Replay harness shared with
+    `keyed_table_time_travel` (`_replay_keyed_cdc`)."""
     from mapreduce_big_data_processing_spark.streaming import sinks as SS
 
-    ev = _t(spark, sf_dir, "events")
-    cut = int((ev.agg(F.max("event_id")).collect()[0][0] + 1) // 2)
-    muts = ev.select(
-        F.col("user_id"),
-        F.col("event_id").alias("version"),
-        F.when(F.col("event_type") == "error", "delete")
-        .otherwise("put")
-        .alias("op"),
-        F.when(F.col("event_type") == "error", None)
-        .otherwise(F.col("event_type"))
-        .alias("last_event"),
-        F.when(F.col("event_type") == "error", None)
-        .otherwise(F.col("value"))
-        .alias("value"),
-    )
-    state_schema = (
-        "user_id bigint, version bigint, last_event string, value double, op string"
-    )
-    empty = spark.createDataFrame([], state_schema)
-    base = W.keyed_upsert(
-        empty,
-        muts.filter(F.col("version") < cut),
-        ["user_id"],
-        "version",
-        keep_tombstones=True,
-    )
-
-    work = _work_dir(spark, "keyed_changefeed")
-    src = os.path.join(work, "mutations")
-    _shutil.rmtree(src, ignore_errors=True)
-    os.makedirs(src, exist_ok=True)
-    mtime0 = _time.time() - 3600
-    tail = muts.filter(F.col("version") >= cut)
-    for b in range(3):
-        tmp = os.path.join(work, f"tmp_b{b}")
-        tail.filter((F.col("version") % 3) == b).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = next(
-            p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
-        )
-        dst = os.path.join(src, f"batch{b}.parquet")
-        _shutil.copyfile(os.path.join(tmp, part), dst)
-        os.utime(dst, (mtime0 + b, mtime0 + b))
-        _shutil.rmtree(tmp, ignore_errors=True)
-
-    mut_schema = T.StructType.fromDDL(state_schema)
-    stream = (
-        spark.readStream.schema(mut_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    SS.run_keyed_upsert_sink(
-        spark, stream, base, work, ["user_id"], "version", retain_history=3
+    work, state_schema = _replay_keyed_cdc(
+        spark, sf_dir, "keyed_changefeed", retain_history=3
     )
     out = SS.keyed_table_changes(
         spark, work, state_schema, ["user_id"], from_batch=0, to_batch=2

@@ -311,10 +311,22 @@ def _keyed_upsert_apply_batch(
         return  # already committed — redelivery after checkpoint recovery
     spark = batch_df.sparkSession
     if retain_history > 0:
+        if "history" not in mf:
+            raise ValueError(
+                "retain_history batch applied to an A/B-mode table "
+                "(manifest has no snapshot ledger) — re-seed the state "
+                "dir in the layout the sink will write"
+            )
         hist = [[int(b), str(d)] for b, d in mf["history"]]
         cur_dir = os.path.join(work_dir, hist[-1][1])
         state = spark.read.schema(schema).parquet(cur_dir)
     else:
+        if "generation" not in mf:
+            raise ValueError(
+                "A/B-mode batch applied to a retain_history table "
+                "(manifest carries a snapshot ledger, not a generation "
+                "pointer) — pass the sink's retain_history"
+            )
         cur = mf["generation"]
         state = spark.read.schema(schema).parquet(gens[cur])
     merged = W.keyed_upsert(

@@ -747,3 +747,13 @@ def test_global_rank_partition_invariance(spark, chars, parts):
     expected_order = sorted(enumerate(chars), key=lambda t: (-t[1], t[0]))
     expected = sorted((i, pos + 1) for pos, (i, _c) in enumerate(expected_order))
     assert got == expected
+
+
+def test_global_rank_rejects_column_collisions(spark):
+    from mapreduce_big_data_processing_spark.operators import relational as R
+
+    df = spark.createDataFrame([(1, 2)], "id long, rnk long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already carries"):
+        R.global_rank(df, [F.asc("id")])

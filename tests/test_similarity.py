@@ -586,28 +586,53 @@ def test_ranking_metrics_hand_computed(spark):
     assert r2.ndcg == 0.0
 
 
-def test_ranking_metrics_k_truncation_and_idcg_interval():
-    """IDCG interval expansion: 3 grade-2 docs + 2 grade-1 docs with k=4
-    must take ranks 1-3 at grade 2 and rank 4 at grade 1 (NOT count all
-    five)."""
+def test_ranking_metrics_k_truncation_and_idcg_interval(spark):
+    """IDCG interval expansion IN THE OPERATOR: with 3 grade-2 docs and
+    2 grade-1 docs but k=4, the ideal list takes ranks 1-3 at grade 2
+    and rank 4 at grade 1 — the k-truncation must NOT count all five,
+    and the rank>k candidate must not contribute to dcg."""
     import math
 
-    exp = round(
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 5)],  # rank 5 > k: excluded everywhere
+        "query_id int, doc_id int, rank int",
+    )
+    rel = spark.createDataFrame(
+        [(1, 10, 2), (1, 20, 2), (1, 21, 2), (1, 30, 1), (1, 31, 1),
+         (1, 11, 2)],
+        "query_id int, doc_id int, rel int",
+    )
+    r = S.ranking_metrics(ranked, rel, k=4).collect()[0]
+    assert r.n_retrieved == 1  # the rank-5 row is truncated away
+    assert r.dcg == round(2 / math.log2(2), 6)
+    # 6 relevant docs total (4 grade-2, 2 grade-1), but IDCG@4 takes
+    # only the best 4: grades 2,2,2,2
+    assert r.idcg == round(
+        2 / math.log2(2) + 2 / math.log2(3) + 2 / math.log2(4)
+        + 2 / math.log2(5),
+        6,
+    )
+
+
+def test_ranking_metrics_idcg_truncates_into_lower_grade(spark):
+    """3 grade-2 + 2 grade-1 with k=4: the ideal tail crosses the grade
+    boundary (ranks 1-3 at grade 2, rank 4 at grade 1) — pins the
+    cumulative-interval join against off-by-one boundary bugs."""
+    import math
+
+    ranked = spark.createDataFrame(
+        [(1, 10, 1)], "query_id int, doc_id int, rank int"
+    )
+    rel = spark.createDataFrame(
+        [(1, 10, 2), (1, 20, 2), (1, 21, 2), (1, 30, 1), (1, 31, 1)],
+        "query_id int, doc_id int, rel int",
+    )
+    r = S.ranking_metrics(ranked, rel, k=4).collect()[0]
+    assert r.idcg == round(
         2 / math.log2(2) + 2 / math.log2(3) + 2 / math.log2(4)
         + 1 / math.log2(5),
         6,
     )
-    # computed via the same interval rule the operator uses
-    n2, n1, k = 3, 2, 4
-    got = round(
-        sum(
-            (2.0 if r <= n2 else 1.0 if r <= n2 + n1 else 0.0)
-            / math.log2(r + 1)
-            for r in range(1, k + 1)
-        ),
-        6,
-    )
-    assert got == exp
 
 
 def test_retrieval_ndcg_margins(spark, sf_dir):

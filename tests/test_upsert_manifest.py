@@ -314,3 +314,22 @@ def test_changes_rejects_reversed_window(spark, tmp_path):
     _apply_three(spark, wd, _hkw(wd, spark, retain=5))
     with pytest.raises(ValueError, match="run forward"):
         keyed_table_changes(spark, wd, _SCHEMA, ["k"], 2, 0)
+
+
+def test_mode_mismatch_raises_informatively(spark, tmp_path):
+    """A retain_history batch against an A/B manifest (and vice versa)
+    must fail with the layout-mismatch explanation, not a KeyError."""
+    wd = str(tmp_path)
+    gens = _seed(spark, wd)  # A/B-mode seed
+    b0 = spark.createDataFrame([(1, 2, "a2", "put")], _SCHEMA)
+    kw = _kw(wd, gens, spark)
+    kw["retain_history"] = 3
+    with pytest.raises(ValueError, match="no snapshot ledger"):
+        _keyed_upsert_apply_batch(b0, 0, **kw)
+
+    wd2 = str(tmp_path / "hist")
+    os.makedirs(wd2)
+    _seed_history(spark, wd2)
+    kw2 = _kw(wd2, gens, spark)  # retain_history defaults to 0
+    with pytest.raises(ValueError, match="generation pointer"):
+        _keyed_upsert_apply_batch(b0, 0, **kw2)
