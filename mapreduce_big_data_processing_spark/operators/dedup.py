@@ -565,8 +565,13 @@ def _bucket_pair_rows(
         # accumulate — on the default MEMORY_AND_DISK level that
         # exhausted a 16 g heap after three 1000×-fixture runs; on disk
         # the leak is bounded by free disk and the read-back cost is a
-        # sequential scan of an index-sized table
-        sized = sized.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        # sequential scan of an index-sized table. eager=False: the max
+        # action right below materializes the checkpoint inside its own
+        # job, so build runs ONE job (checkpoint+max fused) instead of two
+        # back-to-back passes over the same banded table.
+        sized = sized.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.DISK_ONLY
+        )
         max_ns = sized.agg(F.max("__ns")).first()[0]
         skip_big = max_ns is None or max_ns <= 1
 

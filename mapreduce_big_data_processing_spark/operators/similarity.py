@@ -24,6 +24,29 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
+#: inputs the optimizer bounds under this many bytes skip the single-split
+#: fan-out repartition (an exchange + dp-1 near-empty Python tasks buys
+#: nothing there). NOTE the statistic is ON-DISK file bytes for a parquet
+#: scan — compressed, and the downstream work per row (bucket-join
+#: candidate scoring) can be super-linear — so the bound is deliberately
+#: ONE MiB, not "what one core can matmul": a 2.5 MB / 20 k-row corpus
+#: left unfanned serialized the whole 10× knn scoring stage through one
+#: task (measured 5.3 s → 19.9 s — the r3 single-split trap, re-learned).
+_FANOUT_MIN_BYTES = 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate for ``df`` (bytes) — plan statistics only,
+    no job, no RDD conversion. Returns a huge sentinel when statistics are
+    unavailable so callers keep their scale-safe default."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 1 << 62
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Σ a[i]*b[i] in declared array order (deterministic fold, codegen'd)."""
     return F.aggregate(
@@ -442,9 +465,17 @@ def arrow_signature(
         )
     P = np.asarray(planes, dtype="float64")
     spark = df.sparkSession
-    dp = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < dp:
-        df = df.repartition(dp)
+    # single-split fan-out guard, BYTE-GATED from plan statistics (no job,
+    # no RDD conversion): the fan-out exists so the downstream bucket-join
+    # + re-rank stages inherit real parallelism when the corpus bytes fit
+    # one input split (the r3 lesson) — but for a table the optimizer
+    # already bounds under a few MB, the repartition is an extra exchange
+    # plus dp-1 near-empty Python tasks per stage. Stats only shrink with
+    # CBO, so an over-estimate keeps the fan-out (the safe side).
+    if _plan_size_bytes(df) > _FANOUT_MIN_BYTES:
+        dp = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < dp:
+            df = df.repartition(dp)
     bc = spark.sparkContext.broadcast(P)
 
     def sign(batches):
@@ -1011,11 +1042,29 @@ def embedding_near_dup(
         n_probe = max(1, int(n_probe))
         bc_planes = spark.sparkContext.broadcast((pmats, probe_state, n_probe))
         src = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        # Bounded smallness probe for the skew pre-pass below: every row
+        # lands in exactly n_probe buckets per table, so with n corpus rows
+        # no bucket can hold more than n·n_probe rows — if a limit-bounded
+        # count proves n ≤ max_bucket_rows/n_probe, the counting pre-pass
+        # (a full extra Arrow signature pass over the corpus) is provably
+        # redundant and is skipped. The probe reads ≤ cap/n_probe + 1 rows
+        # off the UN-fanned-out scan (a limit over the repartitioned src
+        # would materialize the whole exchange first), so its cost is
+        # O(cap) at every corpus size — guide §1.2: remove passes before
+        # tuning them.
+        probe_cap = int(max_bucket_rows) // n_probe
+        small_corpus = (
+            probe_cap > 0 and src.limit(probe_cap + 1).count() <= probe_cap
+        )
         # compute is O(n·planes·dim) while the corpus bytes may be ONE
-        # input split (the r3 single-split lesson) — fan out first
-        dp = spark.sparkContext.defaultParallelism
-        if src.rdd.getNumPartitions() < dp:
-            src = src.repartition(dp)
+        # input split (the r3 single-split lesson) — fan out first. A
+        # probe-bounded small corpus skips the fan-out: ≤ cap rows is one
+        # Arrow batch of matmul, and spreading it over defaultParallelism
+        # pays an exchange plus dp-1 near-empty Python tasks per stage.
+        if not small_corpus:
+            dp = spark.sparkContext.defaultParallelism
+            if src.rdd.getNumPartitions() < dp:
+                src = src.repartition(dp)
 
         def assign(with_vec):
             def gen(batches):
@@ -1079,27 +1128,35 @@ def embedding_near_dup(
         blk = int(block_rows)
         cap = int(max_bucket_rows)
 
-        over = (
-            src.mapInPandas(
-                assign(False),
-                schema=f"__id {id_type}, table_id int, bucket bigint, __role int",
-            )
-            .groupBy("table_id", "bucket")
-            .agg(F.count(F.lit(1)).alias("__cnt"))
-            .filter(F.col("__cnt") > cap)
-            .select(
-                "table_id",
-                "bucket",
-                F.ceil(F.col("__cnt") / cap).cast("int").alias("__ns"),
-            )
-        )
         # The counting pre-pass output is model-sized (over-cap buckets
         # only), so checking it is one tiny action. No oversized bucket —
         # the overwhelmingly common case — takes the direct per-bucket
         # grouping with no salting columns, no broadcast join, and no
         # group-key explosion (measured ~2x on the sf0.1 bench, where the
-        # salted plan's extra stages dominate the small corpus).
-        skewed = not over.isEmpty()
+        # salted plan's extra stages dominate the small corpus). A corpus
+        # the smallness probe above already bounded under cap/n_probe rows
+        # skips even the pre-pass: its signature stage would re-run the
+        # whole Arrow assign pass only to prove what the row bound proves.
+        skewed = False
+        if not small_corpus:
+            over = (
+                src.mapInPandas(
+                    assign(False),
+                    schema=(
+                        f"__id {id_type}, table_id int, bucket bigint,"
+                        " __role int"
+                    ),
+                )
+                .groupBy("table_id", "bucket")
+                .agg(F.count(F.lit(1)).alias("__cnt"))
+                .filter(F.col("__cnt") > cap)
+                .select(
+                    "table_id",
+                    "bucket",
+                    F.ceil(F.col("__cnt") / cap).cast("int").alias("__ns"),
+                )
+            )
+            skewed = not over.isEmpty()
         if skewed:
             tagged = (
                 bucketed.join(F.broadcast(over), ["table_id", "bucket"], "left")
@@ -1312,10 +1369,12 @@ def random_projection(
     bc = spark.sparkContext.broadcast((P, denom))
     src = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     # compute is O(n·out_dim·dim) while the corpus bytes may be ONE input
-    # split (the r3 single-split lesson) — fan out first
-    dp = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < dp:
-        src = src.repartition(dp)
+    # split (the r3 single-split lesson) — fan out first (byte-gated from
+    # plan statistics: tiny inputs skip the exchange, see arrow_signature)
+    if _plan_size_bytes(src) > _FANOUT_MIN_BYTES:
+        dp = spark.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < dp:
+            src = src.repartition(dp)
     id_type = dict(corpus.dtypes)[id_col]
 
     def gen(batches):

@@ -67,10 +67,39 @@ def get_session(
         SparkSession.builder.appName(app_name)
         .master(f"local[{n}]")
         # local mode: shuffles are in-process; fewer, fatter partitions beat
-        # the 200 default at test scale, AQE re-splits if data is big
+        # the 200 default at test scale. NOTE AQE only ever COALESCES
+        # post-shuffle partitions — it never splits them (skew-join
+        # splitting is join-only) — so the low static number here must be
+        # paired with a high adaptive STARTING number below or every
+        # shuffle at real scale is capped at this many reduce tasks.
         .config("spark.sql.shuffle.partitions", str(max(n // 4, 8)))
         .config("spark.sql.adaptive.enabled", "true" if adaptive else "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # scale-adaptive reduce parallelism (guide §2.2): shuffles START at
+        # 8×cores map-output splits and AQE coalesces them down to
+        # advisoryPartitionSizeInBytes from the measured sizes, so sf0.1
+        # still collapses to a handful of tasks while a 100× shuffle fans
+        # out to every core instead of the static 8 above. Only meaningful
+        # when AQE is on (without AQE this key is ignored); r10 measured
+        # pagerank@100× 211 s → the graph-build shuffles were running 8
+        # reduce tasks on 32 cores.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(8 * n, 64)),
+        )
+        # without this, CACHED subplans plan with AQE partition-count
+        # adaptation disabled (Spark keeps a cache's outputPartitioning
+        # stable by default), so every .cache() lineage — iterative edge
+        # tables, shingle sets, per-doc stats — would still run its
+        # shuffles at the static partition count above regardless of data
+        # size. Letting the cached plan's partitioning float means a
+        # downstream consumer keyed on it may re-shuffle its (small) other
+        # side to match — the right trade at scale, same reasoning as the
+        # pagerank ranks-side shuffle.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true" if adaptive else "false",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
