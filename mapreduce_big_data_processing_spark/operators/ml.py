@@ -824,7 +824,7 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     # fan-out byte-gated from plan statistics (see similarity.arrow_signature)
     if _S._plan_size_bytes(src) > _S._FANOUT_MIN_BYTES:
         dp = spark.sparkContext.defaultParallelism
-        if src.rdd.getNumPartitions() < dp:
+        if _S._est_scan_partitions(src) < dp:
             src = src.repartition(dp)
 
     def partial(batches):
@@ -908,7 +908,7 @@ def top_principal_component(
     # fan-out byte-gated from plan statistics (see similarity.arrow_signature)
     if _S._plan_size_bytes(src) > _S._FANOUT_MIN_BYTES:
         dp = spark.sparkContext.defaultParallelism
-        if src.rdd.getNumPartitions() < dp:
+        if _S._est_scan_partitions(src) < dp:
             src = src.repartition(dp)
     id_type = dict(df.dtypes)[id_col]
 

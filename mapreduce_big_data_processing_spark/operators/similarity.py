@@ -47,6 +47,29 @@ def _plan_size_bytes(df: DataFrame) -> int:
         return 1 << 62
 
 
+#: the split packing size Spark's file scans use; this engine never
+#: overrides spark.sql.files.maxPartitionBytes, so the default is exact
+_SPLIT_BYTES = 128 * 1024 * 1024
+
+
+def _est_scan_partitions(df: DataFrame) -> int:
+    """Estimated task count for ``df`` from optimizer byte statistics —
+    no job and no RDD conversion (``df.rdd.getNumPartitions()`` pays a
+    ~50-100 ms driver-side plan→RDD conversion per call, the r10 verdict's
+    item 5). Mirrors the scan's file-split packing: ceil(bytes /
+    maxPartitionBytes). Two deliberate biases, both toward the safe side
+    of the r3 single-split trap: statistics unavailable → 1 (assume one
+    split, keep the fan-out), and post-exchange lineages whose byte
+    estimate is small report few partitions even if the physical shuffle
+    had more — the extra repartition of a provably-small table costs an
+    in-process exchange, while skipping a needed fan-out serializes a
+    whole Arrow compute stage through one task."""
+    size = _plan_size_bytes(df)
+    if size >= 1 << 62:
+        return 1
+    return max(1, -(-size // _SPLIT_BYTES))
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Σ a[i]*b[i] in declared array order (deterministic fold, codegen'd)."""
     return F.aggregate(
@@ -175,7 +198,7 @@ def _batch_scored_candidates(
     # round-3 100× run showed a single-split corpus pinning one core
     if len(q_ids) >= 1024:
         dp = spark.sparkContext.defaultParallelism
-        if src.rdd.getNumPartitions() < dp:
+        if _est_scan_partitions(src) < dp:
             src = src.repartition(dp)
     id_type = dict(corpus.dtypes)[id_col]
     cand = src.mapInPandas(
@@ -474,7 +497,7 @@ def arrow_signature(
     # CBO, so an over-estimate keeps the fan-out (the safe side).
     if _plan_size_bytes(df) > _FANOUT_MIN_BYTES:
         dp = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < dp:
+        if _est_scan_partitions(df) < dp:
             df = df.repartition(dp)
     bc = spark.sparkContext.broadcast(P)
 
@@ -1063,7 +1086,7 @@ def embedding_near_dup(
         # pays an exchange plus dp-1 near-empty Python tasks per stage.
         if not small_corpus:
             dp = spark.sparkContext.defaultParallelism
-            if src.rdd.getNumPartitions() < dp:
+            if _est_scan_partitions(src) < dp:
                 src = src.repartition(dp)
 
         def assign(with_vec):
@@ -1373,7 +1396,7 @@ def random_projection(
     # plan statistics: tiny inputs skip the exchange, see arrow_signature)
     if _plan_size_bytes(src) > _FANOUT_MIN_BYTES:
         dp = spark.sparkContext.defaultParallelism
-        if src.rdd.getNumPartitions() < dp:
+        if _est_scan_partitions(src) < dp:
             src = src.repartition(dp)
     id_type = dict(corpus.dtypes)[id_col]
 

