@@ -296,7 +296,15 @@ def pagerank(
             ).join(vocab, F.col("__rid") == vocab.__nid).select("node", "pr")
 
         if tol is None:
-            return decode(iterate(ranks, step, max_iter, checkpoint_every))
+            # checkpoint_last=False: decode/top-k reference the final state
+            # exactly once, so the last cadence checkpoint would be a pure
+            # extra materialization job
+            return decode(
+                iterate(
+                    ranks, step, max_iter, checkpoint_every,
+                    checkpoint_last=False,
+                )
+            )
 
         # convergence mode (`ppt/Ch8….pdf p.26` alternative 2): stop when
         # the total rank movement Σ|Δpr| drops under tol — one extra scalar
@@ -404,7 +412,14 @@ def label_propagation(
             "node", F.coalesce("label", F.col("node")).alias("label")
         )
 
-    out = iterate(vertices.withColumn("label", F.col("node")), step, max_iter)
+    # checkpoint_last=False: the decode chain (or the caller's single
+    # action on the string path) references the final state exactly once
+    out = iterate(
+        vertices.withColumn("label", F.col("node")),
+        step,
+        max_iter,
+        checkpoint_last=False,
+    )
     if vocab is None:
         return out
     # decode BOTH columns through the (cached) vocab — vertex-sized joins;
