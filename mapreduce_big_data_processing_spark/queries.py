@@ -2148,30 +2148,10 @@ def _word_graph(spark, sf_dir):
     must stay pinned until the decoded result is consumed (it is read by
     both the encode-side broadcast and the decode join)."""
     from mapreduce_big_data_processing_spark.operators import graph as G
-    from mapreduce_big_data_processing_spark.operators.similarity import (
-        _plan_size_bytes,
-    )
 
     docs = _t(spark, sf_dir, "documents")
     toks = TX.tokenize(docs, keep_cols=["doc_id"])
-    vocab = None
-    if _plan_size_bytes(docs) >= _GRAPH_ENCODE_MIN_BYTES:
-        cand = (
-            toks.select("word")
-            .distinct()
-            .select("word", F.xxhash64("word").alias("wid"))
-            .cache()
-        )
-        nv, nid = cand.agg(F.count("*"), F.countDistinct("wid")).first()
-        if nv == nid:
-            vocab = cand
-            # vocabularies are Zipf-bounded ≪ corpus: broadcast, so the
-            # token table is mapped to ints with NO extra shuffle
-            toks = toks.join(F.broadcast(vocab), "word").select(
-                "doc_id", F.col("wid").alias("word")
-            )
-        else:
-            cand.unpersist()
+    toks, vocab = _encode_tokens(docs, toks)
     # with symmetric=False the pair representative is (min, max) under the
     # CURRENT key order — int order ≠ string order, but build_cooccurrence
     # explodes both directions, so the edge SET (and per-src normalization)
@@ -2179,6 +2159,37 @@ def _word_graph(spark, sf_dir):
     pairs = TX.cooccurrence_pairs(toks, symmetric=False)
     edges = G.build_cooccurrence_graph(pairs)
     return edges, vocab
+
+
+def _encode_tokens(docs, toks):
+    """Gated vocab encode for word-graph builds: returns ``(toks, vocab)``
+    with ``word`` mapped to int64 ``wid`` when the documents scan clears
+    ``_GRAPH_ENCODE_MIN_BYTES`` and xxhash64 is collision-free on the
+    vocab (exact check; string path kept otherwise, vocab None)."""
+    from mapreduce_big_data_processing_spark.operators.similarity import (
+        _plan_size_bytes,
+    )
+
+    if _plan_size_bytes(docs) < _GRAPH_ENCODE_MIN_BYTES:
+        return toks, None
+    cand = (
+        toks.select("word")
+        .distinct()
+        .select("word", F.xxhash64("word").alias("wid"))
+        .cache()
+    )
+    nv, nid = cand.agg(F.count("*"), F.countDistinct("wid")).first()
+    if nv != nid:
+        cand.unpersist()
+        return toks, None
+    # vocabularies are Zipf-bounded ≪ corpus: broadcast, so the token
+    # table is mapped to ints with NO extra shuffle
+    return (
+        toks.join(F.broadcast(cand), "word").select(
+            "doc_id", F.col("wid").alias("word")
+        ),
+        cand,
+    )
 
 
 def _decode_nodes(df, vocab, col: str = "node"):
@@ -8998,6 +9009,8 @@ def word_graph_sssp(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     toks = TX.tokenize(docs, keep_cols=["doc_id"]).distinct()
+    # root selection stays on STRINGS: its count tie-break is asc(word)
+    # order, which hash ids would not preserve
     srcn = (
         toks.groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -9005,6 +9018,14 @@ def word_graph_sssp(spark, sf_dir):
         .limit(1)
         .select(F.col("word").alias("node"))
     )
+    # min-plus relaxation uses node ids as equality keys only — the same
+    # gated vocab encode as _word_graph applies; the root maps through the
+    # vocab and (node, dist) decodes vertex-sized at the end
+    toks, vocab = _encode_tokens(docs, toks)
+    if vocab is not None:
+        srcn = srcn.join(F.broadcast(vocab), srcn.node == vocab.word).select(
+            F.col("wid").alias("node")
+        )
     pairs = TX.cooccurrence_pairs(toks, symmetric=False)  # (w1, w2, cnt)
     # one-pass symmetrization = the oracle's edges0, counts intact (the
     # union-of-two-selects form executes tokenize->pairs twice — r7 lesson)
@@ -9020,7 +9041,7 @@ def word_graph_sssp(spark, sf_dir):
         "dst",
         F.floor(F.lit(1000000.0) / F.col("cnt")).cast("bigint").alias("w"),
     )
-    return G.sssp(we, srcn, weight="w", max_rounds=6)
+    return _decode_nodes(G.sssp(we, srcn, weight="w", max_rounds=6), vocab)
 
 
 @query(

@@ -52,7 +52,12 @@ def test_word_graph_encode_matches_string(spark, sf_dir, monkeypatch):
     build for every consumer shape: ranked floats (pagerank_top20),
     integer structure (word_triangle_counts), and an encoded ROOT plus
     hop labels (word_graph_bfs)."""
-    for name in ("pagerank_top20", "word_triangle_counts", "word_graph_bfs"):
+    for name in (
+        "pagerank_top20",
+        "word_triangle_counts",
+        "word_graph_bfs",
+        "word_graph_sssp",
+    ):
         spark.catalog.clearCache()
         base = sorted(map(tuple, Q.QUERIES[name](spark, sf_dir).collect()))
         monkeypatch.setattr(Q, "_GRAPH_ENCODE_MIN_BYTES", 0)
